@@ -1,0 +1,249 @@
+"""Host reference aligners (numpy), semantics-compatible with WFA2-lib usage.
+
+The reference uses WFA2-lib in two modes (src/assemble.cpp:49-50):
+  * ``WFAlignerEdit(Score)``  — unit-cost edit distance, score-only, with
+    End2End and EndsFree variants (src/analignments.cpp:70,88-96).
+    WFA2 distance metrics report *positive* scores, so edit score ==
+    Levenshtein distance.
+  * ``WFAlignerGapAffine(4,6,2, Alignment)`` — mismatch 4, gap-open 6,
+    gap-extend 2 (gap of length L costs 6 + 2L), match 0; used only for its
+    per-column cigar string (chars M/X/I/D), consumed by local_realignment
+    (analignments.cpp:37) and the PPOA builder (anppoa.hpp:112).
+
+Wavefront alignment extends matches greedily along diagonals, which
+right-aligns edits after maximal match runs. Our tracebacks reproduce that
+by preferring gap operations over diagonal steps on score ties (see
+tests/test_align.py and the PPOA golden tests for calibration).
+
+These are the exactness oracles; the batched TPU kernels in
+otter_tpu/kernels are tested against them.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+_BIG = np.int32(1 << 28)
+
+
+def _codes(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode(), dtype=np.uint8)
+
+
+def edit_distance(x: str, y: str) -> int:
+    """Unit-cost Levenshtein distance (WFAlignerEdit alignEnd2End score)."""
+    if x == y:
+        return 0
+    a, b = _codes(x), _codes(y)
+    m, n = len(a), len(b)
+    if m == 0:
+        return n
+    if n == 0:
+        return m
+    js = np.arange(n + 1, dtype=np.int64)
+    prev = js.copy()
+    cur = np.empty(n + 1, dtype=np.int64)
+    for i in range(1, m + 1):
+        sub = (b != a[i - 1]).astype(np.int64)
+        v = np.empty(n + 1, dtype=np.int64)
+        v[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + sub, out=v[1:])
+        # resolve the in-row horizontal dependency with a prefix-min scan:
+        # cur[j] = min_{j'<=j} v[j'] + (j - j')
+        cur = np.minimum.accumulate(v - js) + js
+        prev, cur = cur, prev
+    return int(prev[n])
+
+
+def edit_distance_ends_free(pattern: str, text: str,
+                            pb: int, pe: int, tb: int, te: int) -> int:
+    """Edit distance with free leading/trailing gaps.
+
+    WFA2 ``alignEndsFree(pattern, pb, pe, text, tb, te)``: up to ``pb``/``pe``
+    pattern chars and ``tb``/``te`` text chars may be skipped for free at the
+    begin/end. Implemented as DP boundary conditions: D[0][j] = max(0, j-tb),
+    D[i][0] = max(0, i-pb); final score = min over allowed end cells.
+    """
+    a, b = _codes(pattern), _codes(text)
+    m, n = len(a), len(b)
+    js = np.arange(n + 1, dtype=np.int64)
+    prev = np.maximum(0, js - tb)
+    best_last_col = np.int64(1 << 60)
+    if pe >= m:
+        best_last_col = prev[n]
+    for i in range(1, m + 1):
+        sub = (b != a[i - 1]).astype(np.int64)
+        v = np.empty(n + 1, dtype=np.int64)
+        v[0] = max(0, i - pb)
+        np.minimum(prev[1:] + 1, prev[:-1] + sub, out=v[1:])
+        cur = np.minimum.accumulate(v - js) + js
+        if m - i <= pe and cur[n] < best_last_col:
+            best_last_col = cur[n]
+        prev = cur
+    lo = max(0, n - te)
+    best_last_row = int(prev[lo:].min())
+    return int(min(best_last_row, best_last_col))
+
+
+# ---------------------------------------------------------------------------
+# Gap-affine alignment with WFA-compatible per-column cigar
+# ---------------------------------------------------------------------------
+
+MISMATCH, GAP_OPEN, GAP_EXT = 4, 6, 2
+
+
+def _affine_matrices(a: np.ndarray, b: np.ndarray,
+                     pb: int = 0, tb: int = 0
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full H/E/F DP matrices (int32). E = gap consuming text (I ops),
+    F = gap consuming pattern (D ops). Free begin-gaps enter via boundaries."""
+    m, n = len(a), len(b)
+    H = np.full((m + 1, n + 1), _BIG, dtype=np.int64)
+    E = np.full((m + 1, n + 1), _BIG, dtype=np.int64)
+    F = np.full((m + 1, n + 1), _BIG, dtype=np.int64)
+    H[0, 0] = 0
+    js = np.arange(1, n + 1)
+    # leading text gap: free up to tb, affine-penalized beyond
+    H[0, 1:] = np.where(js <= tb, 0, GAP_OPEN + GAP_EXT * (js - tb))
+    is_ = np.arange(1, m + 1)
+    H[1:, 0] = np.where(is_ <= pb, 0, GAP_OPEN + GAP_EXT * (is_ - pb))
+    for i in range(1, m + 1):
+        sub = np.where(b == a[i - 1], 0, MISMATCH).astype(np.int64)
+        E_row = np.empty(n + 1, dtype=np.int64)
+        E_row[0] = _BIG
+        # E[i][j] = min(H[i][j-1]+open+ext, E[i][j-1]+ext): prefix scan over j
+        # F depends only on previous row:
+        F_row = np.minimum(H[i - 1, :] + GAP_OPEN + GAP_EXT, F[i - 1, :] + GAP_EXT)
+        F_row[0] = min(F_row[0], _BIG)
+        diag = H[i - 1, :-1] + sub
+        # combine without E first, then do the horizontal scan for E
+        base = np.minimum(diag, F_row[1:])
+        H_row = np.empty(n + 1, dtype=np.int64)
+        H_row[0] = H[i, 0]
+        # sequential in j for E (scan trick): E[i][j] = min over j'<j of
+        # H[i][j'] + open + ext*(j-j') — but H[i][j'] itself depends on E.
+        # Solve left-to-right (n is modest for consensus alignments).
+        e = _BIG
+        for j in range(1, n + 1):
+            e = min(H_row[j - 1] + GAP_OPEN + GAP_EXT, e + GAP_EXT)
+            E_row[j] = e
+            H_row[j] = min(base[j - 1], e)
+        H[i, :] = H_row
+        E[i, :] = E_row
+        F[i, :] = F_row
+    return H, E, F
+
+
+def _affine_end_cell(H: np.ndarray, m: int, n: int,
+                     pe: int, te: int) -> Tuple[int, int, int]:
+    """Best allowed end cell (score, i, j). Prefers the longest alignment
+    (max j then max i) on ties, matching WFA's furthest-reaching behavior."""
+    best = (int(H[m, n]), m, n)
+    for j in range(n - 1, max(0, n - te) - 1, -1):
+        s = int(H[m, j])
+        if s < best[0]:
+            best = (s, m, j)
+    for i in range(m - 1, max(0, m - pe) - 1, -1):
+        s = int(H[i, n])
+        if s < best[0]:
+            best = (s, i, n)
+    return best
+
+
+def affine_align_ends_free_cigar(pattern: str, text: str,
+                                 pb: int = 0, pe: int = 0,
+                                 tb: int = 0, te: int = 0) -> str:
+    """Per-column cigar (M/X/I/D chars) of the gap-affine alignment.
+
+    I consumes text, D consumes pattern (WFA convention as consumed by
+    PPOA::insert_alignment, anppoa.hpp:112-241). Free end gaps appear in the
+    cigar as ordinary I/D runs (WFA includes them in the alignment path).
+    Traceback prefers I/D over diagonal steps on ties, which reproduces
+    WFA's right-aligned edit placement.
+    """
+    a, b = _codes(pattern), _codes(text)
+    m, n = len(a), len(b)
+    H, E, F = _affine_matrices(a, b, pb=pb, tb=tb)
+    score, ei, ej = _affine_end_cell(H, m, n, pe, te)
+    ops = []
+    # trailing free gaps included in the cigar
+    ops.extend("I" * (n - ej))
+    ops.extend("D" * (m - ei))
+    i, j = ei, ej
+    state = "H"
+    while i > 0 or j > 0:
+        if state == "H":
+            h = H[i, j]
+            if i == 0:
+                # leading text gap (possibly free)
+                ops.extend("I" * j)
+                break
+            if j == 0:
+                ops.extend("D" * i)
+                break
+            if h == F[i, j]:
+                state = "F"
+                continue
+            if h == E[i, j]:
+                state = "E"
+                continue
+            sub = 0 if a[i - 1] == b[j - 1] else MISMATCH
+            ops.append("M" if sub == 0 else "X")
+            i -= 1
+            j -= 1
+        elif state == "F":
+            ops.append("D")
+            if F[i, j] == F[i - 1, j] + GAP_EXT and i > 1:
+                i -= 1  # stay in gap (prefer extension)
+            else:
+                i -= 1
+                state = "H"
+        else:  # E
+            ops.append("I")
+            if E[i, j] == E[i, j - 1] + GAP_EXT and j > 1:
+                j -= 1
+            else:
+                j -= 1
+                state = "H"
+    return "".join(reversed(ops))
+
+
+def affine_align_cigar(pattern: str, text: str) -> str:
+    """End-to-end gap-affine cigar (WFAlignerGapAffine alignEnd2End)."""
+    return affine_align_ends_free_cigar(pattern, text, 0, 0, 0, 0)
+
+
+def edit_align_cigar_len(pattern: str, text: str) -> Tuple[int, int]:
+    """(edit distance, alignment column count) for WFAlignerEdit(Alignment)
+    as consumed by compare (src/compare.cpp:60-61: getAlignmentScore and
+    getAlignmentCigar().size()).
+
+    Among edit-optimal alignments WFA's greedy diagonal extension maximizes
+    match/mismatch columns, so we break ties by maximizing diagonal steps
+    (equivalently minimizing indel steps) with a composite lexicographic DP.
+    """
+    a, b = _codes(pattern), _codes(text)
+    m, n = len(a), len(b)
+    K = np.int64(1 << 22)  # > m + n for any realistic allele
+    js = np.arange(n + 1, dtype=np.int64)
+    # cost = edit * K + (#indel steps)
+    prev = js * (K + 1)
+    step = K + 1
+    for i in range(1, m + 1):
+        sub = np.where(b == a[i - 1], 0, K).astype(np.int64)
+        v = np.empty(n + 1, dtype=np.int64)
+        v[0] = i * step
+        np.minimum(prev[1:] + step, prev[:-1] + sub, out=v[1:])
+        cur = np.minimum.accumulate(v - js * step) + js * step
+        prev = cur
+    composite = int(prev[n])
+    edit = composite // K
+    # careful: composite = edit*K + indels, and indels < K
+    indels = composite - edit * K
+    # adjust if indels accounting spilled (each indel adds K+1: 1 edit + 1 indel)
+    # composite = (X + I + D)*K + (I + D); solve: indels = composite % K only
+    # valid because I + D <= m + n < K
+    cols = (m + n + indels) // 2
+    return edit, cols

@@ -1,0 +1,417 @@
+"""Clustering heuristics (exact-parity port of src/otterclust.cpp).
+
+Covers: KDE decision boundary with peak merge/tie-break rules
+(otterclust.cpp:20-116), ``otter_hclust`` with special cases, bandwidth
+switching, coverage-based seed/outlier reassignment (:118-320), length and
+k-mer-usage allele clustering, and the joint ``anallele_cluster``
+(:322-527).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..seqs.kmer import Kusage, seq2kcounts
+from ..seqs.model import AnAllele, AnRead
+from .distmat import DistMatrix
+from .hclust import cutree_cdist, cutree_k, hclust_average
+from .kde import kde_densities, kde_grid, kde_maximas
+
+
+@dataclass
+class ClusteringStatus:
+    ic: int = 0
+    fc: int = 0
+    labels: List[int] = field(default_factory=list)
+
+    def set_global_label(self, l: int) -> None:
+        for i in range(len(self.labels)):
+            self.labels[i] = l
+
+
+@dataclass
+class Genotype:
+    gt: int = -1
+    gt_l: int = -1
+    gt_k: int = -1
+    hsd: float = -1.0
+
+
+@dataclass
+class DecisionBound:
+    dist0: float
+    dist1: float
+    cut0: float
+
+
+def _insertion_sort(a: List[int], less) -> None:
+    """libstdc++ __insertion_sort (what std::sort runs for <16 elements)."""
+    for i in range(1, len(a)):
+        val = a[i]
+        if less(val, a[0]):
+            for j in range(i, 0, -1):
+                a[j] = a[j - 1]
+            a[0] = val
+        else:
+            j = i
+            while less(val, a[j - 1]):
+                a[j] = a[j - 1]
+                j -= 1
+            a[j] = val
+
+
+def otter_find_clustering_dist(radius: int, dinterval: float, bandwidth: float,
+                               distmatrix: DistMatrix,
+                               densities: Optional[np.ndarray] = None
+                               ) -> DecisionBound:
+    """KDE over the distance distribution -> (first peak, second peak, valley)
+    with the reference's peak-merging and tie-break rules
+    (otterclust.cpp:20-116). ``densities`` may be precomputed (device path)."""
+    if densities is None:
+        xs = kde_grid(dinterval)
+        densities = kde_densities(distmatrix.values, bandwidth, xs)
+    maximas, minimas = kde_maximas(radius, densities)
+    if not maximas:
+        sys.stderr.write("ERROR: failed to obtain maximas\n")
+        raise SystemExit(1)
+    if len(maximas) == 1:
+        return DecisionBound(maximas[0][0] * dinterval, maximas[0][0] * dinterval, -1.0)
+    if not minimas:
+        sys.stderr.write("ERROR: failed to obtain minimas\n")
+        raise SystemExit(1)
+    if len(maximas) == 2:
+        return DecisionBound(maximas[0][0] * dinterval, maximas[1][0] * dinterval,
+                             minimas[0][0] * dinterval)
+    # >2 peaks: sort by density (desc) with near-tie (<=0.01) broken by
+    # position, then delete adjacent-index near-equal peaks (:59-87).
+    # The reference comparator (otterclust.cpp:61-66) is not a strict weak
+    # ordering, so the result depends on the sort algorithm; std::sort uses
+    # plain insertion sort for ranges < 16 elements (the practical case), and
+    # we replicate that insertion sort exactly.
+    sorted_maximas = list(range(len(maximas)))
+
+    def cmp_less(a: int, b: int) -> bool:
+        diff = maximas[a][1] - maximas[b][1]
+        diff = diff if diff > 0 else -diff
+        if diff <= 0.01:
+            return maximas[a][0] < maximas[b][0]
+        return maximas[a][1] > maximas[b][1]
+
+    _insertion_sort(sorted_maximas, cmp_less)
+    last_i = 0
+    acc_i = 1
+    while acc_i < len(sorted_maximas):
+        index_diff = abs(acc_i - last_i)
+        f_diff = abs(maximas[sorted_maximas[acc_i]][1] - maximas[sorted_maximas[last_i]][1])
+        if index_diff == 1 and f_diff <= 0.01:
+            del sorted_maximas[acc_i]
+            last_i = acc_i
+        acc_i += 1
+    if len(sorted_maximas) < 2:
+        return DecisionBound(maximas[0][0] * dinterval, maximas[1][0] * dinterval,
+                             minimas[0][0] * dinterval)
+    m_first_i = sorted_maximas[0]
+    m_second_i = sorted_maximas[1]
+    if m_first_i > m_second_i:
+        m_first_i, m_second_i = m_second_i, m_first_i
+    boundary_i = m_second_i - 1
+    if boundary_i < 0 or boundary_i >= len(minimas):
+        sys.stderr.write(f"ERROR: unexpected index for minimas: {boundary_i}\n")
+        raise SystemExit(1)
+    if (m_second_i - m_first_i > 1 and m_second_i - 2 >= 0
+            and (maximas[m_second_i][0] * dinterval - minimas[boundary_i][0] * dinterval
+                 <= 0.01)):
+        boundary_i = m_second_i - 2
+        if boundary_i < 0 or boundary_i >= len(minimas):
+            sys.stderr.write(
+                f"ERROR: unexpected index for minimas after correction: {boundary_i}\n")
+            raise SystemExit(1)
+    return DecisionBound(
+        maximas[m_first_i][0] * dinterval,
+        maximas[m_second_i][0] * dinterval,
+        minimas[m_first_i + (m_second_i - m_first_i) // 2][0] * dinterval,
+    )
+
+
+def otter_hclust(ignore_haps: bool, max_alleles: int, bandwidth_short: float,
+                 bandwidth_length: int, bandwidth_long: float,
+                 max_tolerable_diff: float, min_cov_fraction: float,
+                 min_cov_fraction2_l: int, min_cov_fraction2_f: float,
+                 indeces: List[int], distmatrix: DistMatrix,
+                 reads: List[AnRead], clustering: ClusteringStatus,
+                 densities: Optional[np.ndarray] = None) -> None:
+    """Read clustering into allele groups (otterclust.cpp:118-320)."""
+    clustering.labels = [-1] * len(indeces)
+    if len(indeces) == 1:
+        clustering.labels[0] = 0
+        clustering.ic = 1
+        clustering.fc = 1
+        return
+    if len(indeces) == 2:
+        clustering.labels[0] = 0
+        clustering.labels[1] = 0
+        if max_alleles == 1:
+            clustering.ic = 1
+            clustering.fc = 1
+        else:
+            dist = distmatrix.get_dist(0, 1)
+            if dist <= max_tolerable_diff:
+                clustering.ic = 1
+                clustering.fc = 1
+            else:
+                clustering.labels[1] = 1
+                clustering.ic = 2
+                clustering.fc = 2
+        return
+    if max_alleles == 1:
+        clustering.set_global_label(0)
+        clustering.ic = 1
+        clustering.fc = 1
+        return
+
+    error_intervals = 0.0025
+    radius = int(max_tolerable_diff / error_intervals)
+    if radius < 1:
+        radius = 1
+    bandwidth = bandwidth_short
+    for i in indeces:
+        if len(reads[i].seq) >= bandwidth_length:
+            bandwidth = bandwidth_long
+            break
+    dists = otter_find_clustering_dist(radius, error_intervals, bandwidth,
+                                       distmatrix, densities=densities)
+    if dists.dist1 - dists.dist0 <= max_tolerable_diff:
+        clustering.set_global_label(0)
+        clustering.ic = 1
+        clustering.fc = 1
+        return
+
+    n = len(indeces)
+    merge, height = hclust_average(n, distmatrix.values)
+    dist_final = dists.dist1 if dists.dist1 == bandwidth else dists.cut0 + 0.0025
+    labels = cutree_cdist(n, merge, height, dist_final).tolist()
+    total_alleles = 0
+    for l in labels:
+        if l > total_alleles:
+            total_alleles = l
+    total_alleles += 1
+    clustering.ic = total_alleles
+    min_cov1 = int(n * min_cov_fraction + 0.5)
+    min_cov2 = int(n * min_cov_fraction2_f + 0.5)
+
+    if max_alleles != 0:
+        label_counts = [0] * total_alleles
+        label_max_sizes = [0] * total_alleles
+        label_required_covs = [0] * total_alleles
+        for i in range(n):
+            label_counts[labels[i]] += 1
+            if len(reads[indeces[i]].seq) > label_max_sizes[labels[i]]:
+                label_max_sizes[labels[i]] = len(reads[indeces[i]].seq)
+        label_max_cov = 0
+        for l in range(total_alleles):
+            if label_counts[l] > label_max_cov:
+                label_max_cov = label_counts[l]
+            if label_max_sizes[l] < min_cov_fraction2_l:
+                label_required_covs[l] = min_cov1
+            else:
+                label_required_covs[l] = min_cov2
+
+        is_only_singletons = True
+        for l in range(total_alleles):
+            if label_counts[l] >= label_required_covs[l]:
+                is_only_singletons = False
+                break
+        if is_only_singletons:
+            labels = cutree_k(n, merge, max_alleles).tolist()
+            clustering.fc = max_alleles
+        else:
+            outlier_clusters_n = 0
+            seed_clusters_n = 0
+            for l in range(total_alleles):
+                if label_counts[l] < label_required_covs[l]:
+                    outlier_clusters_n += 1
+                else:
+                    seed_clusters_n += 1
+            if seed_clusters_n == 0 or seed_clusters_n > max_alleles:
+                labels = cutree_k(n, merge, max_alleles).tolist()
+                clustering.fc = max_alleles
+            else:
+                outlier_clusters = []
+                seed_clusters = []
+                for l in range(total_alleles):
+                    if label_counts[l] < label_required_covs[l]:
+                        outlier_clusters.append(l)
+                    else:
+                        seed_clusters.append(l)
+                for i in range(n):
+                    if labels[i] in outlier_clusters:
+                        labels[i] = -1
+                # relabel seed clusters to 0..k-1 (:277-286)
+                for i in range(n):
+                    for j, s in enumerate(seed_clusters):
+                        if labels[i] == s:
+                            labels[i] = j
+                            break
+                # reassign outliers to nearest labeled read (:289-304)
+                for i in range(n):
+                    if labels[i] == -1:
+                        closest_j = None
+                        min_dist = 100000.0
+                        for j in range(n):
+                            if i != j and labels[j] != -1:
+                                j_dist = distmatrix.get_dist(i, j)
+                                if j_dist < min_dist:
+                                    closest_j = j
+                                    min_dist = j_dist
+                        labels[i] = labels[closest_j]
+                clustering.fc = seed_clusters_n
+
+    for i in range(n):
+        clustering.labels[i] = labels[i]
+
+
+def length_dist(x: int, y: int) -> float:
+    """|x-y|/max(x,y) (otterclust.cpp:322-327)."""
+    is_x_smallest = x < y
+    dist = float(y - x) if is_x_smallest else float(x - y)
+    return dist / y if is_x_smallest else dist / x
+
+
+def cluter_to_e(max_error: float, total_alleles: int,
+                distmatrix: DistMatrix) -> List[List[int]]:
+    """hclust + cut at max_error -> clusters as index lists (:329-349)."""
+    merge, height = hclust_average(total_alleles, distmatrix.values)
+    labels = cutree_cdist(total_alleles, merge, height, max_error)
+    total_clusters = 0
+    for l in labels:
+        if l > total_clusters:
+            total_clusters = int(l)
+    total_clusters += 1
+    clusters: List[List[int]] = [[] for _ in range(total_clusters)]
+    for l in range(total_clusters):
+        for i in range(total_alleles):
+            if labels[i] == l:
+                clusters[l].append(i)
+    return clusters
+
+
+def remap_cluster_indeces(distmatrix: DistMatrix, indeces: List[int],
+                          input_clusters: List[List[int]]
+                          ) -> Tuple[List[List[int]], List[int]]:
+    """Reindex clusters to allele ids + medoid reps (:351-365)."""
+    output_clusters: List[List[int]] = []
+    medoids: List[int] = []
+    for cluster in input_clusters:
+        mapped = [indeces[i] for i in cluster]
+        output_clusters.append(mapped)
+        if len(mapped) <= 2:
+            medoids.append(mapped[0])
+        else:
+            medoids.append(distmatrix.get_medoid(mapped))
+    return output_clusters, medoids
+
+
+def anallele_cluster_length(max_error: float, alleles: List[AnAllele],
+                            indeces: List[int], distmatrix: DistMatrix
+                            ) -> Tuple[List[List[int]], List[int]]:
+    """Length-based allele clustering (:367-382)."""
+    for i in range(len(indeces)):
+        i_l = len(alleles[indeces[i]].seq)
+        for j in range(i + 1, len(indeces)):
+            j_l = len(alleles[indeces[j]].seq)
+            distmatrix.set_dist(i, j, length_dist(i_l, j_l))
+    clusters = cluter_to_e(max_error, len(indeces), distmatrix)
+    return remap_cluster_indeces(distmatrix, indeces, clusters)
+
+
+def generate_kusage(k: int, alleles: List[AnAllele],
+                    indeces: List[int]) -> List[Kusage]:
+    return [Kusage(seq2kcounts(k, alleles[i].seq)) for i in indeces]
+
+
+def anallele_cluster_kusage(max_error: float, k: int, alleles: List[AnAllele],
+                            indeces: List[int], distmatrix: DistMatrix
+                            ) -> Tuple[List[Kusage], List[List[int]], List[int]]:
+    """3-mer-usage cosine-dissimilarity clustering (:402-420), with the
+    reference's round-to-3-decimals and NaN->dist-1.0 handling."""
+    kusages = generate_kusage(k, alleles, indeces)
+    import math
+    for i in range(len(kusages)):
+        i_k = kusages[i]
+        for j in range(i + 1, len(kusages)):
+            j_k = kusages[j]
+            if math.isnan(i_k.vnorm) or math.isnan(j_k.vnorm):
+                sim = 0.0
+            else:
+                sim = _cpp_round(i_k.cosine_sim(j_k) * 1000.0) / 1000.0
+            distmatrix.set_dist(i, j, 1.0 - sim)
+    clusters = cluter_to_e(max_error, len(kusages), distmatrix)
+    out_clusters, reps = remap_cluster_indeces(distmatrix, indeces, clusters)
+    return kusages, out_clusters, reps
+
+
+def _cpp_round(x: float) -> float:
+    """C++ std::round: halfway away from zero (Python round is banker's)."""
+    import math
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def anallele_cluster(max_error_l: float, max_error_c: float,
+                     alleles: List[AnAllele], genotypes: List[Genotype]
+                     ) -> Tuple[int, List[int]]:
+    """Joint (length x kusage) allele clustering (:463-527).
+
+    Returns (total final clusters, representative allele per cluster).
+    """
+    allele_indeces = list(range(len(alleles)))
+
+    distmatrix_length = DistMatrix(len(allele_indeces))
+    length_clusters, length_reps = anallele_cluster_length(
+        max_error_l, alleles, allele_indeces, distmatrix_length)
+    if len(length_reps) != len(length_clusters):
+        sys.stderr.write(
+            f"[ERROR] unexpected number of representative alleles "
+            f"({len(length_reps)}) for {len(length_clusters)} length clusters\n")
+        raise SystemExit(1)
+    for i, cluster in enumerate(length_clusters):
+        for j in cluster:
+            genotypes[j].gt_l = i
+
+    distmatrix_kusage = DistMatrix(len(allele_indeces))
+    kusages, kusage_clusters, kusage_reps = anallele_cluster_kusage(
+        max_error_c, 3, alleles, allele_indeces, distmatrix_kusage)
+    if len(kusage_reps) != len(kusage_clusters):
+        sys.stderr.write(
+            f"[ERROR] unexpected representative alleles "
+            f"({len(kusage_reps)}) for {len(kusage_clusters)} kusage clusters\n")
+        raise SystemExit(1)
+    for i, cluster in enumerate(kusage_clusters):
+        for j in cluster:
+            genotypes[j].gt_k = i
+            genotypes[j].hsd = kusages[j].hsdiv()
+
+    # joint label = (gt_l, gt_k) intersection in first-seen order (:500-516)
+    remaining = list(range(len(alleles)))
+    final_clusters: List[List[int]] = []
+    while remaining:
+        i = remaining[0]
+        local = []
+        rest = []
+        for j in remaining:
+            if genotypes[i].gt_l == genotypes[j].gt_l and \
+               genotypes[i].gt_k == genotypes[j].gt_k:
+                local.append(j)
+            else:
+                rest.append(j)
+        final_clusters.append(local)
+        remaining = rest
+    gt_reps: List[int] = []
+    for i, cluster in enumerate(final_clusters):
+        for j in cluster:
+            genotypes[j].gt = i
+        gt_reps.append(int(distmatrix_length.get_medoid(cluster)))
+    return len(final_clusters), gt_reps

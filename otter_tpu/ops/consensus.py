@@ -1,0 +1,300 @@
+"""Read-pair distances, reassignment, SE, and rapid consensus.
+
+Exact-parity port of src/analignments.cpp: align_anreads (:62-101),
+get_dist_anreads haplotag shortcut (:103-115), fill_dist_matrix (:117-124),
+invalid_reassignment (:126-177), compute_se (:179-190), rapid_consensus
+(:192-298), and local_realignment (:11-60).
+
+The O(n^2) fill_dist_matrix is the pipeline's hottest loop; the TPU path
+computes the same distances with the batched Pallas kernel
+(kernels/edit_pallas.py) and injects them via the ``pair_dist_fn`` hook.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..seqs.model import AnAllele, AnRead
+from ..utils.timestamp import antimestamp
+from .align_np import (
+    affine_align_cigar,
+    affine_align_ends_free_cigar,
+    edit_distance,
+    edit_distance_ends_free,
+)
+from .distmat import DistMatrix
+from .poa import Ppoa
+
+
+def align_anreads(read_x: AnRead, read_y: AnRead) -> float:
+    """Normalized pairwise distance (analignments.cpp:62-101)."""
+    if read_x.seq == read_y.seq:
+        return 0.0
+    if (read_x.is_spanning() and read_y.is_spanning()) or (
+        read_y.is_spanning() and len(read_x.seq) >= len(read_y.seq)
+    ):
+        largest = float(max(len(read_x.seq), len(read_y.seq)))
+        dist = edit_distance(read_x.seq, read_y.seq)
+        return dist / largest
+    if read_y.is_spanning():
+        length_diff = len(read_y.seq) - len(read_x.seq)
+        if length_diff < 0:
+            length_diff = -length_diff
+            if read_x.is_spanning_l:
+                score = edit_distance_ends_free(read_x.seq, read_y.seq, 0, 0, 0, length_diff)
+            elif read_x.is_spanning_r:
+                score = edit_distance_ends_free(read_x.seq, read_y.seq, 0, 0, length_diff, 0)
+            else:
+                score = edit_distance_ends_free(
+                    read_x.seq, read_y.seq, 0, 0, length_diff // 2, length_diff // 2)
+            return score / float(len(read_x.seq))
+        else:
+            if read_x.is_spanning_l:
+                score = edit_distance_ends_free(read_y.seq, read_x.seq, 0, length_diff, 0, 0)
+            elif read_x.is_spanning_r:
+                score = edit_distance_ends_free(read_y.seq, read_x.seq, length_diff, 0, 0, 0)
+            else:
+                score = edit_distance_ends_free(
+                    read_y.seq, read_x.seq, length_diff // 2, length_diff // 2, 0, 0)
+            return score / float(len(read_x.seq))
+    return -1.0
+
+
+def get_dist_anreads(ignore_haps: bool, read_x: AnRead, read_y: AnRead) -> float:
+    """Haplotag shortcut 0/1 when haplotags are used (analignments.cpp:103-115)."""
+    if ignore_haps:
+        return align_anreads(read_x, read_y)
+    if read_x.hpt.is_defined() and read_y.hpt.is_defined():
+        return 0.0 if read_x.hpt == read_y.hpt else 1.0
+    return 1.0
+
+
+PairDistFn = Callable[[AnRead, AnRead], float]
+
+
+def fill_dist_matrix(ignore_haps: bool, reads: List[AnRead], indeces: List[int],
+                     distmatrix: DistMatrix,
+                     pair_dist_fn: Optional[PairDistFn] = None) -> None:
+    """O(n^2) pairwise fill (analignments.cpp:117-124). ``pair_dist_fn`` lets
+    the TPU batch path substitute device-computed distances."""
+    fn = pair_dist_fn
+    for i in range(len(indeces)):
+        for j in range(i + 1, len(indeces)):
+            rx, ry = reads[indeces[i]], reads[indeces[j]]
+            if fn is not None and ignore_haps:
+                d = fn(rx, ry)
+            else:
+                d = get_dist_anreads(ignore_haps, rx, ry)
+            distmatrix.set_dist(i, j, d)
+
+
+def invalid_reassignment(ignore_haps: bool, min_sim: float, max_error: float,
+                         total_alleles: int, reads: List[AnRead],
+                         labels: List[int],
+                         pair_dist_fn: Optional[PairDistFn] = None) -> None:
+    """Assign non-spanning reads to the allele with max similarity, requiring
+    min_sim and a margin >= max_error over the runner-up
+    (analignments.cpp:126-177)."""
+    fn = pair_dist_fn or (lambda a, b: get_dist_anreads(True, a, b))
+    for i in range(len(labels)):
+        if labels[i] < 0:
+            max_sim = [0.0] * total_alleles
+            read_i = reads[i]
+            for j in range(len(labels)):
+                read_j = reads[j]
+                if i != j and labels[j] >= 0 and read_j.is_spanning():
+                    dist = fn(read_i, read_j)
+                    if dist < 0:
+                        sys.stderr.write(
+                            "ERROR: unexpected distance for the following alignment:\n"
+                            f"{read_i.name}\t{int(read_i.is_spanning())}\n{read_i.seq}\n"
+                            f"{read_j.name}\t{int(read_j.is_spanning())}\n{read_j.seq}\n")
+                        raise SystemExit(1)
+                    sim = 1 - dist
+                    if sim > max_sim[labels[j]]:
+                        max_sim[labels[j]] = sim
+            max_sim_label = 0
+            for j in range(1, total_alleles):
+                if max_sim[j] > max_sim[max_sim_label]:
+                    max_sim_label = j
+            same_max_sim = sum(1 for s in max_sim if s == max_sim[max_sim_label])
+            if same_max_sim == 1 and max_sim[max_sim_label] >= min_sim:
+                min_diff = 1.0
+                for j in range(total_alleles):
+                    if max_sim_label != j:
+                        diff = max_sim[max_sim_label] - max_sim[j]
+                        if diff < min_diff:
+                            min_diff = diff
+                if min_diff >= max_error:
+                    labels[i] = max_sim_label
+
+
+def compute_se(values: List[float]) -> float:
+    """Standard error of the mean (analignments.cpp:179-190)."""
+    if not values:
+        return -1.0
+    u = sum(values) / len(values)
+    n = sum((v - u) ** 2 for v in values)
+    return math.sqrt(n / (len(values) - 1)) / math.sqrt(len(values))
+
+
+def rapid_consensus(ignore_haps: bool, reads: List[AnRead], labels: List[int],
+                    valid_indeces: List[int], total_alleles: int,
+                    valid_distmatrix: DistMatrix,
+                    alleles: List[AnAllele]) -> None:
+    """Per-allele medoid backbone + POA consensus (analignments.cpp:192-298)."""
+    if not valid_indeces:
+        sys.stderr.write("ERROR: empty vector of valid read-indeces\n")
+        raise SystemExit(1)
+    for label in range(total_alleles):
+        label_indeces_valid_reads = []
+        label_indeces_valid_indeces = []
+        for i in range(len(valid_indeces)):
+            if label == labels[valid_indeces[i]]:
+                label_indeces_valid_reads.append(valid_indeces[i])
+                label_indeces_valid_indeces.append(i)
+        if not label_indeces_valid_reads:
+            sys.stderr.write(
+                f"ERROR: empty vector of valid read-indeces for allele cluster {label}\n")
+            raise SystemExit(1)
+        rep_index_valid_indeces = valid_distmatrix.get_medoid(label_indeces_valid_indeces)
+        rep = valid_indeces[rep_index_valid_indeces]
+        label_indeces_all_reads = [
+            i for i in range(len(reads)) if i != rep and labels[i] == label
+        ]
+
+        local_allele = alleles[label]
+        local_allele.tcov = len(reads)
+        local_allele.acov = len(label_indeces_all_reads) + 1
+        local_allele.scov = len(label_indeces_valid_reads)
+        if len(label_indeces_valid_indeces) == 1:
+            local_allele.se = 0.0
+        elif len(label_indeces_valid_indeces) == 2:
+            local_allele.se = valid_distmatrix.get_dist(
+                label_indeces_valid_indeces[0], label_indeces_valid_indeces[1])
+        else:
+            valid_dists = [
+                valid_distmatrix.get_dist(i, rep_index_valid_indeces)
+                for i in label_indeces_valid_indeces
+                if i != rep_index_valid_indeces
+            ]
+            local_allele.se = compute_se(valid_dists)
+
+        ps = -1
+        hp = -1
+        conflicting = False
+        if not ignore_haps:
+            for i in label_indeces_valid_reads:
+                if ps < 0:
+                    ps = reads[i].hpt.ps
+                elif ps != reads[i].hpt.ps:
+                    conflicting = True
+                if hp < 0:
+                    hp = reads[i].hpt.hp
+                elif hp != reads[i].hpt.hp:
+                    conflicting = True
+        if conflicting:
+            sys.stderr.write("ERROR: conflicting haplotag information:\n")
+            for i in label_indeces_valid_reads:
+                sys.stderr.write(f"{reads[i].name}\t{reads[i].hpt.ps}\t{reads[i].hpt.hp}\n")
+            raise SystemExit(1)
+
+        rep_read = reads[rep]
+        if not ignore_haps:
+            local_allele.hpt = rep_read.hpt
+
+        if len(label_indeces_all_reads) + 1 <= 2:
+            local_allele.seq = reads[label_indeces_valid_reads[0]].seq
+        else:
+            poa = Ppoa(rep_read.seq)
+            cigar = ""  # persists across members like the C++ WFAligner state
+            for i in label_indeces_all_reads:
+                read = reads[i]
+                length_diff = len(rep_read.seq) - len(read.seq)
+                if read.is_spanning() or length_diff < 0:
+                    if length_diff >= 0:
+                        cigar = affine_align_cigar(rep_read.seq, read.seq)
+                    else:
+                        if read.is_spanning_l:
+                            cigar = affine_align_ends_free_cigar(
+                                rep_read.seq, read.seq, 0, 0, 0, -length_diff)
+                        elif read.is_spanning_r:
+                            cigar = affine_align_ends_free_cigar(
+                                rep_read.seq, read.seq, 0, 0, -length_diff, 0)
+                        # (neither spanning side & longer than rep: the
+                        # reference leaves the previous cigar in the aligner)
+                else:
+                    if read.is_spanning_l:
+                        cigar = affine_align_ends_free_cigar(
+                            rep_read.seq, read.seq, 0, length_diff, 0, 0)
+                    elif read.is_spanning_r:
+                        cigar = affine_align_ends_free_cigar(
+                            rep_read.seq, read.seq, length_diff, 0, 0, 0)
+                    else:
+                        cigar = affine_align_ends_free_cigar(
+                            rep_read.seq, read.seq,
+                            length_diff // 2, length_diff // 2, 0, 0)
+                poa.insert_alignment(read.seq, cigar, read.is_spanning_l, read.is_spanning_r)
+            c = np.float32((len(label_indeces_all_reads) + 1) * 0.4)
+            t = np.float32(0.3)
+            if len(label_indeces_all_reads) + 1 < 4:
+                c = np.float32(1.0)
+            poa.adjust_weights(float(c), float(t))
+            local_allele.seq = poa.consensus()
+            if not local_allele.seq:
+                local_allele.seq = "N"
+
+
+def local_realignment(chr: str, start: int, end: int, flank: int, min_sim: float,
+                      faidx, reads: List[AnRead]) -> None:
+    """Rescue partially-spanning reads by re-aligning their clipped tail to
+    flanking reference sequence (analignments.cpp:11-60)."""
+    ref_left = ""
+    ref_right = ""
+    for local_read in reads:
+        if not local_read.is_spanning() and (
+            local_read.is_spanning_l or local_read.is_spanning_r
+        ):
+            left_realignment = local_read.is_spanning_r and local_read.ccoords[0] >= flank
+            right_realignment = local_read.is_spanning_l and (
+                len(local_read.seq) - local_read.ccoords[1] >= flank)
+            subseq = ""
+            if left_realignment:
+                if not ref_left:
+                    ref_left = faidx.fetch(chr, start - flank, start)
+                subseq = local_read.seq[: local_read.ccoords[0]]
+                cigar = affine_align_cigar(subseq, ref_left)
+            elif right_realignment:
+                if not ref_right:
+                    ref_right = faidx.fetch(chr, end, end + flank)
+                subseq = local_read.seq[local_read.ccoords[1]:]
+                cigar = affine_align_cigar(subseq, ref_right)
+            if subseq:
+                # +1/-1 max-prefix score scan over non-I cigar ops (:35-51)
+                scores = [0] * len(subseq)
+                j = 0
+                for op in cigar:
+                    if op != "I":
+                        penalty = 1 if op == "M" else -1
+                        if penalty > 0:
+                            scores[j] = penalty if j == 0 else scores[j - 1] + penalty
+                        elif j > 0 and scores[j - 1] > 0:
+                            scores[j] = scores[j - 1] + penalty
+                        j += 1
+                max_sum_i = 0
+                for j in range(len(scores)):
+                    if scores[j] > scores[max_sum_i]:
+                        max_sum_i = j
+                start_i = max_sum_i
+                while start_i > 0 and scores[start_i] > 0:
+                    start_i -= 1
+                if scores[max_sum_i] / float(flank) >= min_sim:
+                    if left_realignment:
+                        local_read.seq = local_read.seq[max_sum_i:]
+                    elif right_realignment:
+                        local_read.seq = local_read.seq[: local_read.ccoords[1] + start_i]
+                    local_read.set_is_spanning()

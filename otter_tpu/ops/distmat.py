@@ -1,0 +1,64 @@
+"""Condensed upper-triangle distance matrix (parity with src/andistmat.cpp).
+
+Layout identical to hclust-cpp's condensed input: for n points, entry (i,j)
+with i<j lives at index (2n-3-i)*i/2 + j - 1 (andistmat.cpp:20). Values
+default to 1.0 (:10). Medoid = min row-sum with first-wins ties (:36-50).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List
+
+import numpy as np
+
+
+class DistMatrix:
+    def __init__(self, n: int, values: np.ndarray | None = None):
+        self.n = int(n)
+        size = (self.n * (self.n - 1)) // 2
+        if values is not None:
+            self.values = np.asarray(values, dtype=np.float64)
+            assert len(self.values) == size
+        else:
+            self.values = np.full(size, 1.0, dtype=np.float64)
+
+    def _index(self, i: int, j: int) -> int:
+        if i == j:
+            raise ValueError("diagonal access")
+        a, b = (i, j) if i < j else (j, i)
+        return ((2 * self.n - 3 - a) * a >> 1) + b - 1
+
+    def set_dist(self, i: int, j: int, d: float) -> None:
+        self.values[self._index(i, j)] = d
+
+    def get_dist(self, i: int, j: int) -> float:
+        return float(self.values[self._index(i, j)])
+
+    def get_medoid(self, indeces: Iterable[int]) -> int:
+        idx = list(indeces)
+        min_i = idx[0]
+        min_dist_sum = 100000000.0
+        for i in idx:
+            dist_sum = 0.0
+            for j in idx:
+                if i != j:
+                    dist_sum += self.get_dist(i, j)
+            if dist_sum < min_dist_sum:
+                min_i = i
+                min_dist_sum = dist_sum
+        return min_i
+
+    @classmethod
+    def from_square(cls, sq: np.ndarray) -> "DistMatrix":
+        n = sq.shape[0]
+        dm = cls(n)
+        iu = np.triu_indices(n, k=1)
+        dm.values = np.ascontiguousarray(sq[iu], dtype=np.float64)
+        return dm
+
+    def to_square(self) -> np.ndarray:
+        sq = np.zeros((self.n, self.n), dtype=np.float64)
+        iu = np.triu_indices(self.n, k=1)
+        sq[iu] = self.values
+        sq += sq.T
+        return sq

@@ -1,0 +1,227 @@
+"""Average-linkage hierarchical clustering with hclust-cpp-compatible output.
+
+The reference clusters with Müllner's nearest-neighbor-chain algorithm
+(include/hclust-cpp, ``hclust_fast(..., HCLUST_METHOD_AVERAGE, ...)``) and
+cuts the dendrogram with ``cutree_cdist``/``cutree_k``
+(src/otterclust.cpp:182-185,227,242,336-337). Cluster labels — and therefore
+medoids, consensus backbones, and final alleles — depend on the exact merge
+order and the R-convention relabeling, so this module implements the same
+published algorithm (Murtagh 1985 NN-chain; Müllner 2011) with identical
+tie-breaking:
+
+  * NN search scans the active-node doubly-linked list in index order and
+    updates only on strictly smaller distances, so the lowest-index nearest
+    neighbor wins ties.
+  * Merges are recorded in discovery order, then stable-sorted by height, so
+    equal-height merges keep chain order.
+  * R output convention: singletons are -(i+1); internal nodes are numbered
+    1..n-1 in sorted order via union-find.
+  * ``cutree_cdist`` stops at the first height >= cdist; ``cutree_k`` labels
+    clusters by first-member order.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+
+def nn_chain_average(n: int, condensed: np.ndarray
+                     ) -> List[Tuple[int, int, float]]:
+    """NN-chain average linkage over a condensed distance matrix.
+
+    Returns merges [(node1, node2, dist)] in discovery order, where node ids
+    are original point indices standing for their current clusters (the
+    surviving id after a merge is the larger index, as in hclust-cpp's
+    NN_chain_core which removes the smaller index from the active list).
+    """
+    D = condensed.astype(np.float64).copy()
+    members = np.ones(n, dtype=np.float64)
+
+    def didx(a: int, b: int) -> int:
+        if a > b:
+            a, b = b, a
+        return ((2 * n - 3 - a) * a >> 1) + b - 1
+
+    # doubly linked active list
+    succ = list(range(1, n + 1))
+    pred = list(range(-1, n - 1))
+    start = 0
+
+    def remove(idx: int) -> None:
+        nonlocal start
+        p, s = pred[idx], succ[idx]
+        if p < 0:
+            start = s
+        else:
+            succ[p] = s
+        if s < n:
+            pred[s] = p
+
+    merges: List[Tuple[int, int, float]] = []
+    chain = [0] * n
+    tip = 0
+    idx1 = idx2 = 0
+    mind = 0.0
+    for _ in range(n - 1):
+        if tip <= 3:
+            idx1 = start
+            chain[0] = idx1
+            tip = 1
+            idx2 = succ[idx1]
+            mind = D[didx(idx1, idx2)]
+            i = succ[idx2]
+            while i < n:
+                d = D[didx(idx1, i)]
+                if d < mind:
+                    mind = d
+                    idx2 = i
+                i = succ[i]
+        else:
+            tip -= 3
+            idx1 = chain[tip - 1]
+            idx2 = chain[tip]
+            mind = D[didx(idx1, idx2)]
+        while True:
+            chain[tip] = idx2
+            i = start
+            while i < idx2:
+                d = D[didx(i, idx2)]
+                if d < mind:
+                    mind = d
+                    idx1 = i
+                i = succ[i]
+            i = succ[idx2]
+            while i < n:
+                d = D[didx(idx2, i)]
+                if d < mind:
+                    mind = d
+                    idx1 = i
+                i = succ[i]
+            idx2 = idx1
+            idx1 = chain[tip]
+            tip += 1
+            if idx2 == chain[tip - 2]:
+                break
+        merges.append((idx1, idx2, float(mind)))
+        if idx1 > idx2:
+            idx1, idx2 = idx2, idx1
+        size1 = members[idx1]
+        size2 = members[idx2]
+        members[idx2] += members[idx1]
+        remove(idx1)
+        # average-linkage distance update (f_average)
+        s = size1 / (size1 + size2)
+        t = size2 / (size1 + size2)
+        i = start
+        while i < idx1:
+            k = didx(i, idx2)
+            D[k] = s * D[didx(i, idx1)] + t * D[k]
+            i = succ[i]
+        while i < idx2:
+            k = didx(i, idx2)
+            D[k] = s * D[didx(idx1, i)] + t * D[k]
+            i = succ[i]
+        i = succ[idx2]
+        while i < n:
+            k = didx(idx2, i)
+            D[k] = s * D[didx(idx1, i)] + t * D[k]
+            i = succ[i]
+    return merges
+
+
+def to_r_dendrogram(merges: List[Tuple[int, int, float]], n: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Stable-sort merges by height and relabel to R convention
+    (generate_R_dendrogram<false>): returns (merge[(n-1),2], height[n-1])
+    with singletons negative (-i-1) and compound nodes 1..n-1."""
+    order = sorted(range(len(merges)), key=lambda i: merges[i][2])
+    # union-find over 2n-1 slots
+    parent = list(range(2 * n - 1))
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    merge = np.zeros((n - 1, 2), dtype=np.int64)
+    height = np.zeros(n - 1, dtype=np.float64)
+    next_cluster = n
+    for out_i, mi in enumerate(order):
+        a, b, d = merges[mi]
+        node1 = find(a)
+        node2 = find(b)
+        parent[node1] = next_cluster
+        parent[node2] = next_cluster
+        next_cluster += 1
+        if node1 > node2:
+            node1, node2 = node2, node1
+        merge[out_i, 0] = -(node1 + 1) if node1 < n else node1 - n + 1
+        merge[out_i, 1] = -(node2 + 1) if node2 < n else node2 - n + 1
+        height[out_i] = d
+    return merge, height
+
+
+def hclust_average(n: int, condensed: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """hclust_fast(HCLUST_METHOD_AVERAGE) equivalent: (merge, height)."""
+    if n < 2:
+        return np.zeros((0, 2), dtype=np.int64), np.zeros(0, dtype=np.float64)
+    merges = nn_chain_average(n, condensed)
+    return to_r_dendrogram(merges, n)
+
+
+def cutree_k(n: int, merge: np.ndarray, nclust: int) -> np.ndarray:
+    """Labels 0..nclust-1 (fastcluster.cpp cutree_k semantics incl. the
+    all-zero result when nclust > n or nclust < 2)."""
+    labels = np.zeros(n, dtype=np.int64)
+    if nclust > n or nclust < 2:
+        return labels
+    last_merge = [0] * n
+    for k in range(1, n - nclust + 1):
+        m1 = int(merge[k - 1, 0])
+        m2 = int(merge[k - 1, 1])
+        if m1 < 0 and m2 < 0:
+            last_merge[-m1 - 1] = k
+            last_merge[-m2 - 1] = k
+        elif m1 < 0 or m2 < 0:
+            if m1 < 0:
+                j = -m1
+                m1 = m2
+            else:
+                j = -m2
+            for l in range(n):
+                if last_merge[l] == m1:
+                    last_merge[l] = k
+            last_merge[j - 1] = k
+        else:
+            for l in range(n):
+                if last_merge[l] in (m1, m2):
+                    last_merge[l] = k
+    label = 0
+    z = [-1] * n
+    for j in range(n):
+        if last_merge[j] == 0:
+            labels[j] = label
+            label += 1
+        else:
+            if z[last_merge[j]] < 0:
+                z[last_merge[j]] = label
+                label += 1
+            labels[j] = z[last_merge[j]]
+    return labels
+
+
+def cutree_cdist(n: int, merge: np.ndarray, height: np.ndarray,
+                 cdist: float) -> np.ndarray:
+    """Stop merging at the first height >= cdist (fastcluster.cpp)."""
+    k = 0
+    while k < n - 1:
+        if height[k] >= cdist:
+            break
+        k += 1
+    return cutree_k(n, merge, n - k)

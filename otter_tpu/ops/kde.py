@@ -1,0 +1,77 @@
+"""Gaussian KDE over pairwise distances + windowed peak/valley detection.
+
+Parity with reference src/ankde.cpp: kernel (1/sqrt(2 pi)) exp(-x^2/2)
+(:8-11), bandwidth scaling (:13-16), density mean over values (:18-23), and
+``maximas`` alternating peak/valley detection over windowed sums (:25-62).
+
+Host path runs in float64 for bit-parity with the C++ double math; the
+device path (kernels/kde_device.py) batches the grid evaluation on TPU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import numpy as np
+
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * 3.14159265358979323846)
+
+
+def kde_grid(dinterval: float) -> np.ndarray:
+    """The reference's accumulated grid ``for(x=0; x<=1; x+=dinterval)``
+    (src/otterclust.cpp:26) — floating accumulation included, so the grid
+    points match the C++ loop bit-for-bit."""
+    xs = []
+    x = 0.0
+    while x <= 1.0:
+        xs.append(x)
+        x += dinterval
+    return np.asarray(xs, dtype=np.float64)
+
+
+def kde_densities(values: np.ndarray, bandwidth: float, xs: np.ndarray) -> np.ndarray:
+    """f(x) = mean over v of (1/h) N((x-v)/h), normalized to sum 1
+    (src/otterclust.cpp:25-34)."""
+    values = np.asarray(values, dtype=np.float64)
+    h = float(bandwidth)
+    z = (xs[:, None] - values[None, :]) / h
+    dens = np.sum(_INV_SQRT_2PI * np.exp(-(z * z) / 2.0), axis=1) / (h * len(values))
+    total = float(np.sum(dens))
+    return dens / total
+
+
+def kde_maximas(radius: int, densities: np.ndarray
+                ) -> Tuple[List[Tuple[int, float]], List[Tuple[int, float]]]:
+    """Alternating maxima/minima of windowed density sums (ankde.cpp:25-62).
+
+    The window at i sums densities[i-j] and densities[i+j] for j in
+    [1, radius) (clamped to the array), plus densities[i] itself.
+    """
+    maxs: List[Tuple[int, float]] = []
+    mins: List[Tuple[int, float]] = []
+    n = len(densities)
+    find_maxima = True
+    last_sum = 0.0
+    last_sum_i = 1
+    for i in range(1, n - 1):
+        s = float(densities[i])
+        for j in range(1, radius):
+            if i - j >= 0:
+                s += float(densities[i - j])
+        for j in range(1, radius):
+            if i + j < n:
+                s += float(densities[i + j])
+        if find_maxima:
+            if s < last_sum:
+                find_maxima = False
+                maxs.append((last_sum_i, last_sum))
+        else:
+            if s > last_sum:
+                find_maxima = True
+                mins.append((last_sum_i, last_sum))
+        last_sum = s
+        last_sum_i = i
+    if find_maxima:
+        maxs.append((last_sum_i, last_sum))
+    return maxs, mins

@@ -1,0 +1,98 @@
+"""Region read/allele extraction from BAM (parity with src/anseqs.cpp:439-524)."""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, List, Tuple
+
+from ..config import OtterOpts
+from ..io.bam import BamReader, BamRecord, FLAG_SECONDARY, FLAG_SUPPLEMENTARY
+from ..io.bed import BED
+from ..utils.timestamp import antimestamp
+from .breakpoints import ParseMsg, parse_alignment
+from .model import AnAllele, AnRead, Haplotag
+
+
+def _parse_standard_auxs(rec: BamRecord, anread: AnRead) -> None:
+    """HP/PS/rq tags (anseqs.cpp:244-252)."""
+    v = rec.get_aux_int("HP")
+    if v is not None:
+        anread.hpt.hp = v
+    v = rec.get_aux_int("PS")
+    if v is not None:
+        anread.hpt.ps = v
+    f = rec.get_aux_float("rq")
+    if f is not None:
+        anread.rq = f
+
+
+def parse_anreads(params: OtterOpts, bed: BED, bam: BamReader) -> List[AnRead]:
+    """Query + filter + extract reads for a region (anseqs.cpp:439-460).
+
+    Filters: mapq (:445), primary-only unless --non-primary (:445),
+    parse success + optional omit-nonspanning (:451), read quality (:454).
+    """
+    out: List[AnRead] = []
+    for rec in bam.fetch(bed.chr, bed.start, bed.end):
+        if rec.mapq >= params.mapq and (
+            params.nonprimary
+            or not (rec.flag & FLAG_SECONDARY or rec.flag & FLAG_SUPPLEMENTARY)
+        ):
+            anread = AnRead(name=rec.name)
+            msg = ParseMsg()
+            anread.seq = parse_alignment(bed.start, bed.end, rec, msg)
+            if msg.successful and (not params.omitnonspanning or msg.is_spanning()):
+                msg.transfer_status(anread)
+                _parse_standard_auxs(rec, anread)
+                if anread.rq >= params.read_quality:
+                    out.append(anread)
+    return out
+
+
+def parse_anallele(target_region: str, sample2index: Dict[str, int],
+                   rec: BamRecord, anallele_block: List[AnAllele],
+                   allele_sample_indeces: List[int]) -> None:
+    """Re-parse an assembled allele's ta/RG/tc/ac/sc/PS/HP/se/ic tags
+    (anseqs.cpp:462-511)."""
+    parsed_region = rec.get_aux_str("ta") or ""
+    if target_region != parsed_region:
+        return
+    sample = rec.get_aux_str("RG") or ""
+    idx = sample2index.get(sample)
+    if idx is None:
+        sys.stderr.write(
+            f"({antimestamp()}): ERROR unrecognized sample-name (read-group): {sample}\n"
+        )
+        raise SystemExit(1)
+    tc = rec.get_aux_int("tc")
+    ac = rec.get_aux_int("ac")
+    sc = rec.get_aux_int("sc")
+    ps = rec.get_aux_int("PS")
+    hp = rec.get_aux_int("HP")
+    se = rec.get_aux_float("se")
+    ic = rec.get_aux_int("ic")
+    seq = rec.seq if rec.seq else "N"
+    allele_sample_indeces.append(idx)
+    anallele_block.append(
+        AnAllele(
+            seq=seq,
+            scov=1 if sc is None else sc,
+            acov=1 if ac is None else ac,
+            tcov=1 if tc is None else tc,
+            se=0.0 if se is None else se,
+            ic=1 if ic is None else ic,
+            hpt=Haplotag(-1 if ps is None else ps, -1 if hp is None else hp),
+        )
+    )
+
+
+def parse_analleles(params: OtterOpts, bam: BamReader, bed: BED,
+                    sample2index: Dict[str, int]
+                    ) -> Tuple[List[AnAllele], List[int]]:
+    """All alleles of a region from a merged otter BAM (anseqs.cpp:513-524)."""
+    anallele_block: List[AnAllele] = []
+    allele_sample_indeces: List[int] = []
+    for rec in bam.fetch(bed.chr, bed.start, bed.end):
+        parse_anallele(bed.to_sc_string(), sample2index, rec,
+                       anallele_block, allele_sample_indeces)
+    return anallele_block, allele_sample_indeces

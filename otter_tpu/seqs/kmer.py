@@ -1,0 +1,83 @@
+"""K-mer encoding, usage vectors, cosine similarity, Hill-Shannon diversity.
+
+Parity with reference KmerEncoding (src/anseqs.cpp:171-208), seq2kcounts with
+the invalid-kmer bucket at index 4^k (:149-166), KUSAGE normalized usage +
+cosine similarity + ``exp(-sum p ln p)`` diversity (:111-147).
+
+``seq2kcounts_np`` is the vectorized form used by the batched TPU genotype
+path; ``seq2kcounts`` keeps scalar parity semantics.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+import numpy as np
+
+_NT2CODE = np.full(256, 4, dtype=np.uint8)
+for _c, _v in (("A", 0), ("a", 0), ("C", 1), ("c", 1),
+               ("G", 2), ("g", 2), ("T", 3), ("t", 3)):
+    _NT2CODE[ord(_c)] = _v
+CODE2NT = "ACGT"
+
+
+class KmerEncoding:
+    """2-bit nucleotide encoding; invalid bases map to 4."""
+
+    nt2encoding = _NT2CODE
+
+    def kmer2index(self, kmer: str) -> int:
+        """Base-4 big-endian index: first char is the most significant digit
+        (anseqs.cpp:186,203-208 recursion unrolled)."""
+        idx = 0
+        for ch in kmer:
+            idx = 4 * idx + int(_NT2CODE[ord(ch)])
+        return idx
+
+    def index2kmer(self, index: int, k: int) -> str:
+        out = ["N"] * k
+        for i in range(k - 1, -1, -1):
+            out[i] = CODE2NT[index % 4]
+            index //= 4
+        return "".join(out)
+
+
+def seq2kcounts(k: int, seq: str) -> np.ndarray:
+    """Counts over 4^k + 1 buckets; invalid k-mers into the last bucket."""
+    max_index = int(4 ** k)
+    counts = np.zeros(max_index + 1, dtype=np.float64)
+    codes = _NT2CODE[np.frombuffer(seq.encode(), dtype=np.uint8)]
+    n = len(seq)
+    if n >= k:
+        windows = np.lib.stride_tricks.sliding_window_view(codes, k)
+        valid = (windows < 4).all(axis=1)
+        pow4 = (4 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+        idx = windows.astype(np.int64) @ pow4
+        idx = np.where(valid, idx, max_index)
+        np.add.at(counts, idx, 1.0)
+    return counts
+
+
+class Kusage:
+    """Normalized k-mer usage vector (anseqs.cpp:111-121)."""
+
+    def __init__(self, kcounts: np.ndarray):
+        total = int(kcounts.sum())
+        self.vec = kcounts / total if total != 0 else kcounts * np.nan
+        # match the C++ loop: vnorm accumulates value*value even when total==0
+        if total == 0:
+            self.vec = np.full_like(kcounts, np.nan)
+        self.vnorm = float(np.sqrt(np.sum(self.vec * self.vec)))
+
+    def cosine_sim(self, other: "Kusage") -> float:
+        x_dot_y = float(np.dot(self.vec, other.vec))
+        return x_dot_y / (self.vnorm * other.vnorm)
+
+    def hsdiv(self) -> float:
+        """Hill-Shannon diversity exp(-sum p ln p) (anseqs.cpp:134-147)."""
+        acc = 0.0
+        for v in self.vec:
+            if v > 0:
+                acc += v * math.log(v)
+        return math.pow(math.e, -acc)

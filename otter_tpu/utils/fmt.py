@@ -1,0 +1,28 @@
+"""C++ iostream-compatible numeric formatting.
+
+The reference emits floats with default std::ostream formatting (6 significant
+digits, %g-style switching between fixed and scientific), e.g. the ``se:f:``
+tag (src/anseqs.cpp:50) and the HSD INFO field (src/genotype.cpp:49-53).
+Python's ``%g`` implements the same C printf semantics, so we use it directly;
+``float`` (C++ 32-bit) values are rounded through float32 first because the
+reference stores them as float before streaming.
+"""
+
+import numpy as np
+
+
+def fmt_double(x) -> str:
+    """Format a C++ ``double`` the way ``std::cout << x`` would."""
+    x = float(x)
+    if x != x:
+        return "nan"
+    if x == float("inf"):
+        return "inf"
+    if x == float("-inf"):
+        return "-inf"
+    return "%g" % x
+
+
+def fmt_float(x) -> str:
+    """Format a C++ ``float`` the way ``std::cout << x`` would."""
+    return fmt_double(float(np.float32(x)))

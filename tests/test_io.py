@@ -1,0 +1,114 @@
+"""I/O layer tests: BGZF/BAM round-trip, BAI queries, faidx, BED parsing."""
+
+import os
+import random
+
+import pytest
+
+from otter_tpu.io.bam import BamReader, BamRecord, BAM_CMATCH, BAM_CSOFT_CLIP
+from otter_tpu.io.bai import index_bam
+from otter_tpu.io.bed import parse_bed_file
+from otter_tpu.io.bgzf import BgzfReader, BgzfWriter
+from otter_tpu.io.fasta import Faidx
+
+from fixtures import make_bam, read_record, write_fasta
+
+
+def test_bgzf_roundtrip(tmp_path):
+    data = bytes(random.Random(0).randrange(256) for _ in range(300000))
+    p = str(tmp_path / "x.bgzf")
+    with BgzfWriter(p) as w:
+        w.write(data)
+    with BgzfReader(p) as r:
+        assert r.read(len(data) + 10) == data
+
+
+def test_bam_roundtrip_and_fetch(tmp_path):
+    p = str(tmp_path / "t.bam")
+    recs = [
+        read_record("r1", 0, 100, "ACGTACGT", [(8, BAM_CMATCH)],
+                    tags=[("rq", "f", 0.99), ("HP", "i", 1)]),
+        read_record("r2", 0, 500, "GGGG", [(4, BAM_CMATCH)]),
+        read_record("r3", 0, 104, "TTTTT", [(2, BAM_CSOFT_CLIP), (3, BAM_CMATCH)]),
+    ]
+    make_bam(p, [("chr1", 10000)], recs, rg="S1", pg_of="1,0")
+    rd = BamReader(p)
+    assert rd.ref_names == ["chr1"]
+    assert rd.ref_lens == [10000]
+    assert rd.index is not None
+    got = list(rd.fetch("chr1", 100, 110))
+    assert [r.name for r in got] == ["r1", "r3"]
+    r1 = got[0]
+    assert r1.seq == "ACGTACGT"
+    assert abs(r1.get_aux_float("rq") - 0.99) < 1e-6
+    assert r1.get_aux_int("HP") == 1
+    got2 = list(rd.fetch("chr1", 499, 501))
+    assert [r.name for r in got2] == ["r2"]
+    # missing chrom warns and yields nothing
+    assert list(rd.fetch("chrX", 0, 10)) == []
+    rd.close()
+
+
+def test_bam_fetch_no_index(tmp_path):
+    p = str(tmp_path / "t.bam")
+    recs = [read_record("r1", 0, 100, "ACGT", [(4, BAM_CMATCH)])]
+    make_bam(p, [("chr1", 1000)], recs)
+    os.remove(p + ".bai")
+    rd = BamReader(p)
+    assert rd.index is None
+    assert [r.name for r in rd.fetch("chr1", 50, 200)] == ["r1"]
+    rd.close()
+
+
+def test_bai_many_records(tmp_path):
+    rng = random.Random(1)
+    recs = []
+    for i in range(500):
+        pos = rng.randrange(0, 200000)
+        recs.append(read_record(f"r{i}", 0, pos, "ACGTACGTAC", [(10, BAM_CMATCH)]))
+    p = str(tmp_path / "many.bam")
+    make_bam(p, [("chr1", 300000)], recs)
+    rd = BamReader(p)
+    for _ in range(20):
+        s = rng.randrange(0, 199000)
+        e = s + rng.randrange(1, 5000)
+        got = sorted(r.name for r in rd.fetch("chr1", s, e))
+        want = sorted(r.name for r in recs if r.pos < e and r.pos + 10 > s)
+        assert got == want, (s, e)
+    rd.close()
+
+
+def test_faidx(tmp_path):
+    p = str(tmp_path / "ref.fa")
+    seq1 = "acgtACGTNN" * 13
+    seq2 = "TTTTGGGGCCCCAAAA"
+    write_fasta(p, [("chr1", seq1), ("chr2", seq2)], width=7)
+    fa = Faidx(p)
+    # 0-based inclusive, uppercased
+    assert fa.fetch("chr1", 0, 3) == "ACGT"
+    assert fa.fetch("chr1", 2, 11) == "GTACGTNNAC"
+    assert fa.fetch("chr2", 0, 15) == seq2
+    # clamping
+    assert fa.fetch("chr2", 10, 100) == seq2[10:].upper()
+    assert fa.fetch("chr2", -5, 2) == "TTT"
+    assert fa.fetch("chrX", 0, 5) == ""
+    assert fa.fetch("chr2", 12, 5) == ""
+    fa.close()
+    # .fai reuse
+    fa2 = Faidx(p)
+    assert fa2.fetch("chr1", 5, 9) == seq1[5:10].upper()
+    fa2.close()
+
+
+def test_bed_parsing(tmp_path, capsys):
+    p = str(tmp_path / "r.bed")
+    with open(p, "w") as fh:
+        fh.write("chr1\t100\t200\n")
+        fh.write("#comment\n")
+        fh.write("chr2:300-400\n")
+        fh.write("chr3\t5\t6\textra\tcols\n")
+    beds = parse_bed_file(p)
+    assert len(beds) == 3
+    assert beds[0].chr == "chr1" and beds[0].start == 100 and beds[0].end == 200
+    assert beds[1].to_sc_string() == "chr2:300-400"
+    assert beds[2].to_string() == "chr3\t5\t6"
