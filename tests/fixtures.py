@@ -21,7 +21,7 @@ def make_reference(rng: random.Random, length: int = 3000,
                    repeat_units: int = 20) -> str:
     bases = "ACGT"
     left = "".join(rng.choice(bases) for _ in range(repeat_at))
-    right_len = length - repeat_at
+    right_len = max(0, length - repeat_at - len(repeat) * repeat_units)
     right = "".join(rng.choice(bases) for _ in range(right_len))
     return left + repeat * repeat_units + right
 
@@ -186,7 +186,7 @@ def simulate_region_bam(path: str, ref_name: str, ref_seq: str,
                 emit(BAM_CDEL, region_len - consumed)
             walk(right)
             records.append(
-                read_record(f"read_{ridx}", 0, start - lf, read_seq, cigar,
+                read_record(f"read_{ridx}", 0, start - lf, "".join(out), cigar,
                             tags=[("rq", "f", 0.999)])
             )
             ridx += 1

@@ -1,0 +1,116 @@
+"""hclust parity tests: NN-chain average linkage vs a brute-force O(n^3)
+average-linkage implementation (unique distances -> unique dendrogram), and
+cutree semantics."""
+
+import random
+
+import numpy as np
+
+from otter_tpu.ops.hclust import (
+    cutree_cdist,
+    cutree_k,
+    hclust_average,
+    nn_chain_average,
+)
+
+
+def brute_average_linkage(n, condensed):
+    """Greedy agglomeration picking the global min average-linkage distance.
+    Returns merge heights (sorted) and the partition at any cut level."""
+    D = np.zeros((n, n))
+    iu = np.triu_indices(n, 1)
+    D[iu] = condensed
+    D += D.T
+    np.fill_diagonal(D, np.inf)
+    clusters = {i: [i] for i in range(n)}
+    heights = []
+    steps = []
+    while len(clusters) > 1:
+        keys = sorted(clusters)
+        best = None
+        for ai in range(len(keys)):
+            for bi in range(ai + 1, len(keys)):
+                a, b = keys[ai], keys[bi]
+                d = np.mean([D[x, y] for x in clusters[a] for y in clusters[b]])
+                if best is None or d < best[0]:
+                    best = (d, a, b)
+        d, a, b = best
+        heights.append(d)
+        steps.append((sorted(clusters[a] + clusters[b]), d))
+        clusters[a] = clusters[a] + clusters[b]
+        del clusters[b]
+    return heights, steps
+
+
+def test_nn_chain_heights_match_brute():
+    rng = random.Random(5)
+    for trial in range(20):
+        n = rng.randrange(3, 12)
+        condensed = np.array([rng.random() for _ in range(n * (n - 1) // 2)])
+        merge, height = hclust_average(n, condensed)
+        bh, _ = brute_average_linkage(n, condensed)
+        assert np.allclose(sorted(height), sorted(bh)), trial
+        # heights from hclust_average are sorted by construction
+        assert np.all(np.diff(height) >= -1e-12)
+
+
+def test_cutree_partitions_match_brute():
+    rng = random.Random(11)
+    for trial in range(20):
+        n = rng.randrange(4, 12)
+        condensed = np.array([rng.random() for _ in range(n * (n - 1) // 2)])
+        merge, height = hclust_average(n, condensed)
+        bh, steps = brute_average_linkage(n, condensed)
+        # cut between consecutive merge heights -> partitions must agree
+        cut = (bh[len(bh) // 2] + bh[len(bh) // 2 - 1]) / 2 if len(bh) > 1 else 0.5
+        labels = cutree_cdist(n, merge, height, cut)
+        # build brute partition at the same cut
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                x = parent[x]
+            return x
+
+        for members, d in steps:
+            if d >= cut:
+                break
+            roots = {find(m) for m in members}
+            rs = sorted(roots)
+            for r in rs[1:]:
+                parent[r] = rs[0]
+        brute_labels = [find(i) for i in range(n)]
+        # compare as partitions
+        def canon(ls):
+            seen = {}
+            out = []
+            for l in ls:
+                if l not in seen:
+                    seen[l] = len(seen)
+                out.append(seen[l])
+            return out
+
+        assert canon(labels.tolist()) == canon(brute_labels), trial
+
+
+def test_cutree_k_label_order():
+    # 4 points: 0,1 close; 2,3 close; clusters labeled by first occurrence
+    #    d(0,1)=.1 d(2,3)=.2 others .9
+    n = 4
+    condensed = np.array([0.1, 0.9, 0.9, 0.9, 0.9, 0.2])
+    merge, height = hclust_average(n, condensed)
+    labels = cutree_k(n, merge, 2)
+    assert labels.tolist() == [0, 0, 1, 1]
+    labels3 = cutree_k(n, merge, 3)
+    assert labels3.tolist() == [0, 0, 1, 2] or labels3.tolist() == [0, 0, 1, 1]
+
+
+def test_cutree_k_edge_cases():
+    n = 3
+    condensed = np.array([0.1, 0.2, 0.3])
+    merge, height = hclust_average(n, condensed)
+    assert cutree_k(n, merge, 1).tolist() == [0, 0, 0]
+    assert cutree_k(n, merge, 5).tolist() == [0, 0, 0]
+    # cut below all heights -> all singletons
+    labels = cutree_cdist(n, merge, height, 0.05)
+    assert labels.tolist() == [0, 1, 2]
