@@ -113,12 +113,13 @@ def assemble_region(params: OtterOpts, local_bed: BED, bam: BamReader,
         return
 
     distmatrix = DistMatrix(len(valid_indeces))
-    pair_dist_fn = None
-    if dist_backend is not None:
-        pair_dist_fn = dist_backend.pair_dist_fn(anread_block)
     if params.max_alleles != 1:
-        fill_dist_matrix(local_ignore_haps, anread_block, valid_indeces,
-                         distmatrix, pair_dist_fn=pair_dist_fn)
+        if dist_backend is not None:
+            dist_backend.fill_matrix(local_ignore_haps, anread_block,
+                                     valid_indeces, distmatrix)
+        else:
+            fill_dist_matrix(local_ignore_haps, anread_block, valid_indeces,
+                             distmatrix)
     clustmsg = ClusteringStatus()
     otter_hclust(local_ignore_haps, params.max_alleles, params.bandwidth_short,
                  params.bandwidth_length, params.bandwidth_long, params.max_error,
@@ -130,8 +131,7 @@ def assemble_region(params: OtterOpts, local_bed: BED, bam: BamReader,
         labels[valid_indeces[i]] = clustmsg.labels[i]
     if invalid_indeces:
         invalid_reassignment(local_ignore_haps, params.min_sim, params.max_error,
-                             clustmsg.fc, anread_block, labels,
-                             pair_dist_fn=pair_dist_fn)
+                             clustmsg.fc, anread_block, labels)
     alleles = [AnAllele() for _ in range(clustmsg.fc)]
     rapid_consensus(local_ignore_haps, anread_block, labels, valid_indeces,
                     clustmsg.fc, distmatrix, alleles)

@@ -1,0 +1,103 @@
+"""Banded edit-distance kernel parity tests (jnp fallback + Pallas interpret
+mode) against the numpy oracle."""
+
+import random
+
+import numpy as np
+import pytest
+
+from otter_tpu.kernels.edit_pallas import EditDistanceEngine
+from otter_tpu.ops.align_np import edit_distance
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice("ACGTN") for _ in range(n))
+
+
+def mutate(rng, s, rate):
+    out = []
+    for ch in s:
+        r = rng.random()
+        if r < rate * 0.4:
+            out.append(rng.choice([b for b in "ACGT" if b != ch]))
+        elif r < rate * 0.7:
+            out.append(ch)
+            out.append(rng.choice("ACGT"))
+        elif r < rate:
+            pass
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _pairs(rng, n_pairs, max_len):
+    pairs = []
+    for _ in range(n_pairs):
+        kind = rng.random()
+        if kind < 0.4:
+            # similar pair (low error)
+            s = rand_seq(rng, rng.randrange(10, max_len))
+            pairs.append((s, mutate(rng, s, 0.03)))
+        elif kind < 0.7:
+            # unrelated pair
+            pairs.append((rand_seq(rng, rng.randrange(1, max_len)),
+                          rand_seq(rng, rng.randrange(1, max_len))))
+        elif kind < 0.8:
+            # identical
+            s = rand_seq(rng, rng.randrange(1, max_len))
+            pairs.append((s, s))
+        elif kind < 0.9:
+            # big length difference (expansion)
+            s = rand_seq(rng, rng.randrange(10, max_len))
+            pairs.append((s, s + rand_seq(rng, rng.randrange(1, max_len))))
+        else:
+            pairs.append((rand_seq(rng, rng.randrange(1, 5)), ""))
+    return pairs
+
+
+def test_engine_jnp_vs_numpy():
+    rng = random.Random(17)
+    pairs = _pairs(rng, 40, 120)
+    eng = EditDistanceEngine(mode="numpy", k_start=63)
+    got = eng.distances(pairs)
+    want = np.array([edit_distance(x, y) for x, y in pairs])
+    assert np.array_equal(got, want), list(zip(pairs, got, want))
+
+
+def test_engine_jnp_band_escalation():
+    # small initial band forces the doubling path
+    rng = random.Random(23)
+    pairs = _pairs(rng, 16, 300)
+    eng = EditDistanceEngine(mode="numpy", k_start=63)
+    got = eng.distances(pairs)
+    want = np.array([edit_distance(x, y) for x, y in pairs])
+    assert np.array_equal(got, want)
+    assert eng.cells > 0
+
+
+def test_engine_pallas_interpret_vs_numpy():
+    rng = random.Random(29)
+    pairs = _pairs(rng, 12, 80)
+    eng = EditDistanceEngine(use_pallas=True, interpret=True, k_start=63)
+    got = eng.distances(pairs)
+    want = np.array([edit_distance(x, y) for x, y in pairs])
+    assert np.array_equal(got, want), list(zip(pairs, got, want))
+
+
+def test_engine_long_sequences():
+    rng = random.Random(31)
+    s = rand_seq(rng, 2000)
+    pairs = [(s, mutate(rng, s, 0.02)), (s, rand_seq(rng, 1900))]
+    eng = EditDistanceEngine(mode="numpy")
+    got = eng.distances(pairs)
+    want = np.array([edit_distance(x, y) for x, y in pairs])
+    assert np.array_equal(got, want)
+
+
+def test_engine_jnp_small():
+    rng = random.Random(37)
+    pairs = _pairs(rng, 8, 40)
+    eng = EditDistanceEngine(mode="jnp", k_start=63)
+    got = eng.distances(pairs)
+    want = np.array([edit_distance(x, y) for x, y in pairs])
+    assert np.array_equal(got, want)
