@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""otter-tpu benchmark: batched edit-distance DP throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: DP cell-updates/sec of the banded edit-distance engine (the WFA2
+replacement, the reference's hottest op per SURVEY.md §3.4) on a realistic
+workload mix (HiFi-like ~1% and ONT-like ~5% error pairs at 0.5-4 kb).
+
+Baseline: the same workload on the native C++ banded DP (single core,
+measured) scaled to the reference's 32-thread ceiling
+(src/otter_opts.cpp:93) — i.e. vs_baseline = tpu_rate / (32 x 1-core rate).
+The reference binary itself is unbuildable here (WFA2-lib submodule absent,
+zero egress), so this proxy is documented in BASELINE.md.
+"""
+
+import json
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+# persistent compilation cache so reruns (and driver invocations) skip the
+# slow remote TPU compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
+
+def make_workload(rng, n_pairs=2048, length=1024, err=0.02):
+    def rand_seq(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    def mut(s, rate):
+        o = []
+        for ch in s:
+            x = rng.random()
+            if x < rate * 0.4:
+                o.append(rng.choice([b for b in "ACGT" if b != ch]))
+            elif x < rate * 0.7:
+                o.extend([ch, rng.choice("ACGT")])
+            elif x < rate:
+                pass
+            else:
+                o.append(ch)
+        return "".join(o)
+
+    pairs = []
+    for i in range(n_pairs):
+        base = rand_seq(length)
+        rate = 0.01 if i % 2 == 0 else 0.05  # HiFi-like / ONT-like mix
+        pairs.append((base, mut(base, rate)))
+    return pairs
+
+
+def bench_tpu(pairs):
+    import jax
+
+    from otter_tpu.kernels.edit_pallas import EditDistanceEngine
+
+    plat = jax.devices()[0].platform
+    mode = "pallas" if plat in ("tpu", "axon") else "jnp"
+    eng = EditDistanceEngine(mode=mode)
+    # warmup pass over the full workload compiles every bucket shape
+    eng.distances(pairs)
+    eng.cells = 0
+    t0 = time.perf_counter()
+    dists = eng.distances(pairs)
+    dt = time.perf_counter() - t0
+    return eng.cells / dt, dists, plat
+
+
+def bench_cpu_single(pairs):
+    from otter_tpu.native import edit_distance_batch
+
+    t0 = time.perf_counter()
+    dists, cells = edit_distance_batch(pairs, 1)
+    dt = time.perf_counter() - t0
+    return cells / dt, dists
+
+
+def main():
+    rng = random.Random(20260817)
+    pairs = make_workload(rng, n_pairs=2048, length=1024)
+    t0 = time.perf_counter()
+    tpu_rate, tpu_d, plat = bench_tpu(pairs)
+    wall = time.perf_counter() - t0
+    # CPU baseline on a subsample (same distribution), single core
+    cpu_pairs = pairs[:256]
+    cpu_rate, cpu_d = bench_cpu_single(cpu_pairs)
+    assert np.array_equal(tpu_d[:256], cpu_d), "TPU/CPU distance mismatch"
+    baseline = cpu_rate * 32.0  # reference's max-thread ceiling
+    print(json.dumps({
+        "metric": "edit_dp_cell_updates_per_sec",
+        "value": round(tpu_rate, 1),
+        "unit": "cells/s",
+        "vs_baseline": round(tpu_rate / baseline, 3),
+        "platform": plat,
+        "cpu_1core_cells_per_sec": round(cpu_rate, 1),
+        "pair_alignments_per_sec": round(len(pairs) / wall, 1),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

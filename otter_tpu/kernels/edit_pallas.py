@@ -41,7 +41,7 @@ INF = 1 << 24  # plain int so Pallas kernels don't capture a traced constant
 PAD_A = 256  # pattern sentinel (outside latin-1 range)
 PAD_B = 257  # text sentinel (distinct so padding never "matches")
 
-TILE_B = 8  # pairs per program instance (sublane dimension, int32 tile)
+TILE_B = 32  # default pairs per program instance (sublane dimension)
 
 
 def _encode(s: str) -> np.ndarray:
@@ -153,21 +153,22 @@ def edit_banded_numpy(a: np.ndarray, bpad: np.ndarray, m: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _edit_kernel(a_ref, bpad_ref, mn_ref, out_ref, *, k: int, max_rows: int):
+def _edit_kernel(a_ref, bpad_ref, mn_ref, out_ref, *, k: int, max_rows: int,
+                 tile_b: int):
     W = 2 * (k + 1)
     # SMEM refs only load scalars: gather the per-pair lengths one by one
-    m2 = jnp.stack([mn_ref[t, 0] for t in range(TILE_B)]).reshape(TILE_B, 1)
-    n2 = jnp.stack([mn_ref[t, 1] for t in range(TILE_B)]).reshape(TILE_B, 1)
+    m2 = jnp.stack([mn_ref[t, 0] for t in range(tile_b)]).reshape(tile_b, 1)
+    n2 = jnp.stack([mn_ref[t, 1] for t in range(tile_b)]).reshape(tile_b, 1)
     w_idx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     j0 = w_idx - (k + 1)
     prev0 = jnp.where((j0 >= 0) & (j0 <= n2), j0, INF).astype(jnp.int32)
-    prev0 = jnp.broadcast_to(prev0, (TILE_B, W)).astype(jnp.int32)
+    prev0 = jnp.broadcast_to(prev0, (tile_b, W)).astype(jnp.int32)
     window0 = bpad_ref[:, 0:W]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_b, 128), 1)
 
     def sel(chunk, r):
-        """Extract lane r of a (TILE_B, 128) chunk as a (TILE_B, 1) column."""
+        """Extract lane r of a (tile_b, 128) chunk as a (tile_b, 1) column."""
         return jnp.sum(jnp.where(lane == r, chunk, 0), axis=1, keepdims=True)
 
     n_chunks = (max_rows + 127) // 128
@@ -192,34 +193,47 @@ def _edit_kernel(a_ref, bpad_ref, mn_ref, out_ref, *, k: int, max_rows: int):
 
     prev, _ = jax.lax.fori_loop(0, n_chunks, outer, (prev0, window0))
     res = _final_extract(prev, m2, n2, k, w_idx)
-    out_ref[:, :] = jnp.broadcast_to(res[:, None], (TILE_B, 128))
+    out_ref[:, :] = jnp.broadcast_to(res[:, None], (tile_b, 128))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_rows", "interpret"))
+def pick_tile_b(L: int, k: int) -> int:
+    """Largest tile that keeps the per-program VMEM footprint modest."""
+    W = 2 * (k + 1)
+    budget = 6 * 1024 * 1024  # bytes for a + bpad blocks
+    for tb in (64, 32, 16, 8):
+        if tb * 4 * (2 * L + W + 2) <= budget:
+            return tb
+    return 8
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "max_rows", "interpret", "tile_b"))
 def edit_banded_pallas(a: jnp.ndarray, bpad: jnp.ndarray,
                        mn: jnp.ndarray, k: int, max_rows: int,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       tile_b: int = TILE_B) -> jnp.ndarray:
     """Pallas-batched banded edit distance.
 
     a: (B, L) int32, bpad: (B, L + W + 2) int32, mn: (B, 2) int32.
-    B must be a multiple of TILE_B. Returns (B,) int32.
+    B must be a multiple of tile_b. Returns (B,) int32.
     """
     B, L = a.shape
     W = 2 * (k + 1)
-    grid = (B // TILE_B,)
-    kernel = functools.partial(_edit_kernel, k=k, max_rows=max_rows)
+    grid = (B // tile_b,)
+    kernel = functools.partial(_edit_kernel, k=k, max_rows=max_rows,
+                               tile_b=tile_b)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_B, a.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((tile_b, a.shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, bpad.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((tile_b, bpad.shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, 2), lambda i: (i, 0),
+            pl.BlockSpec((tile_b, 2), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_B, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
         cost_estimate=pl.CostEstimate(
@@ -236,16 +250,24 @@ def edit_banded_pallas(a: jnp.ndarray, bpad: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _pack_bucket(pairs: List[Tuple[str, str]], k: int):
+def _pack_bucket(pairs: List[Tuple[str, str]], k: int,
+                 tile_b: int = TILE_B, min_len: int = 1):
     """Pattern = longer string (scan rows), text = shorter (band columns)."""
     pats = [p if len(p) >= len(t) else t for p, t in pairs]
     txts = [t if len(p) >= len(t) else p for p, t in pairs]
     W = 2 * (k + 1)
-    L = max(1, max(len(p) for p in pats))
-    # pad L to a lane multiple to limit recompilation variety
-    L = ((L + 127) // 128) * 128
+    L = max(min_len, max(len(p) for p in pats))
+    # pad L to the next power-of-two lane multiple so (k, L) shape variety —
+    # and therefore kernel compile count — stays bounded
+    Lp = 128
+    while Lp < L:
+        Lp *= 2
+    L = Lp
     B = len(pairs)
-    Bp = ((B + TILE_B - 1) // TILE_B) * TILE_B
+    # pad B to tile_b * power-of-two so batch shapes come from a small set
+    Bp = tile_b
+    while Bp < B:
+        Bp *= 2
     a = np.full((Bp, L), PAD_A, dtype=np.int32)
     bp = np.full((Bp, L + W + 2), PAD_B, dtype=np.int32)
     mn = np.zeros((Bp, 2), dtype=np.int32)
@@ -280,9 +302,10 @@ class EditDistanceEngine:
 
     def _run(self, a, bp, mn, k, max_rows) -> np.ndarray:
         if self.mode == "pallas":
+            tb = pick_tile_b(a.shape[1], k)
             return np.asarray(edit_banded_pallas(
                 jnp.asarray(a), jnp.asarray(bp), jnp.asarray(mn), k, max_rows,
-                interpret=self.interpret))
+                interpret=self.interpret, tile_b=tb))
         if self.mode == "numpy":
             return edit_banded_numpy(a, bp, mn[:, 0], mn[:, 1], k, max_rows)
         return np.asarray(edit_banded_jnp(
@@ -315,16 +338,33 @@ class EditDistanceEngine:
             deferred_set = set(batch)
             deferred = [i for i in unresolved if i not in deferred_set]
             still: List[int] = []
-            if batch:
-                sub_pairs = [pairs[i] for i in batch]
-                a, bp, mn, L = _pack_bucket(sub_pairs, k)
-                res = self._run(a, bp, mn, k, L)
-                self.cells += a.shape[0] * L * 2 * (k + 1)
-                for bi, idx in enumerate(batch):
-                    if res[bi] <= k:
-                        out[idx] = int(res[bi])
-                    else:
-                        still.append(idx)
+            # group by padded length so shapes (and compiles) stay few, and
+            # chunk big groups to a fixed max batch
+            CHUNK = 1024
+            groups: dict = {}
+            for i in batch:
+                maxl = max(len(pairs[i][0]), len(pairs[i][1]))
+                Lp = 128
+                while Lp < maxl:
+                    Lp *= 2
+                groups.setdefault(Lp, []).append(i)
+            for Lp, members in sorted(groups.items()):
+                tb = TILE_B
+                if self.mode == "pallas":
+                    tb = pick_tile_b(Lp, k)
+                for c0 in range(0, len(members), CHUNK):
+                    chunk = members[c0 : c0 + CHUNK]
+                    sub_pairs = [pairs[i] for i in chunk]
+                    # anchor the pack to the group's padded length
+                    a, bp, mn, L = _pack_bucket(sub_pairs, k, tile_b=tb,
+                                                min_len=Lp)
+                    res = self._run(a, bp, mn, k, L)
+                    self.cells += a.shape[0] * L * 2 * (k + 1)
+                    for bi, idx in enumerate(chunk):
+                        if res[bi] <= k:
+                            out[idx] = int(res[bi])
+                        else:
+                            still.append(idx)
             unresolved = still + deferred
         if unresolved:
             raise AssertionError("banded DP failed to converge")

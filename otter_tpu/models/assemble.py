@@ -6,16 +6,18 @@ valid/invalid partition (haplotag fallback) -> distance matrix -> otter_hclust
 -> invalid reassignment -> rapid consensus -> allele emission with ic tag.
 
 Execution model: instead of a thread pool over regions (BS_thread_pool,
-assemble.cpp:43), regions are processed as batches whose pairwise distance
-matrices are computed by the batched TPU kernel (see pipeline hook
-``dist_backend``); everything downstream of the integer distances is exact
-float64 host math so output parity holds bit-for-bit.
+assemble.cpp:43), regions are processed in *batches*: host I/O prepares many
+regions, their O(n^2) pair workloads are merged into one batched TPU
+dispatch (kernels/dist_backend.py), and everything downstream of the exact
+integer distances is float64 host math, so output is byte-identical to the
+sequential host path (emission stays in region order).
 """
 
 from __future__ import annotations
 
 import sys
-from typing import Callable, List, Optional, TextIO
+from dataclasses import dataclass, field
+from typing import List, Optional, TextIO, Tuple
 
 from ..config import OtterOpts
 from ..io.bam import BamReader
@@ -32,6 +34,8 @@ from ..ops.distmat import DistMatrix
 from ..seqs.extract import parse_anreads
 from ..seqs.model import AnAllele, AnRead
 from ..utils.timestamp import antimestamp
+
+DEFAULT_REGION_BATCH = 64
 
 
 def count_spanning_reads(anread_block: List[AnRead]) -> int:
@@ -55,10 +59,21 @@ def partition_valid_reads(ignore_haps: bool, anread_block: List[AnRead]):
     return valid, invalid
 
 
-def assemble_region(params: OtterOpts, local_bed: BED, bam: BamReader,
-                    faidx: Optional[Faidx], reads_only: bool, out: TextIO,
-                    dist_backend=None) -> None:
-    """Process one region end-to-end (assemble.cpp:51-154)."""
+@dataclass
+class RegionWork:
+    """A region after host-side preparation, awaiting its distance matrix."""
+    bed: BED
+    reads: List[AnRead]
+    ignore_haps: bool
+    valid_indeces: List[int]
+    invalid_indeces: List[int]
+
+
+def prepare_region(params: OtterOpts, local_bed: BED, bam: BamReader,
+                   faidx: Optional[Faidx], reads_only: bool,
+                   out: TextIO) -> Optional[RegionWork]:
+    """Host I/O + filters (assemble.cpp:51-122). Returns None when the
+    region was fully handled (reads-only output, skips, warnings)."""
     mod_bed = BED(local_bed.chr, local_bed.start - params.offset_l,
                   local_bed.end + params.offset_r)
     if params.is_debug:
@@ -72,7 +87,7 @@ def assemble_region(params: OtterOpts, local_bed: BED, bam: BamReader,
         sys.stderr.write(
             f"({antimestamp()}): [WARNING] Skipping region with abnormal coverage: "
             f"{local_bed.to_sc_string()} ({len(anread_block)})\n")
-        return
+        return None
     if faidx is not None:
         local_realignment(mod_bed.chr, mod_bed.start, mod_bed.end, params.flank,
                           params.min_sim, faidx, anread_block)
@@ -87,54 +102,56 @@ def assemble_region(params: OtterOpts, local_bed: BED, bam: BamReader,
             else:
                 out.write(read.to_sam(local_bed.chr, local_bed.start,
                                       local_bed.end, params.read_group) + "\n")
-        return
+        return None
 
     spanning_reads = count_spanning_reads(anread_block)
     if spanning_reads == 0:
         sys.stderr.write(
             f"({antimestamp()}): [WARNING] No spanning reads for "
             f"{local_bed.to_sc_string()}\n")
-        return
+        return None
     local_ignore_haps = params.ignore_haps
-    valid_indeces, invalid_indeces = partition_valid_reads(local_ignore_haps, anread_block)
+    valid_indeces, invalid_indeces = partition_valid_reads(local_ignore_haps,
+                                                           anread_block)
     if len(valid_indeces) < 2:
         local_ignore_haps = True
-        valid_indeces, invalid_indeces = partition_valid_reads(local_ignore_haps, anread_block)
+        valid_indeces, invalid_indeces = partition_valid_reads(
+            local_ignore_haps, anread_block)
         if spanning_reads != len(valid_indeces):
             sys.stderr.write(
-                f"({antimestamp()}): [ERROR] Unexpected number of valid reads after "
-                f"switching to 'ignore-haps' mode: {spanning_reads} vs "
+                f"({antimestamp()}): [ERROR] Unexpected number of valid reads "
+                f"after switching to 'ignore-haps' mode: {spanning_reads} vs "
                 f"{len(valid_indeces)}\n")
             raise SystemExit(1)
     if not valid_indeces:
         sys.stderr.write(
             f"({antimestamp()}): [WARNING] No spanning reads for "
             f"{local_bed.to_sc_string()}\n")
-        return
+        return None
+    return RegionWork(local_bed, anread_block, local_ignore_haps,
+                      valid_indeces, invalid_indeces)
 
-    distmatrix = DistMatrix(len(valid_indeces))
-    if params.max_alleles != 1:
-        if dist_backend is not None:
-            dist_backend.fill_matrix(local_ignore_haps, anread_block,
-                                     valid_indeces, distmatrix)
-        else:
-            fill_dist_matrix(local_ignore_haps, anread_block, valid_indeces,
-                             distmatrix)
+
+def finish_region(params: OtterOpts, work: RegionWork,
+                  distmatrix: DistMatrix, out: TextIO) -> None:
+    """Clustering -> reassignment -> consensus -> emission
+    (assemble.cpp:128-149)."""
     clustmsg = ClusteringStatus()
-    otter_hclust(local_ignore_haps, params.max_alleles, params.bandwidth_short,
-                 params.bandwidth_length, params.bandwidth_long, params.max_error,
-                 params.min_cov_fraction, params.min_cov_fraction2_l,
-                 params.min_cov_fraction2_f, valid_indeces, distmatrix,
-                 anread_block, clustmsg)
-    labels = [-1] * len(anread_block)
+    otter_hclust(work.ignore_haps, params.max_alleles, params.bandwidth_short,
+                 params.bandwidth_length, params.bandwidth_long,
+                 params.max_error, params.min_cov_fraction,
+                 params.min_cov_fraction2_l, params.min_cov_fraction2_f,
+                 work.valid_indeces, distmatrix, work.reads, clustmsg)
+    labels = [-1] * len(work.reads)
     for i in range(len(clustmsg.labels)):
-        labels[valid_indeces[i]] = clustmsg.labels[i]
-    if invalid_indeces:
-        invalid_reassignment(local_ignore_haps, params.min_sim, params.max_error,
-                             clustmsg.fc, anread_block, labels)
+        labels[work.valid_indeces[i]] = clustmsg.labels[i]
+    if work.invalid_indeces:
+        invalid_reassignment(work.ignore_haps, params.min_sim, params.max_error,
+                             clustmsg.fc, work.reads, labels)
     alleles = [AnAllele() for _ in range(clustmsg.fc)]
-    rapid_consensus(local_ignore_haps, anread_block, labels, valid_indeces,
+    rapid_consensus(work.ignore_haps, work.reads, labels, work.valid_indeces,
                     clustmsg.fc, distmatrix, alleles)
+    local_bed = work.bed
     for l in range(clustmsg.fc):
         alleles[l].ic = clustmsg.ic
         if params.is_fa:
@@ -146,6 +163,64 @@ def assemble_region(params: OtterOpts, local_bed: BED, bam: BamReader,
                 local_bed.start, local_bed.end, params.read_group) + "\n")
 
 
+def _region_pairs(work: RegionWork):
+    """(i, j, seqs) pair list for a region's valid reads (End2End cases)."""
+    coords = []
+    pairs = []
+    for i in range(len(work.valid_indeces)):
+        for j in range(i + 1, len(work.valid_indeces)):
+            coords.append((i, j))
+            pairs.append((work.reads[work.valid_indeces[i]].seq,
+                          work.reads[work.valid_indeces[j]].seq))
+    return coords, pairs
+
+
+def process_region_batch(params: OtterOpts, batch: List[RegionWork],
+                         dist_backend, out: TextIO) -> None:
+    """Merge many regions' pair workloads into one device dispatch, then
+    finish each region in order."""
+    all_pairs = []
+    spans = []  # (work, coords, start_index)
+    for work in batch:
+        if params.max_alleles == 1 or not work.ignore_haps:
+            spans.append((work, None, 0))
+            continue
+        coords, pairs = _region_pairs(work)
+        spans.append((work, coords, len(all_pairs)))
+        all_pairs.extend(pairs)
+    dists = dist_backend.engine.distances(all_pairs) if all_pairs else []
+    for work, coords, start in spans:
+        distmatrix = DistMatrix(len(work.valid_indeces))
+        if coords is None:
+            if params.max_alleles != 1:
+                fill_dist_matrix(work.ignore_haps, work.reads,
+                                 work.valid_indeces, distmatrix)
+        else:
+            for (i, j), d, (x, y) in zip(
+                    coords, dists[start : start + len(coords)],
+                    all_pairs[start : start + len(coords)]):
+                largest = float(max(len(x), len(y)))
+                distmatrix.set_dist(i, j, d / largest)
+        finish_region(params, work, distmatrix, out)
+
+
+def assemble_region(params: OtterOpts, local_bed: BED, bam: BamReader,
+                    faidx: Optional[Faidx], reads_only: bool, out: TextIO,
+                    dist_backend=None) -> None:
+    """Single-region path (host math, or one-region device batch)."""
+    work = prepare_region(params, local_bed, bam, faidx, reads_only, out)
+    if work is None:
+        return
+    if dist_backend is not None:
+        process_region_batch(params, [work], dist_backend, out)
+        return
+    distmatrix = DistMatrix(len(work.valid_indeces))
+    if params.max_alleles != 1:
+        fill_dist_matrix(work.ignore_haps, work.reads, work.valid_indeces,
+                         distmatrix)
+    finish_region(params, work, distmatrix, out)
+
+
 def assemble_process(params: OtterOpts, bam_path: str, bed_regions: List[BED],
                      reference: str, reads_only: bool, out: TextIO) -> None:
     sys.stderr.write(
@@ -153,9 +228,20 @@ def assemble_process(params: OtterOpts, bam_path: str, bed_regions: List[BED],
     bam = BamReader(bam_path, load_index=True)
     faidx = Faidx(reference) if reference else None
     dist_backend = _make_dist_backend(params)
-    for local_bed in bed_regions:
-        assemble_region(params, local_bed, bam, faidx, reads_only, out,
-                        dist_backend=dist_backend)
+    if dist_backend is None:
+        for local_bed in bed_regions:
+            assemble_region(params, local_bed, bam, faidx, reads_only, out)
+    else:
+        pending: List[RegionWork] = []
+        for local_bed in bed_regions:
+            work = prepare_region(params, local_bed, bam, faidx, reads_only, out)
+            if work is not None:
+                pending.append(work)
+            if len(pending) >= DEFAULT_REGION_BATCH:
+                process_region_batch(params, pending, dist_backend, out)
+                pending = []
+        if pending:
+            process_region_batch(params, pending, dist_backend, out)
     bam.close()
     if faidx is not None:
         faidx.close()
