@@ -38,15 +38,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INF = 1 << 24  # plain int so Pallas kernels don't capture a traced constant
-PAD_A = 256  # pattern sentinel (outside latin-1 range)
-PAD_B = 257  # text sentinel (distinct so padding never "matches")
 
 TILE_B = 32  # default pairs per program instance (sublane dimension)
 
 
 def _encode(s: str) -> np.ndarray:
     """Identity byte codes — the reference compares raw chars ('N'=='N'
-    matches), so every byte is its own code."""
+    matches), so every byte is its own code. Sequences are ASCII so they fit
+    the int32 lane layout the kernel uses (int8 layouts hit Mosaic
+    limitations with our slicing pattern); padding bytes are 0, which is
+    harmless because every padded cell is masked by the j/m bounds before it
+    can influence a real cell."""
     return np.frombuffer(s.encode("latin-1"), dtype=np.uint8).astype(np.int32)
 
 
@@ -64,7 +66,13 @@ def _prefix_min_scan(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _row_update(prev, i, a_col, b_window, m2, n2, k, w_idx):
-    """One DP row update shared by the jnp and Pallas implementations."""
+    """One DP row update shared by the jnp and Pallas implementations.
+
+    Out-of-range lanes are forced to INF *before* the prefix scan; lanes
+    right of the valid range can receive finite values from the scan, but
+    they can never flow back into valid lanes (a lane's j only grows with
+    i), so no post-scan re-mask is needed.
+    """
     j = i + w_idx - (k + 1)  # (1, W) broadcast over rows
     sub = jnp.where(b_window == a_col, 0, 1).astype(jnp.int32)
     up = jnp.concatenate(
@@ -72,9 +80,9 @@ def _row_update(prev, i, a_col, b_window, m2, n2, k, w_idx):
     diag = prev + sub
     v = jnp.minimum(up, diag)
     v = jnp.where(j == 0, i, v)          # left boundary D[i][0] = i
-    v = jnp.where((j < 0) | (j > n2), INF, v)
+    invalid = (j < 0) | (j > n2)
+    v = jnp.where(invalid, INF, v)
     cur = _prefix_min_scan(v - w_idx) + w_idx
-    cur = jnp.where((j < 0) | (j > n2), INF, cur)
     keep = i <= m2                        # pass-through beyond pattern end
     return jnp.where(keep, cur, prev)
 
@@ -197,13 +205,14 @@ def _edit_kernel(a_ref, bpad_ref, mn_ref, out_ref, *, k: int, max_rows: int,
 
 
 def pick_tile_b(L: int, k: int) -> int:
-    """Largest tile that keeps the per-program VMEM footprint modest."""
+    """Tile so each program advances ~32k band cells per row (good VPU
+    occupancy) while the int32 sequence blocks stay within a VMEM budget."""
     W = 2 * (k + 1)
-    budget = 6 * 1024 * 1024  # bytes for a + bpad blocks
-    for tb in (64, 32, 16, 8):
-        if tb * 4 * (2 * L + W + 2) <= budget:
-            return tb
-    return 8
+    budget = 8 * 1024 * 1024  # bytes for a + bpad blocks
+    tb = max(8, min(256, (32768 // W + 31) // 32 * 32))
+    while tb > 8 and tb * 4 * (2 * L + W + 2) > budget:
+        tb //= 2
+    return max(8, tb)
 
 
 @functools.partial(jax.jit,
@@ -268,8 +277,8 @@ def _pack_bucket(pairs: List[Tuple[str, str]], k: int,
     Bp = tile_b
     while Bp < B:
         Bp *= 2
-    a = np.full((Bp, L), PAD_A, dtype=np.int32)
-    bp = np.full((Bp, L + W + 2), PAD_B, dtype=np.int32)
+    a = np.zeros((Bp, L), dtype=np.int32)
+    bp = np.zeros((Bp, L + W + 2), dtype=np.int32)
     mn = np.zeros((Bp, 2), dtype=np.int32)
     for i, (p, t) in enumerate(zip(pats, txts)):
         pc = _encode(p)
