@@ -321,6 +321,50 @@ class EditDistanceEngine:
             jnp.asarray(a), jnp.asarray(bp), jnp.asarray(mn[:, 0]),
             jnp.asarray(mn[:, 1]), k, max_rows))
 
+    # Myers routing: pairs whose shorter side fits this many bit-words (and
+    # are pure ACGT) go through the bit-parallel kernel; the rest use the
+    # banded row kernel.
+    MYERS_MAX_WORDS = 64          # shorter side <= 2048 bp
+    MYERS_TEXT_CAP = 1 << 15      # longer side <= 32 kb
+
+    def _myers_route(self, pairs, todo, out) -> List[int]:
+        """Dispatch eligible pairs through the Myers kernel; returns the
+        indices that still need the banded path."""
+        if self.mode != "pallas":
+            return todo
+        from .myers import is_acgt
+        from .myers_pallas import myers_distances
+
+        eligible: dict = {}
+        rest: List[int] = []
+        for idx in todo:
+            x, y = pairs[idx]
+            mn_len = min(len(x), len(y))
+            mx_len = max(len(x), len(y))
+            if (mn_len > 0 and mn_len <= self.MYERS_MAX_WORDS * 32
+                    and mx_len <= self.MYERS_TEXT_CAP
+                    and is_acgt(x) and is_acgt(y)):
+                nw = 4
+                while nw * 32 < mn_len:
+                    nw *= 2
+                tl = 128
+                while tl < mx_len:
+                    tl *= 2
+                eligible.setdefault((nw, tl), []).append(idx)
+            else:
+                rest.append(idx)
+        for (nw, tl), members in sorted(eligible.items()):
+            sub = [pairs[i] for i in members]
+            try:
+                d = myers_distances(sub, nw, tl, interpret=self.interpret)
+            except Exception:
+                rest.extend(members)
+                continue
+            self.cells += len(sub) * nw * 32 * tl
+            for bi, idx in enumerate(members):
+                out[idx] = int(d[bi])
+        return rest
+
     def distances(self, pairs: List[Tuple[str, str]]) -> np.ndarray:
         """Exact edit distance per pair (equal/empty shortcuts included)."""
         out = np.zeros(len(pairs), dtype=np.int64)
@@ -332,6 +376,9 @@ class EditDistanceEngine:
                 out[idx] = max(len(x), len(y))
             else:
                 todo.append(idx)
+        if not todo:
+            return out
+        todo = self._myers_route(pairs, todo, out)
         if not todo:
             return out
         maxlen = max(max(len(pairs[i][0]), len(pairs[i][1])) for i in todo)

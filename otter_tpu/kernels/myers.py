@@ -51,29 +51,41 @@ def pack_myers_bucket(pairs: List[Tuple[str, str]], n_words: int,
     """
     B = len(pairs)
     Bp = ((B + batch_pad - 1) // batch_pad) * batch_pad
-    peq = np.zeros((4, n_words, Bp), dtype=np.uint32)
     n_twords = (text_len + 15) // 16
-    tpack = np.zeros((n_twords, Bp), dtype=np.uint32)
+    # gather padded code matrices (vectorized; 255 = padding, matches nothing)
+    code_of = np.full(256, 255, dtype=np.uint8)
+    for byte, c in _ACGT.items():
+        code_of[byte] = c
+    pat_codes = np.full((Bp, n_words * WORD), 255, dtype=np.uint8)
+    txt_codes = np.full((Bp, n_twords * 16), 255, dtype=np.uint8)
     mlen = np.zeros(Bp, dtype=np.int32)
     nlen = np.zeros(Bp, dtype=np.int32)
-    sel_word = np.zeros(Bp, dtype=np.int32)
-    sel_bit = np.zeros(Bp, dtype=np.uint32)
     for i, (x, y) in enumerate(pairs):
         pat, txt = (x, y) if len(x) <= len(y) else (y, x)
         m, n = len(pat), len(txt)
         assert m <= n_words * WORD and n <= text_len and m > 0
-        codes = np.frombuffer(pat.encode(), dtype=np.uint8)
-        for r, cbyte in enumerate(codes):
-            c = _ACGT[cbyte]
-            peq[c, r // WORD, i] |= np.uint32(1 << (r % WORD))
-        tcodes = np.frombuffer(txt.encode(), dtype=np.uint8)
-        for jj, cbyte in enumerate(tcodes):
-            tpack[jj // 16, i] |= np.uint32(_ACGT[cbyte] << (2 * (jj % 16)))
+        pat_codes[i, :m] = code_of[np.frombuffer(pat.encode(), dtype=np.uint8)]
+        txt_codes[i, :n] = code_of[np.frombuffer(txt.encode(), dtype=np.uint8)]
         mlen[i] = m
         nlen[i] = n
-        sel_word[i] = (m - 1) // WORD
-        sel_bit[i] = np.uint32(1 << ((m - 1) % WORD))
-    return peq, tpack, mlen, nlen, sel_word, sel_bit
+    # bit-packing via np.packbits (little-endian words; C speed)
+    peq = np.zeros((4, n_words, Bp), dtype=np.uint32)
+    for c in range(4):
+        bits = pat_codes == c  # (Bp, n_words*32)
+        packed = np.packbits(bits, axis=1, bitorder="little")
+        peq[c] = packed.view(np.uint32).T
+    # 2-bit text packing: char j occupies bits 2j..2j+1 of word j//16
+    tcc = np.where(txt_codes == 255, 0, txt_codes)  # pad chars pack as 'A';
+    # harmless: score is captured at j == nlen before padding is consumed
+    tbits = np.empty((Bp, n_twords * 16, 2), dtype=bool)
+    tbits[:, :, 0] = (tcc & 1).astype(bool)
+    tbits[:, :, 1] = (tcc >> 1).astype(bool)
+    tpacked = np.packbits(tbits.reshape(Bp, -1), axis=1, bitorder="little")
+    tpack = tpacked.view(np.uint32).T.copy()
+    sel_word = np.maximum(mlen - 1, 0) // WORD
+    sel_bit = (np.uint32(1) << (np.maximum(mlen - 1, 0) % WORD).astype(np.uint32))
+    sel_bit = np.where(mlen > 0, sel_bit, 0).astype(np.uint32)
+    return peq, tpack, mlen, nlen, sel_word.astype(np.int32), sel_bit
 
 
 def myers_numpy(peq: np.ndarray, tpack: np.ndarray, mlen: np.ndarray,

@@ -97,39 +97,43 @@ MISMATCH, GAP_OPEN, GAP_EXT = 4, 6, 2
 def _affine_matrices(a: np.ndarray, b: np.ndarray,
                      pb: int = 0, tb: int = 0
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Full H/E/F DP matrices (int32). E = gap consuming text (I ops),
-    F = gap consuming pattern (D ops). Free begin-gaps enter via boundaries."""
+    """Full H/E/F DP matrices (int64), rows fully vectorized.
+
+    E = gap consuming text (I ops), F = gap consuming pattern (D ops). Free
+    begin-gaps enter via boundaries. The in-row E dependency is resolved
+    with a prefix-min scan using the no-chaining property: an optimal
+    horizontal gap never passes *through* another horizontal gap (closing
+    and reopening costs an extra GAP_OPEN), so
+        E[i][j] = min_{j'<j} (B[i][j'] + GAP_OPEN + GAP_EXT*(j-j'))
+    where B = min(diag, F, boundary) excludes E itself.
+    """
     m, n = len(a), len(b)
     H = np.full((m + 1, n + 1), _BIG, dtype=np.int64)
     E = np.full((m + 1, n + 1), _BIG, dtype=np.int64)
     F = np.full((m + 1, n + 1), _BIG, dtype=np.int64)
     H[0, 0] = 0
-    js = np.arange(1, n + 1)
+    js_all = np.arange(n + 1, dtype=np.int64)
+    js = js_all[1:]
     # leading text gap: free up to tb, affine-penalized beyond
     H[0, 1:] = np.where(js <= tb, 0, GAP_OPEN + GAP_EXT * (js - tb))
     is_ = np.arange(1, m + 1)
     H[1:, 0] = np.where(is_ <= pb, 0, GAP_OPEN + GAP_EXT * (is_ - pb))
+    ej = GAP_EXT * js_all
     for i in range(1, m + 1):
         sub = np.where(b == a[i - 1], 0, MISMATCH).astype(np.int64)
+        F_row = np.minimum(H[i - 1, :] + GAP_OPEN + GAP_EXT,
+                           F[i - 1, :] + GAP_EXT)
+        diag = H[i - 1, :-1] + sub
+        B = np.empty(n + 1, dtype=np.int64)
+        B[0] = H[i, 0]
+        np.minimum(diag, F_row[1:], out=B[1:])
+        # E[i][j] = min_{j'<j}(B[j'] - e*j') + e*j + open
+        scan = np.minimum.accumulate(B - ej)
         E_row = np.empty(n + 1, dtype=np.int64)
         E_row[0] = _BIG
-        # E[i][j] = min(H[i][j-1]+open+ext, E[i][j-1]+ext): prefix scan over j
-        # F depends only on previous row:
-        F_row = np.minimum(H[i - 1, :] + GAP_OPEN + GAP_EXT, F[i - 1, :] + GAP_EXT)
-        F_row[0] = min(F_row[0], _BIG)
-        diag = H[i - 1, :-1] + sub
-        # combine without E first, then do the horizontal scan for E
-        base = np.minimum(diag, F_row[1:])
-        H_row = np.empty(n + 1, dtype=np.int64)
-        H_row[0] = H[i, 0]
-        # sequential in j for E (scan trick): E[i][j] = min over j'<j of
-        # H[i][j'] + open + ext*(j-j') — but H[i][j'] itself depends on E.
-        # Solve left-to-right (n is modest for consensus alignments).
-        e = _BIG
-        for j in range(1, n + 1):
-            e = min(H_row[j - 1] + GAP_OPEN + GAP_EXT, e + GAP_EXT)
-            E_row[j] = e
-            H_row[j] = min(base[j - 1], e)
+        E_row[1:] = scan[:-1] + ej[1:] + GAP_OPEN
+        H_row = np.minimum(B, E_row)
+        H_row[0] = B[0]
         H[i, :] = H_row
         E[i, :] = E_row
         F[i, :] = F_row
