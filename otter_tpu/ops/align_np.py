@@ -156,6 +156,79 @@ def _affine_end_cell(H: np.ndarray, m: int, n: int,
     return best
 
 
+def _affine_matrices_banded(a: np.ndarray, b: np.ndarray, k: int,
+                            pb: int = 0, tb: int = 0):
+    """Banded H/E/F in band coordinates w = j - i + (k+1), W = 2k+2 wide.
+
+    Same recurrences as _affine_matrices restricted to diagonals |j-i| <= k;
+    cells outside the band are _BIG. Returns (H, E, F) of shape (m+1, W).
+    """
+    m, n = len(a), len(b)
+    W = 2 * (k + 1)
+    H = np.full((m + 1, W), _BIG, dtype=np.int64)
+    E = np.full((m + 1, W), _BIG, dtype=np.int64)
+    F = np.full((m + 1, W), _BIG, dtype=np.int64)
+    w_idx = np.arange(W, dtype=np.int64)
+    ew = GAP_EXT * w_idx
+    j0 = w_idx - (k + 1)
+    H[0] = np.where(
+        (j0 >= 0) & (j0 <= n),
+        np.where(j0 <= tb, 0, GAP_OPEN + GAP_EXT * (j0 - tb)), _BIG)
+    bx = np.concatenate([b.astype(np.int64), np.full(W + 2, -1, dtype=np.int64)])
+    for i in range(1, m + 1):
+        j = i + j0  # per-lane text column
+        valid = (j >= 1) & (j <= n)
+        # text chars b[j-1] for this row's band: contiguous slice
+        lo = i - (k + 1) - 1  # j-1 at w=0
+        if lo >= 0:
+            b_win = bx[lo : lo + W]
+        else:
+            b_win = np.concatenate(
+                [np.full(-lo, -1, dtype=np.int64), bx[: W + lo]])
+        sub = np.where(b_win == a[i - 1], 0, MISMATCH)
+        # F from (i-1, j) = prev row band coord w+1
+        Hup = np.concatenate([H[i - 1, 1:], [_BIG]])
+        Fup = np.concatenate([F[i - 1, 1:], [_BIG]])
+        F_row = np.minimum(Hup + GAP_OPEN + GAP_EXT, Fup + GAP_EXT)
+        diag = H[i - 1] + sub
+        B = np.minimum(diag, F_row)
+        # boundary j == 0 (band coord w = k+1-i)
+        hb = 0 if i <= pb else GAP_OPEN + GAP_EXT * (i - pb)
+        B = np.where(j == 0, hb, B)
+        B = np.where((j < 0) | (j > n), _BIG, B)
+        # E scan within the row (w and j differ by a constant)
+        scan = np.minimum.accumulate(B - ew)
+        E_row = np.empty(W, dtype=np.int64)
+        E_row[0] = _BIG
+        E_row[1:] = scan[:-1] + ew[1:] + GAP_OPEN
+        E_row = np.where(valid, E_row, _BIG)
+        E_row = np.minimum(E_row, _BIG)
+        H_row = np.minimum(B, E_row)
+        H_row = np.where(j == 0, hb, H_row)
+        H_row = np.where((j < 0) | (j > n), _BIG, H_row)
+        H[i] = H_row
+        E[i] = E_row
+        F[i] = np.where(valid | (j == 0), F_row, _BIG)
+    return H, E, F
+
+
+class _BandView:
+    """Adapter exposing banded arrays with full-matrix [i, j] indexing so
+    the traceback code is shared between full and banded modes."""
+
+    def __init__(self, arr: np.ndarray, k: int):
+        self.arr = arr
+        self.k = k
+        self.W = arr.shape[1]
+
+    def __getitem__(self, ij):
+        i, j = ij
+        w = j - i + (self.k + 1)
+        if 0 <= w < self.W:
+            return self.arr[i, w]
+        return _BIG
+
+
 def affine_align_ends_free_cigar(pattern: str, text: str,
                                  pb: int = 0, pe: int = 0,
                                  tb: int = 0, te: int = 0) -> str:
@@ -169,8 +242,29 @@ def affine_align_ends_free_cigar(pattern: str, text: str,
     """
     a, b = _codes(pattern), _codes(text)
     m, n = len(a), len(b)
-    H, E, F = _affine_matrices(a, b, pb=pb, tb=tb)
-    score, ei, ej = _affine_end_cell(H, m, n, pe, te)
+    # adaptive banding: a path leaving the +-k diagonal band needs total gap
+    # length > k, so if the banded score beats GAP_OPEN + GAP_EXT*(k+1-reach)
+    # (reach = diagonal displacement available "for free" from length
+    # difference / free ends) it is exact. Otherwise double k; fall back to
+    # the full matrices when the band stops being smaller.
+    reach = max(abs(n - m), pb, pe, tb, te)
+    k = 32
+    while k < reach + 16:
+        k *= 2
+    while True:
+        full = 2 * (k + 1) >= n + 2
+        if full:
+            H, E, F = _affine_matrices(a, b, pb=pb, tb=tb)
+            score, ei, ej = _affine_end_cell(H, m, n, pe, te)
+            break
+        Hb, Eb, Fb = _affine_matrices_banded(a, b, k, pb=pb, tb=tb)
+        H = _BandView(Hb, k)
+        E = _BandView(Eb, k)
+        F = _BandView(Fb, k)
+        score, ei, ej = _affine_end_cell(H, m, n, pe, te)
+        if score < GAP_OPEN + GAP_EXT * (k + 1 - reach):
+            break
+        k *= 2
     ops = []
     # trailing free gaps included in the cigar
     ops.extend("I" * (n - ej))
