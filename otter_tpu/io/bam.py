@@ -144,25 +144,35 @@ def encode_aux(tag: str, typ: str, value) -> bytes:
     raise ValueError(f"unsupported aux type {typ!r}")
 
 
+import numpy as _np
+
+# nibble-pair -> two ASCII chars lookup (vectorized seq decode)
+_NYB2ASCII = _np.zeros((256, 2), dtype=_np.uint8)
+for _b in range(256):
+    _NYB2ASCII[_b, 0] = ord(SEQ_NT16_STR[_b >> 4])
+    _NYB2ASCII[_b, 1] = ord(SEQ_NT16_STR[_b & 0xF])
+
+
 def _decode_record(blob: bytes) -> BamRecord:
     (ref_id, pos, l_read_name, mapq, _bin, n_cigar_op, flag, l_seq,
      next_ref_id, next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", blob, 0)
     off = 32
     name = blob[off : off + l_read_name - 1].decode()
     off += l_read_name
-    cigar = []
-    for k in range(n_cigar_op):
-        v = struct.unpack_from("<I", blob, off + 4 * k)[0]
-        cigar.append((v >> 4, v & 0xF))
+    if n_cigar_op:
+        cig = _np.frombuffer(blob, dtype="<u4", count=n_cigar_op, offset=off)
+        cigar = list(zip((cig >> 4).tolist(), (cig & 0xF).tolist()))
+    else:
+        cigar = []
     off += 4 * n_cigar_op
-    nybbles = blob[off : off + (l_seq + 1) // 2]
-    off += (l_seq + 1) // 2
-    chars = []
-    for i in range(l_seq):
-        b = nybbles[i >> 1]
-        code = (b >> 4) if (i & 1) == 0 else (b & 0xF)
-        chars.append(SEQ_NT16_STR[code])
-    seq = "".join(chars)
+    n_nyb = (l_seq + 1) // 2
+    if l_seq:
+        nyb = _np.frombuffer(blob, dtype=_np.uint8, count=n_nyb, offset=off)
+        chars = _NYB2ASCII[nyb].reshape(-1)[:l_seq]
+        seq = chars.tobytes().decode("ascii")
+    else:
+        seq = ""
+    off += n_nyb
     qual = blob[off : off + l_seq]
     off += l_seq
     aux = blob[off:]

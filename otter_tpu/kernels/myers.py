@@ -33,7 +33,7 @@ _ACGT = {65: 0, 67: 1, 71: 2, 84: 3}  # A C G T
 
 
 def is_acgt(s: str) -> bool:
-    return all(c in "ACGT" for c in s)
+    return s.encode().translate(None, b"ACGT") == b""
 
 
 def pack_myers_bucket(pairs: List[Tuple[str, str]], n_words: int,

@@ -262,9 +262,25 @@ def _make_dist_backend(params: OtterOpts):
 
 def assemble(bam_path: str, bed: str, reference: str, reads_only: bool,
              params: OtterOpts, out: TextIO = sys.stdout) -> None:
-    """Top level (assemble.cpp:160-179): SAM header then per-region work."""
+    """Top level (assemble.cpp:160-179): SAM header then per-region work.
+
+    Multi-host: when running under jax.distributed, each process handles its
+    contiguous block of regions (parallel/distributed.py); concatenating the
+    per-process outputs in process order reproduces the single-host stream.
+    """
     bed_regions = parse_bed_file(bed)
-    if not params.is_fa:
+    pidx = 0
+    if params.device != "host":
+        from ..parallel.distributed import maybe_initialize, shard_regions
+        pidx, pcount = maybe_initialize()
+        if pcount > 1:
+            bed_regions = shard_regions(bed_regions, pidx, pcount)
+            sys.stderr.write(
+                f"({antimestamp()}): process {pidx}/{pcount} handling "
+                f"{len(bed_regions)} regions\n")
+    # only the first process emits the header so concatenated per-process
+    # outputs form one valid SAM stream
+    if (not params.is_fa) and pidx == 0:
         hdr = BamReader(bam_path, load_index=True)
         for name, ln in zip(hdr.ref_names, hdr.ref_lens):
             out.write(f"@SQ\tSN:{name}\tLN:{ln}\n")
