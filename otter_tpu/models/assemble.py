@@ -33,6 +33,7 @@ from ..ops.consensus import (
 from ..ops.distmat import DistMatrix
 from ..seqs.extract import parse_anreads
 from ..seqs.model import AnAllele, AnRead
+from ..utils import metrics
 from ..utils.timestamp import antimestamp
 
 DEFAULT_REGION_BATCH = 64
@@ -188,7 +189,9 @@ def process_region_batch(params: OtterOpts, batch: List[RegionWork],
         coords, pairs = _region_pairs(work)
         spans.append((work, coords, len(all_pairs)))
         all_pairs.extend(pairs)
-    dists = dist_backend.engine.distances(all_pairs) if all_pairs else []
+    with metrics.phase("device_dispatch"):
+        dists = dist_backend.engine.distances(all_pairs) if all_pairs else []
+    metrics.add("pair_alignments", len(all_pairs))
     for work, coords, start in spans:
         distmatrix = DistMatrix(len(work.valid_indeces))
         if coords is None:
@@ -201,7 +204,8 @@ def process_region_batch(params: OtterOpts, batch: List[RegionWork],
                     all_pairs[start : start + len(coords)]):
                 largest = float(max(len(x), len(y)))
                 distmatrix.set_dist(i, j, d / largest)
-        finish_region(params, work, distmatrix, out)
+        with metrics.phase("cluster_consensus"):
+            finish_region(params, work, distmatrix, out)
 
 
 def assemble_region(params: OtterOpts, local_bed: BED, bam: BamReader,
@@ -228,20 +232,25 @@ def assemble_process(params: OtterOpts, bam_path: str, bed_regions: List[BED],
     bam = BamReader(bam_path, load_index=True)
     faidx = Faidx(reference) if reference else None
     dist_backend = _make_dist_backend(params)
-    if dist_backend is None:
-        for local_bed in bed_regions:
-            assemble_region(params, local_bed, bam, faidx, reads_only, out)
-    else:
-        pending: List[RegionWork] = []
-        for local_bed in bed_regions:
-            work = prepare_region(params, local_bed, bam, faidx, reads_only, out)
-            if work is not None:
-                pending.append(work)
-            if len(pending) >= DEFAULT_REGION_BATCH:
+    with metrics.phase("region_total"):
+        if dist_backend is None:
+            for local_bed in bed_regions:
+                assemble_region(params, local_bed, bam, faidx, reads_only, out)
+                metrics.add("regions")
+        else:
+            pending: List[RegionWork] = []
+            for local_bed in bed_regions:
+                with metrics.phase("host_io"):
+                    work = prepare_region(params, local_bed, bam, faidx,
+                                          reads_only, out)
+                metrics.add("regions")
+                if work is not None:
+                    pending.append(work)
+                if len(pending) >= DEFAULT_REGION_BATCH:
+                    process_region_batch(params, pending, dist_backend, out)
+                    pending = []
+            if pending:
                 process_region_batch(params, pending, dist_backend, out)
-                pending = []
-        if pending:
-            process_region_batch(params, pending, dist_backend, out)
     bam.close()
     if faidx is not None:
         faidx.close()

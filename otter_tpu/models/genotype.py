@@ -175,8 +175,20 @@ def genotype_process(params: OtterOpts, bam_path: str, regions: List[BED],
 
 def genotype(params: OtterOpts, bam_path: str, bed: str, reference: str,
              out: TextIO = sys.stdout) -> None:
-    """(genotype.cpp:173-192)"""
+    """(genotype.cpp:173-192)
+
+    Multi-host: regions shard across jax processes like assemble; only
+    process 0 emits the VCF header."""
     regions = parse_bed_file(bed)
+    pidx = 0
+    if params.device != "host":
+        from ..parallel.distributed import maybe_initialize, shard_regions
+        pidx, pcount = maybe_initialize()
+        if pcount > 1:
+            regions = shard_regions(regions, pidx, pcount)
+            sys.stderr.write(
+                f"({antimestamp()}): process {pidx}/{pcount} handling "
+                f"{len(regions)} regions\n")
     si = SampleIndex()
     si.init(bam_path)
     sys.stderr.write(
@@ -186,6 +198,6 @@ def genotype(params: OtterOpts, bam_path: str, bed: str, reference: str,
     refindex = len(si.index2sample)
     si.index2sample.append(REFNAME)
     si.sample2index[REFNAME] = refindex
-    if reference:
+    if reference and pidx == 0:
         output_vcf_header(bam_path, si.index2sample, REFNAME, out)
     genotype_process(params, bam_path, regions, reference, si, refindex, out)
