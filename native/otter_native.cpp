@@ -121,4 +121,123 @@ void otter_edit_distance_batch(const uint8_t* seqs, const int64_t* offsets,
   }
 }
 
+// ---------------------------------------------------------------------------
+// BAM feeder: decode raw (already-BGZF-inflated) BAM record streams into
+// struct-of-arrays so Python avoids per-record parsing. The nibble sequence
+// is expanded to ASCII here ("=ACMGRSVTWYHKDBN", SAM spec).
+// ---------------------------------------------------------------------------
+
+namespace {
+const char kNt16[] = "=ACMGRSVTWYHKDBN";
+
+struct BamBatch {
+  std::vector<int32_t> ref_id, pos, flag, mapq, l_qseq;
+  std::vector<int64_t> name_off, cigar_off, seq_off, aux_off;
+  std::vector<char> names;
+  std::vector<uint32_t> cigars;
+  std::vector<char> seqs;
+  std::vector<uint8_t> auxs;
+};
+}  // namespace
+
+extern "C" {
+
+// Parse records from a raw BAM record stream (concatenated
+// block_size+record blobs, i.e. everything after the header section).
+// Returns an opaque handle; query with the accessors below; free when done.
+void* otter_bam_parse(const uint8_t* buf, int64_t size) {
+  auto* b = new BamBatch();
+  int64_t off = 0;
+  b->name_off.push_back(0);
+  b->cigar_off.push_back(0);
+  b->seq_off.push_back(0);
+  b->aux_off.push_back(0);
+  while (off + 4 <= size) {
+    uint32_t block_size;
+    std::memcpy(&block_size, buf + off, 4);
+    off += 4;
+    if (off + block_size > size || block_size < 32) break;
+    const uint8_t* r = buf + off;
+    int32_t v32;
+    std::memcpy(&v32, r, 4);
+    b->ref_id.push_back(v32);
+    std::memcpy(&v32, r + 4, 4);
+    b->pos.push_back(v32);
+    const uint8_t l_read_name = r[8];
+    b->mapq.push_back(r[9]);
+    uint16_t n_cigar_op, flag16;
+    std::memcpy(&n_cigar_op, r + 12, 2);
+    std::memcpy(&flag16, r + 14, 2);
+    b->flag.push_back(flag16);
+    int32_t l_seq;
+    std::memcpy(&l_seq, r + 16, 4);
+    b->l_qseq.push_back(l_seq);
+    const uint8_t* p = r + 32;
+    b->names.insert(b->names.end(), p, p + l_read_name - 1);
+    b->name_off.push_back(int64_t(b->names.size()));
+    p += l_read_name;
+    const uint32_t* cig = reinterpret_cast<const uint32_t*>(p);
+    b->cigars.insert(b->cigars.end(), cig, cig + n_cigar_op);
+    b->cigar_off.push_back(int64_t(b->cigars.size()));
+    p += 4 * n_cigar_op;
+    const int32_t n_nyb = (l_seq + 1) / 2;
+    size_t s0 = b->seqs.size();
+    b->seqs.resize(s0 + l_seq);
+    for (int32_t i = 0; i < l_seq; ++i) {
+      const uint8_t byte = p[i >> 1];
+      b->seqs[s0 + i] = kNt16[(i & 1) ? (byte & 0xF) : (byte >> 4)];
+    }
+    b->seq_off.push_back(int64_t(b->seqs.size()));
+    p += n_nyb + l_seq;  // skip qual
+    const uint8_t* aux_end = r + block_size;
+    b->auxs.insert(b->auxs.end(), p, aux_end);
+    b->aux_off.push_back(int64_t(b->auxs.size()));
+    off += block_size;
+  }
+  return b;
+}
+
+int64_t otter_bam_count(void* h) {
+  return int64_t(static_cast<BamBatch*>(h)->ref_id.size());
+}
+
+// Copy fixed-size columns into caller buffers (each sized n records).
+void otter_bam_columns(void* h, int32_t* ref_id, int32_t* pos, int32_t* flag,
+                       int32_t* mapq, int32_t* l_qseq, int64_t* name_off,
+                       int64_t* cigar_off, int64_t* seq_off,
+                       int64_t* aux_off) {
+  auto* b = static_cast<BamBatch*>(h);
+  const size_t n = b->ref_id.size();
+  std::memcpy(ref_id, b->ref_id.data(), n * 4);
+  std::memcpy(pos, b->pos.data(), n * 4);
+  std::memcpy(flag, b->flag.data(), n * 4);
+  std::memcpy(mapq, b->mapq.data(), n * 4);
+  std::memcpy(l_qseq, b->l_qseq.data(), n * 4);
+  std::memcpy(name_off, b->name_off.data(), (n + 1) * 8);
+  std::memcpy(cigar_off, b->cigar_off.data(), (n + 1) * 8);
+  std::memcpy(seq_off, b->seq_off.data(), (n + 1) * 8);
+  std::memcpy(aux_off, b->aux_off.data(), (n + 1) * 8);
+}
+
+int64_t otter_bam_blob_sizes(void* h, int64_t* names, int64_t* cigars,
+                             int64_t* seqs, int64_t* auxs) {
+  auto* b = static_cast<BamBatch*>(h);
+  *names = int64_t(b->names.size());
+  *cigars = int64_t(b->cigars.size());
+  *seqs = int64_t(b->seqs.size());
+  *auxs = int64_t(b->auxs.size());
+  return 0;
+}
+
+void otter_bam_blobs(void* h, char* names, uint32_t* cigars, char* seqs,
+                     uint8_t* auxs) {
+  auto* b = static_cast<BamBatch*>(h);
+  std::memcpy(names, b->names.data(), b->names.size());
+  std::memcpy(cigars, b->cigars.data(), b->cigars.size() * 4);
+  std::memcpy(seqs, b->seqs.data(), b->seqs.size());
+  std::memcpy(auxs, b->auxs.data(), b->auxs.size());
+}
+
+void otter_bam_free(void* h) { delete static_cast<BamBatch*>(h); }
+
 }  // extern "C"

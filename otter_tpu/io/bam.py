@@ -253,6 +253,35 @@ class BamReader:
             return None
         return _decode_record(blob)
 
+    def _native_records(self, raw: bytes) -> Optional[List[BamRecord]]:
+        """Decode a raw record stream with the C++ feeder (native/otter_native
+        .cpp); None when the native library is unavailable."""
+        if os.environ.get("OTTER_TPU_NATIVE_IO", "1") != "1":
+            return None
+        try:
+            from ..native import parse_bam_records
+            d = parse_bam_records(raw)
+        except Exception:
+            return None
+        recs: List[BamRecord] = []
+        n = len(d["ref_id"])
+        names, seqs, auxs, cigars = d["names"], d["seqs"], d["auxs"], d["cigars"]
+        no, co, so, ao = d["name_off"], d["cigar_off"], d["seq_off"], d["aux_off"]
+        for i in range(n):
+            cg = cigars[co[i] : co[i + 1]]
+            recs.append(BamRecord(
+                name=names[no[i] : no[i + 1]].decode(),
+                flag=int(d["flag"][i]),
+                ref_id=int(d["ref_id"][i]),
+                pos=int(d["pos"][i]),
+                mapq=int(d["mapq"][i]),
+                cigar=list(zip((cg >> 4).tolist(), (cg & 0xF).tolist())),
+                seq=seqs[so[i] : so[i + 1]].decode("ascii"),
+                qual=b"",
+                aux=auxs[ao[i] : ao[i + 1]].tobytes(),
+            ))
+        return recs
+
     def __iter__(self) -> Iterator[BamRecord]:
         self._bgzf.seek_virtual(self._data_voffset)
         while True:
@@ -272,11 +301,25 @@ class BamReader:
         if self.index is not None:
             chunks = self.index.query(tid, start, end)
             for cbeg, cend in chunks:
+                # bulk path: read the whole chunk and decode with the native
+                # feeder when available
                 self._bgzf.seek_virtual(cbeg)
+                raw_parts = []
                 while self._bgzf.tell_virtual() < cend:
-                    rec = self._read_record()
-                    if rec is None:
+                    hdr4 = self._bgzf.read(4)
+                    if len(hdr4) < 4:
                         break
+                    bs = struct.unpack("<I", hdr4)[0]
+                    blob = self._bgzf.read(bs)
+                    if len(blob) < bs:
+                        break
+                    raw_parts.append(hdr4 + blob)
+                recs = self._native_records(b"".join(raw_parts))
+                if recs is None:
+                    recs = [
+                        _decode_record(part[4:]) for part in raw_parts
+                    ]
+                for rec in recs:
                     if rec.ref_id != tid or rec.pos >= end:
                         break
                     if rec.end_pos() > start and not (rec.flag & FLAG_UNMAP):

@@ -53,8 +53,67 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int64),
             ]
+            lib.otter_bam_parse.restype = ctypes.c_void_p
+            lib.otter_bam_parse.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+            lib.otter_bam_count.restype = ctypes.c_int64
+            lib.otter_bam_count.argtypes = [ctypes.c_void_p]
+            lib.otter_bam_columns.restype = None
+            lib.otter_bam_columns.argtypes = [ctypes.c_void_p] + \
+                [ctypes.POINTER(ctypes.c_int32)] * 5 + \
+                [ctypes.POINTER(ctypes.c_int64)] * 4
+            lib.otter_bam_blob_sizes.restype = ctypes.c_int64
+            lib.otter_bam_blob_sizes.argtypes = [ctypes.c_void_p] + \
+                [ctypes.POINTER(ctypes.c_int64)] * 4
+            lib.otter_bam_blobs.restype = None
+            lib.otter_bam_blobs.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_uint8)]
+            lib.otter_bam_free.restype = None
+            lib.otter_bam_free.argtypes = [ctypes.c_void_p]
             _lib = lib
         return _lib
+
+
+def parse_bam_records(raw: bytes):
+    """Decode a raw concatenated BAM record stream with the C++ feeder.
+
+    Returns a dict of numpy columns + blob arrays (see otter_native.cpp).
+    """
+    lib = get_lib()
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    h = lib.otter_bam_parse(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(raw))
+    try:
+        n = lib.otter_bam_count(h)
+        cols = {k: np.zeros(n, dtype=np.int32)
+                for k in ("ref_id", "pos", "flag", "mapq", "l_qseq")}
+        offs = {k: np.zeros(n + 1, dtype=np.int64)
+                for k in ("name_off", "cigar_off", "seq_off", "aux_off")}
+        lib.otter_bam_columns(
+            h, *[cols[k].ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+                 for k in ("ref_id", "pos", "flag", "mapq", "l_qseq")],
+            *[offs[k].ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+              for k in ("name_off", "cigar_off", "seq_off", "aux_off")])
+        sz = [ctypes.c_int64(0) for _ in range(4)]
+        lib.otter_bam_blob_sizes(h, *[ctypes.byref(s) for s in sz])
+        names = ctypes.create_string_buffer(max(1, sz[0].value))
+        cigars = np.zeros(max(1, sz[1].value), dtype=np.uint32)
+        seqs = ctypes.create_string_buffer(max(1, sz[2].value))
+        auxs = np.zeros(max(1, sz[3].value), dtype=np.uint8)
+        lib.otter_bam_blobs(
+            h, names, cigars.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            seqs, auxs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return {
+            **cols, **offs,
+            "names": names.raw[: sz[0].value],
+            "cigars": cigars[: sz[1].value],
+            "seqs": seqs.raw[: sz[2].value],
+            "auxs": auxs[: sz[3].value],
+        }
+    finally:
+        lib.otter_bam_free(h)
 
 
 def edit_distance_batch(pairs: List[Tuple[str, str]],
