@@ -121,6 +121,8 @@ void otter_edit_distance_batch(const uint8_t* seqs, const int64_t* offsets,
   }
 }
 
+}  // extern "C"
+
 // ---------------------------------------------------------------------------
 // BAM feeder: decode raw (already-BGZF-inflated) BAM record streams into
 // struct-of-arrays so Python avoids per-record parsing. The nibble sequence
