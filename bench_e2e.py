@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""End-to-end regions/sec benchmark: synthetic multi-region assemble.
+
+Simulates R tandem-repeat regions (het/hom mix, HiFi-like errors, ~COV reads
+each), writes an indexed BAM with the framework's own writers, then times
+``assemble`` end-to-end (BAM in -> SAM alleles out) on the selected device
+backend. Prints one JSON line with regions/sec.
+"""
+
+import io
+import json
+import os
+import random
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tests"))
+
+
+def build_fixture(tmp, n_regions=100, cov=12, err=0.01, region_len=120,
+                  seed=11):
+    from fixtures import make_bam, read_record
+    from otter_tpu.io.bam import BAM_CMATCH, BAM_CINS, BAM_CDEL
+
+    rng = random.Random(seed)
+    span = 2500
+    ref_len = 1000 + n_regions * span + 2000
+    ref = "".join(rng.choice("ACGT") for _ in range(ref_len))
+    bed = os.path.join(tmp, "regions.bed")
+    records = []
+    with open(bed, "w") as fh:
+        for r in range(n_regions):
+            start = 1000 + r * span
+            end = start + region_len
+            fh.write(f"chr1\t{start}\t{end}\n")
+            alleles = [ref[start:end]]
+            if r % 2 == 0:
+                alleles.append("CAG" * (region_len // 2 // 3 + 20))
+            for a_i, allele in enumerate(alleles):
+                n_reads = cov if len(alleles) == 1 else cov // 2 + 2
+                for c in range(n_reads):
+                    lf = rng.randint(200, 400)
+                    rf = rng.randint(200, 400)
+                    out = []
+                    cig = []
+
+                    def emit(op, ln):
+                        if ln <= 0:
+                            return
+                        if cig and cig[-1][1] == op:
+                            cig[-1] = (cig[-1][0] + ln, op)
+                        else:
+                            cig.append((ln, op))
+
+                    def walk(piece):
+                        consumed = 0
+                        for ch in piece:
+                            x = rng.random()
+                            if x < err * 0.4:
+                                out.append(rng.choice(
+                                    [b for b in "ACGT" if b != ch]))
+                                emit(BAM_CMATCH, 1)
+                                consumed += 1
+                            elif x < err * 0.7:
+                                out.append(ch)
+                                out.append(rng.choice("ACGT"))
+                                emit(BAM_CMATCH, 1)
+                                emit(BAM_CINS, 1)
+                                consumed += 1
+                            elif x < err:
+                                emit(BAM_CDEL, 1)
+                                consumed += 1
+                            else:
+                                out.append(ch)
+                                emit(BAM_CMATCH, 1)
+                                consumed += 1
+                        return consumed
+
+                    walk(ref[start - lf : start])
+                    consumed = walk(allele)
+                    if consumed > region_len:
+                        excess = consumed - region_len
+                        trimmed = []
+                        need = excess
+                        for ln, op in reversed(cig):
+                            if need > 0 and op == BAM_CMATCH:
+                                take = min(ln, need)
+                                need -= take
+                                if take < ln:
+                                    trimmed.append((take, BAM_CINS))
+                                    trimmed.append((ln - take, op))
+                                else:
+                                    trimmed.append((take, BAM_CINS))
+                            else:
+                                trimmed.append((ln, op))
+                        cig[:] = list(reversed(trimmed))
+                    elif consumed < region_len:
+                        emit(BAM_CDEL, region_len - consumed)
+                    walk(ref[end : end + rf])
+                    records.append(read_record(
+                        f"r{r}_{a_i}_{c}", 0, start - lf, "".join(out), cig,
+                        tags=[("rq", "f", 0.999)]))
+    bam = os.path.join(tmp, "reads.bam")
+    make_bam(bam, [("chr1", ref_len)], records)
+    return bam, bed
+
+
+def run(device, bam, bed):
+    from otter_tpu.config import OtterOpts
+    from otter_tpu.models.assemble import assemble
+
+    params = OtterOpts()
+    params.read_group = "S1"
+    params.device = device
+    out = io.StringIO()
+    t0 = time.perf_counter()
+    assemble(bam, bed, "", False, params, out=out)
+    dt = time.perf_counter() - t0
+    return dt, out.getvalue()
+
+
+def main():
+    n_regions = int(os.environ.get("BENCH_REGIONS", "100"))
+    with tempfile.TemporaryDirectory() as tmp:
+        bam, bed = build_fixture(tmp, n_regions=n_regions)
+        device = "auto"
+        # warmup (compiles)
+        run(device, bam, bed)
+        dt, out_text = run(device, bam, bed)
+        alleles = sum(1 for l in out_text.split("\n")
+                      if l and not l.startswith("@"))
+        # host-path comparison
+        dt_host, out_host = run("host", bam, bed)
+        print(json.dumps({
+            "metric": "assemble_regions_per_sec",
+            "value": round(n_regions / dt, 2),
+            "unit": "regions/s",
+            "vs_baseline": round(dt_host / dt, 2),
+            "host_regions_per_sec": round(n_regions / dt_host, 2),
+            "alleles": alleles,
+            "outputs_identical": out_text == out_host,
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -270,13 +270,15 @@ def _make_dist_backend(params: OtterOpts):
 
 
 def assemble(bam_path: str, bed: str, reference: str, reads_only: bool,
-             params: OtterOpts, out: TextIO = sys.stdout) -> None:
+             params: OtterOpts, out: Optional[TextIO] = None) -> None:
     """Top level (assemble.cpp:160-179): SAM header then per-region work.
 
     Multi-host: when running under jax.distributed, each process handles its
     contiguous block of regions (parallel/distributed.py); concatenating the
     per-process outputs in process order reproduces the single-host stream.
     """
+    if out is None:
+        out = sys.stdout
     bed_regions = parse_bed_file(bed)
     pidx = 0
     if params.device != "host":

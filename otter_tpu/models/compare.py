@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import sys
 from dataclasses import dataclass
-from typing import Dict, List, TextIO
+from typing import Dict, List, TextIO, Optional
 
 from ..config import OtterOpts
 from ..io.bam import BamReader
@@ -71,8 +71,10 @@ def get_distances(subjs: List[AnAllele], querys: List[AnAllele]) -> List[DistCom
 
 
 def compare(params: OtterOpts, bed_file: str, reference: str, target: str,
-            out: TextIO = sys.stdout) -> None:
+            out: Optional[TextIO] = None) -> None:
     """(compare.cpp:68-150)"""
+    if out is None:
+        out = sys.stdout
     regions = parse_bed_file(bed_file)
     bam_ref = BamReader(reference, load_index=True)
     bam_target = BamReader(target, load_index=True)

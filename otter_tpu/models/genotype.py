@@ -174,11 +174,13 @@ def genotype_process(params: OtterOpts, bam_path: str, regions: List[BED],
 
 
 def genotype(params: OtterOpts, bam_path: str, bed: str, reference: str,
-             out: TextIO = sys.stdout) -> None:
+             out: Optional[TextIO] = None) -> None:
     """(genotype.cpp:173-192)
 
     Multi-host: regions shard across jax processes like assemble; only
     process 0 emits the VCF header."""
+    if out is None:
+        out = sys.stdout
     regions = parse_bed_file(bed)
     pidx = 0
     if params.device != "host":

@@ -8,7 +8,7 @@ length, Hill-Shannon diversity, and the k-mer usage vector
 from __future__ import annotations
 
 import sys
-from typing import List, TextIO, Tuple
+from typing import List, TextIO, Tuple, Optional
 
 from ..config import OtterOpts
 from ..io.bed import parse_bed_file
@@ -45,8 +45,10 @@ def get_gc_content(seq: str) -> float:
 
 
 def vcf2mat(params: OtterOpts, bed: str, vcf: str, k_l: int,
-            out: TextIO = sys.stdout) -> None:
+            out: Optional[TextIO] = None) -> None:
     """(vcf2mat.cpp:48-77)"""
+    if out is None:
+        out = sys.stdout
     parse_bed_file(bed)  # loaded for parity (regions unused downstream)
     for line in iter_lines(vcf):
         if not line or line[0] == "#":

@@ -9,7 +9,7 @@ ANALLELE emission with the sp tag (:104-114).
 from __future__ import annotations
 
 import sys
-from typing import List, TextIO
+from typing import List, TextIO, Optional
 
 from ..config import OtterOpts
 from ..io.bam import (
@@ -151,8 +151,10 @@ def wga_bam_genotyper(params: OtterOpts, bam_path: str,
 
 
 def wgat(params: OtterOpts, input_path: str, bed_file: str,
-         out: TextIO = sys.stdout) -> None:
+         out: Optional[TextIO] = None) -> None:
     """(wgat.cpp:161-179): BAM-only input (extension check)."""
+    if out is None:
+        out = sys.stdout
     bed_regions = parse_bed_file(bed_file)
     if input_path.rsplit(".", 1)[-1] == "bam":
         if not params.is_fa:

@@ -1,0 +1,75 @@
+"""CLI smoke tests: subcommand routing, flags/defaults parity, version."""
+
+import io
+import random
+import sys
+
+import pytest
+
+from otter_tpu import OTTER_VERSION
+from otter_tpu.cli.main import main
+
+from fixtures import make_reference, simulate_region_bam, write_fasta
+
+
+def test_version(capsys):
+    assert main(["version"]) == 0
+    assert capsys.readouterr().out.strip() == OTTER_VERSION
+
+
+def test_help_listing(capsys):
+    assert main([]) == 0
+    out = capsys.readouterr().out
+    # hidden commands not in help (main.cpp:11-17)
+    assert "assemble" in out and "genotype" in out and "wgat" in out
+    assert "vcf2mat" not in out and "compare" not in out
+
+
+def test_unknown_command(capsys):
+    assert main(["frobnicate"]) == 0
+    assert "Usage" in capsys.readouterr().out
+
+
+def test_assemble_cli(tmp_path, capsys, monkeypatch):
+    rng = random.Random(3)
+    ref = make_reference(rng, length=3000, repeat="CAG", repeat_at=1500,
+                         repeat_units=20)
+    start, end = 1500, 1560
+    bam = str(tmp_path / "r.bam")
+    simulate_region_bam(bam, "chr1", ref, (start, end),
+                        [ref[start:end]], per_allele_cov=6,
+                        error_rate=0.002, seed=4)
+    bed = str(tmp_path / "r.bed")
+    with open(bed, "w") as fh:
+        fh.write(f"chr1\t{start}\t{end}\n")
+    rc = main(["assemble", "-b", bed, "-R", "S1", "--fasta",
+               "--device", "host", bam])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith(">S1#chr1:1500-1560#0#")
+
+
+def test_assemble_missing_bed(tmp_path, capsys):
+    rc = main(["assemble", "-R", "S1", "--device", "host", "x.bam"])
+    assert rc == 1
+
+
+def test_assemble_no_inputs_prints_help(capsys):
+    assert main(["assemble"]) == 0
+    assert "usage" in capsys.readouterr().out.lower()
+
+
+def test_bandwidth_short_flag_is_h(tmp_path, capsys):
+    """-h binds to --bandwidth like the reference (command_assemble.cpp:42)."""
+    rng = random.Random(3)
+    ref = make_reference(rng, length=3000, repeat="CAG", repeat_at=1500,
+                         repeat_units=20)
+    bam = str(tmp_path / "r.bam")
+    simulate_region_bam(bam, "chr1", ref, (1500, 1560), [ref[1500:1560]],
+                        per_allele_cov=6, error_rate=0.002, seed=4)
+    bed = str(tmp_path / "r.bed")
+    with open(bed, "w") as fh:
+        fh.write("chr1\t1500\t1560\n")
+    rc = main(["assemble", "-b", bed, "-R", "S1", "--fasta", "-h", "0.02",
+               "--device", "host", bam])
+    assert rc == 0
