@@ -1,0 +1,203 @@
+"""Batched banded gap-affine alignment: one pattern vs many texts.
+
+rapid_consensus aligns every cluster member against the same medoid backbone
+(src/analignments.cpp:266-282); this module runs those alignments as one
+vectorized banded DP over the member batch (rows shared, members on the
+batch axis), then walks each member's traceback. Semantics — scores, free
+ends, and tie-breaking — are identical to ops/align_np.py (cross-checked in
+tests), so consensus output is unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .align_np import (
+    GAP_EXT,
+    GAP_OPEN,
+    MISMATCH,
+    _BIG,
+    _codes,
+    affine_align_ends_free_cigar,
+)
+
+
+def _banded_batch(a: np.ndarray, texts: List[np.ndarray], k: int,
+                  pb: np.ndarray, tb: np.ndarray):
+    """H/E/F of shape (B, m+1, W) int64 for pattern a vs each text."""
+    m = len(a)
+    B = len(texts)
+    W = 2 * (k + 1)
+    n = np.array([len(t) for t in texts], dtype=np.int64)[:, None]
+    nmax = int(n.max())
+    bx = np.full((B, nmax + W + 2), -1, dtype=np.int64)
+    for bi, t in enumerate(texts):
+        bx[bi, : len(t)] = t
+    H = np.full((B, m + 1, W), _BIG, dtype=np.int64)
+    E = np.full((B, m + 1, W), _BIG, dtype=np.int64)
+    F = np.full((B, m + 1, W), _BIG, dtype=np.int64)
+    w_idx = np.arange(W, dtype=np.int64)[None, :]
+    ew = GAP_EXT * w_idx
+    j0 = w_idx - (k + 1)
+    tb2 = tb[:, None]
+    pb2 = pb[:, None]
+    H[:, 0, :] = np.where(
+        (j0 >= 0) & (j0 <= n),
+        np.where(j0 <= tb2, 0, GAP_OPEN + GAP_EXT * (j0 - tb2)), _BIG)
+    big_col = np.full((B, 1), _BIG, dtype=np.int64)
+    for i in range(1, m + 1):
+        j = i + j0  # (1, W) -> broadcast (B, W) with n
+        lo = i - (k + 1) - 1
+        if lo >= 0:
+            b_win = bx[:, lo : lo + W]
+        else:
+            b_win = np.concatenate(
+                [np.full((B, -lo), -1, dtype=np.int64), bx[:, : W + lo]],
+                axis=1)
+        sub = np.where(b_win == a[i - 1], 0, MISMATCH)
+        Hup = np.concatenate([H[:, i - 1, 1:], big_col], axis=1)
+        Fup = np.concatenate([F[:, i - 1, 1:], big_col], axis=1)
+        F_row = np.minimum(Hup + GAP_OPEN + GAP_EXT, Fup + GAP_EXT)
+        diag = H[:, i - 1, :] + sub
+        Bv = np.minimum(diag, F_row)
+        hb = np.where(i <= pb2, 0, GAP_OPEN + GAP_EXT * (i - pb2))
+        Bv = np.where(j == 0, hb, Bv)
+        invalid = (j < 0) | (j > n)
+        Bv = np.where(invalid, _BIG, Bv)
+        scan = np.minimum.accumulate(Bv - ew, axis=1)
+        E_row = np.empty((B, W), dtype=np.int64)
+        E_row[:, 0] = _BIG
+        E_row[:, 1:] = scan[:, :-1] + ew[:, 1:] + GAP_OPEN
+        E_row = np.where(invalid, _BIG, E_row)
+        H_row = np.minimum(Bv, E_row)
+        H_row = np.where(j == 0, hb, H_row)
+        H_row = np.where(invalid, _BIG, H_row)
+        H[:, i, :] = H_row
+        E[:, i, :] = E_row
+        F[:, i, :] = np.where(invalid, _BIG, F_row)
+    return H, E, F, n[:, 0]
+
+
+class _MemberView:
+    """[i, j] indexing into one member's banded matrix."""
+
+    def __init__(self, arr: np.ndarray, k: int):
+        self.arr = arr
+        self.k = k
+        self.W = arr.shape[1]
+
+    def __getitem__(self, ij):
+        i, j = ij
+        w = j - i + (self.k + 1)
+        if 0 <= w < self.W:
+            return self.arr[i, w]
+        return _BIG
+
+
+def _end_cell(H: _MemberView, m: int, n: int, pe: int, te: int):
+    best = (int(H[m, n]), m, n)
+    for j in range(n - 1, max(0, n - te) - 1, -1):
+        s = int(H[m, j])
+        if s < best[0]:
+            best = (s, m, j)
+    for i in range(m - 1, max(0, m - pe) - 1, -1):
+        s = int(H[i, n])
+        if s < best[0]:
+            best = (s, i, n)
+    return best
+
+
+def _traceback(H, E, F, a, b, m, n, ei, ej) -> str:
+    ops = []
+    ops.extend("I" * (n - ej))
+    ops.extend("D" * (m - ei))
+    i, j = ei, ej
+    state = "H"
+    while i > 0 or j > 0:
+        if state == "H":
+            h = H[i, j]
+            if i == 0:
+                ops.extend("I" * j)
+                break
+            if j == 0:
+                ops.extend("D" * i)
+                break
+            if h == F[i, j]:
+                state = "F"
+                continue
+            if h == E[i, j]:
+                state = "E"
+                continue
+            sub = 0 if a[i - 1] == b[j - 1] else MISMATCH
+            ops.append("M" if sub == 0 else "X")
+            i -= 1
+            j -= 1
+        elif state == "F":
+            ops.append("D")
+            if F[i, j] == F[i - 1, j] + GAP_EXT and i > 1:
+                i -= 1
+            else:
+                i -= 1
+                state = "H"
+        else:
+            ops.append("I")
+            if E[i, j] == E[i, j - 1] + GAP_EXT and j > 1:
+                j -= 1
+            else:
+                j -= 1
+                state = "H"
+    return "".join(reversed(ops))
+
+
+# keep the batch's H/E/F footprint bounded (int64 x 3 matrices)
+_MEM_BUDGET_BYTES = 512 * 1024 * 1024
+
+
+def affine_cigars_batch(pattern: str,
+                        jobs: Sequence[Tuple[str, int, int, int, int]]
+                        ) -> List[str]:
+    """Cigars for (text, pb, pe, tb, te) jobs against a shared pattern.
+
+    Identical results to affine_align_ends_free_cigar per job; members whose
+    band needs escalation are recomputed individually via the scalar path.
+    """
+    if not jobs:
+        return []
+    a = _codes(pattern)
+    m = len(a)
+    reach = max(max(abs(len(j[0]) - m), j[1], j[2], j[3], j[4])
+                for j in jobs)
+    k = 32
+    while k < reach + 16:
+        k *= 2
+    nmax = max(len(j[0]) for j in jobs)
+    if 2 * (k + 1) >= nmax + 2:
+        # band no smaller than full: scalar path per member
+        return [affine_align_ends_free_cigar(pattern, t, pb, pe, tb, te)
+                for t, pb, pe, tb, te in jobs]
+    # chunk members to bound memory
+    per_member = 3 * (m + 1) * (2 * (k + 1)) * 8
+    chunk = max(1, _MEM_BUDGET_BYTES // max(1, per_member))
+    out: List[str] = []
+    for c0 in range(0, len(jobs), chunk):
+        sub = jobs[c0 : c0 + chunk]
+        texts = [_codes(j[0]) for j in sub]
+        pb = np.array([j[1] for j in sub], dtype=np.int64)
+        tb = np.array([j[3] for j in sub], dtype=np.int64)
+        H, E, F, n = _banded_batch(a, texts, k, pb, tb)
+        for bi, (t, pbv, pev, tbv, tev) in enumerate(sub):
+            Hv = _MemberView(H[bi], k)
+            Ev = _MemberView(E[bi], k)
+            Fv = _MemberView(F[bi], k)
+            score, ei, ej = _end_cell(Hv, m, int(n[bi]), pev, tev)
+            member_reach = max(abs(int(n[bi]) - m), pbv, pev, tbv, tev)
+            if score < GAP_OPEN + GAP_EXT * (k + 1 - member_reach):
+                out.append(_traceback(Hv, Ev, Fv, a, texts[bi], m,
+                                      int(n[bi]), ei, ej))
+            else:
+                # band insufficient for this member: exact scalar fallback
+                out.append(affine_align_ends_free_cigar(
+                    pattern, t, pbv, pev, tbv, tev))
+    return out

@@ -211,33 +211,41 @@ def rapid_consensus(ignore_haps: bool, reads: List[AnRead], labels: List[int],
             local_allele.seq = reads[label_indeces_valid_reads[0]].seq
         else:
             poa = Ppoa(rep_read.seq)
-            cigar = ""  # persists across members like the C++ WFAligner state
+            # collect per-member alignment jobs (analignments.cpp:266-279),
+            # run them as one batched banded DP against the shared backbone,
+            # then insert in order. A job of None reproduces the reference's
+            # stale-aligner state (the previous member's cigar is reused).
+            jobs = []
             for i in label_indeces_all_reads:
                 read = reads[i]
                 length_diff = len(rep_read.seq) - len(read.seq)
                 if read.is_spanning() or length_diff < 0:
                     if length_diff >= 0:
-                        cigar = affine_align_cigar(rep_read.seq, read.seq)
+                        jobs.append((read.seq, 0, 0, 0, 0))
+                    elif read.is_spanning_l:
+                        jobs.append((read.seq, 0, 0, 0, -length_diff))
+                    elif read.is_spanning_r:
+                        jobs.append((read.seq, 0, 0, -length_diff, 0))
                     else:
-                        if read.is_spanning_l:
-                            cigar = affine_align_ends_free_cigar(
-                                rep_read.seq, read.seq, 0, 0, 0, -length_diff)
-                        elif read.is_spanning_r:
-                            cigar = affine_align_ends_free_cigar(
-                                rep_read.seq, read.seq, 0, 0, -length_diff, 0)
-                        # (neither spanning side & longer than rep: the
-                        # reference leaves the previous cigar in the aligner)
+                        jobs.append(None)
                 else:
                     if read.is_spanning_l:
-                        cigar = affine_align_ends_free_cigar(
-                            rep_read.seq, read.seq, 0, length_diff, 0, 0)
+                        jobs.append((read.seq, 0, length_diff, 0, 0))
                     elif read.is_spanning_r:
-                        cigar = affine_align_ends_free_cigar(
-                            rep_read.seq, read.seq, length_diff, 0, 0, 0)
+                        jobs.append((read.seq, length_diff, 0, 0, 0))
                     else:
-                        cigar = affine_align_ends_free_cigar(
-                            rep_read.seq, read.seq,
-                            length_diff // 2, length_diff // 2, 0, 0)
+                        jobs.append((read.seq, length_diff // 2,
+                                     length_diff // 2, 0, 0))
+            from .align_batch import affine_cigars_batch
+            real_jobs = [j for j in jobs if j is not None]
+            cigars = affine_cigars_batch(rep_read.seq, real_jobs)
+            cigar = ""  # persists across members like the C++ WFAligner state
+            ci = 0
+            for i, job in zip(label_indeces_all_reads, jobs):
+                read = reads[i]
+                if job is not None:
+                    cigar = cigars[ci]
+                    ci += 1
                 poa.insert_alignment(read.seq, cigar, read.is_spanning_l, read.is_spanning_r)
             c = np.float32((len(label_indeces_all_reads) + 1) * 0.4)
             t = np.float32(0.3)

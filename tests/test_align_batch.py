@@ -1,0 +1,63 @@
+"""Batched affine aligner must exactly match the scalar path."""
+
+import random
+
+from otter_tpu.ops.align_batch import affine_cigars_batch
+from otter_tpu.ops.align_np import affine_align_ends_free_cigar
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice("ACGT") for _ in range(n))
+
+
+def mut(rng, s, rate):
+    o = []
+    for ch in s:
+        x = rng.random()
+        if x < rate * 0.4:
+            o.append(rng.choice([b for b in "ACGT" if b != ch]))
+        elif x < rate * 0.7:
+            o.extend([ch, rng.choice("ACGT")])
+        elif x < rate:
+            pass
+        else:
+            o.append(ch)
+    return "".join(o)
+
+
+def test_batch_matches_scalar():
+    rng = random.Random(8)
+    for trial in range(8):
+        pattern = rand_seq(rng, rng.randrange(80, 400))
+        jobs = []
+        for _ in range(12):
+            t = mut(rng, pattern, rng.choice([0.01, 0.05, 0.12]))
+            ld = len(pattern) - len(t)
+            kind = rng.randrange(4)
+            if kind == 0:
+                jobs.append((t, 0, 0, 0, 0))
+            elif kind == 1 and ld > 0:
+                jobs.append((t, 0, ld, 0, 0))
+            elif kind == 2 and ld < 0:
+                jobs.append((t, 0, 0, 0, -ld))
+            else:
+                jobs.append((t, max(0, ld // 2), max(0, ld // 2), 0, 0))
+        got = affine_cigars_batch(pattern, jobs)
+        want = [affine_align_ends_free_cigar(pattern, *j[:1], *j[1:])
+                for j in jobs]
+        assert got == want, trial
+
+
+def test_batch_with_divergent_member():
+    """A member needing band escalation falls back to the scalar path."""
+    rng = random.Random(9)
+    pattern = rand_seq(rng, 200)
+    jobs = [
+        (mut(rng, pattern, 0.02), 0, 0, 0, 0),
+        (rand_seq(rng, 210), 0, 0, 0, 0),  # unrelated -> huge distance
+        (mut(rng, pattern, 0.01), 0, 0, 0, 0),
+    ]
+    got = affine_cigars_batch(pattern, jobs)
+    want = [affine_align_ends_free_cigar(pattern, *j[:1], *j[1:])
+            for j in jobs]
+    assert got == want
