@@ -133,10 +133,12 @@ def prepare_region(params: OtterOpts, local_bed: BED, bam: BamReader,
                       valid_indeces, invalid_indeces)
 
 
-def finish_region(params: OtterOpts, work: RegionWork,
-                  distmatrix: DistMatrix, out: TextIO) -> None:
-    """Clustering -> reassignment -> consensus -> emission
-    (assemble.cpp:128-149)."""
+def cluster_region(params: OtterOpts, work: RegionWork,
+                   distmatrix: DistMatrix):
+    """Clustering + reassignment + consensus preparation
+    (assemble.cpp:128-141). Returns (clustmsg, alleles, poa_tasks)."""
+    from ..ops.consensus import consensus_prepare
+
     clustmsg = ClusteringStatus()
     otter_hclust(work.ignore_haps, params.max_alleles, params.bandwidth_short,
                  params.bandwidth_length, params.bandwidth_long,
@@ -150,8 +152,15 @@ def finish_region(params: OtterOpts, work: RegionWork,
         invalid_reassignment(work.ignore_haps, params.min_sim, params.max_error,
                              clustmsg.fc, work.reads, labels)
     alleles = [AnAllele() for _ in range(clustmsg.fc)]
-    rapid_consensus(work.ignore_haps, work.reads, labels, work.valid_indeces,
-                    clustmsg.fc, distmatrix, alleles)
+    tasks = consensus_prepare(work.ignore_haps, work.reads, labels,
+                              work.valid_indeces, clustmsg.fc, distmatrix,
+                              alleles)
+    return clustmsg, alleles, tasks
+
+
+def emit_region(params: OtterOpts, work: RegionWork, clustmsg, alleles,
+                out: TextIO) -> None:
+    """Allele emission with the ic tag (assemble.cpp:143-149)."""
     local_bed = work.bed
     for l in range(clustmsg.fc):
         alleles[l].ic = clustmsg.ic
@@ -162,6 +171,17 @@ def finish_region(params: OtterOpts, work: RegionWork,
             out.write(alleles[l].to_sam(
                 local_bed.to_sc_string() + "_" + str(l), local_bed.chr,
                 local_bed.start, local_bed.end, params.read_group) + "\n")
+
+
+def finish_region(params: OtterOpts, work: RegionWork,
+                  distmatrix: DistMatrix, out: TextIO) -> None:
+    """Clustering -> reassignment -> consensus -> emission
+    (assemble.cpp:128-149)."""
+    from ..ops.consensus import consensus_apply_batched
+
+    clustmsg, alleles, tasks = cluster_region(params, work, distmatrix)
+    consensus_apply_batched(tasks)
+    emit_region(params, work, clustmsg, alleles, out)
 
 
 def _region_pairs(work: RegionWork):
@@ -192,6 +212,10 @@ def process_region_batch(params: OtterOpts, batch: List[RegionWork],
     with metrics.phase("device_dispatch"):
         dists = dist_backend.engine.distances(all_pairs) if all_pairs else []
     metrics.add("pair_alignments", len(all_pairs))
+    from ..ops.consensus import consensus_apply_batched
+
+    staged = []
+    all_tasks = []
     for work, coords, start in spans:
         distmatrix = DistMatrix(len(work.valid_indeces))
         if coords is None:
@@ -205,7 +229,14 @@ def process_region_batch(params: OtterOpts, batch: List[RegionWork],
                 largest = float(max(len(x), len(y)))
                 distmatrix.set_dist(i, j, d / largest)
         with metrics.phase("cluster_consensus"):
-            finish_region(params, work, distmatrix, out)
+            clustmsg, alleles, tasks = cluster_region(params, work, distmatrix)
+        staged.append((work, clustmsg, alleles))
+        all_tasks.extend(tasks)
+    # one multi-pattern banded DP for every allele consensus in the batch
+    with metrics.phase("cluster_consensus"):
+        consensus_apply_batched(all_tasks)
+    for work, clustmsg, alleles in staged:
+        emit_region(params, work, clustmsg, alleles, out)
 
 
 def assemble_region(params: OtterOpts, local_bed: BED, bam: BamReader,

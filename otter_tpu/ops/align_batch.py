@@ -155,6 +155,116 @@ def _traceback(H, E, F, a, b, m, n, ei, ej) -> str:
 _MEM_BUDGET_BYTES = 512 * 1024 * 1024
 
 
+def _banded_batch_multi(patterns: List[np.ndarray], texts: List[np.ndarray],
+                        k: int, pb: np.ndarray, tb: np.ndarray):
+    """Per-member patterns variant: H/E/F (B, m_max+1, W); rows beyond a
+    member's pattern end freeze (score extraction at i=m stays valid because
+    frozen rows keep row-m band coordinates; traceback never reads i>m)."""
+    B = len(patterns)
+    m = np.array([len(p) for p in patterns], dtype=np.int64)
+    m_max = int(m.max())
+    W = 2 * (k + 1)
+    ax = np.full((B, m_max), -2, dtype=np.int64)
+    for bi, p in enumerate(patterns):
+        ax[bi, : len(p)] = p
+    n = np.array([len(t) for t in texts], dtype=np.int64)[:, None]
+    nmax = int(n.max())
+    bx = np.full((B, nmax + W + 2), -1, dtype=np.int64)
+    for bi, t in enumerate(texts):
+        bx[bi, : len(t)] = t
+    H = np.full((B, m_max + 1, W), _BIG, dtype=np.int64)
+    E = np.full((B, m_max + 1, W), _BIG, dtype=np.int64)
+    F = np.full((B, m_max + 1, W), _BIG, dtype=np.int64)
+    w_idx = np.arange(W, dtype=np.int64)[None, :]
+    ew = GAP_EXT * w_idx
+    j0 = w_idx - (k + 1)
+    tb2 = tb[:, None]
+    pb2 = pb[:, None]
+    m2 = m[:, None]
+    H[:, 0, :] = np.where(
+        (j0 >= 0) & (j0 <= n),
+        np.where(j0 <= tb2, 0, GAP_OPEN + GAP_EXT * (j0 - tb2)), _BIG)
+    big_col = np.full((B, 1), _BIG, dtype=np.int64)
+    for i in range(1, m_max + 1):
+        j = i + j0
+        lo = i - (k + 1) - 1
+        if lo >= 0:
+            b_win = bx[:, lo : lo + W]
+        else:
+            b_win = np.concatenate(
+                [np.full((B, -lo), -1, dtype=np.int64), bx[:, : W + lo]],
+                axis=1)
+        a_col = ax[:, i - 1 : i]
+        sub = np.where(b_win == a_col, 0, MISMATCH)
+        Hup = np.concatenate([H[:, i - 1, 1:], big_col], axis=1)
+        Fup = np.concatenate([F[:, i - 1, 1:], big_col], axis=1)
+        F_row = np.minimum(Hup + GAP_OPEN + GAP_EXT, Fup + GAP_EXT)
+        diag = H[:, i - 1, :] + sub
+        Bv = np.minimum(diag, F_row)
+        hb = np.where(i <= pb2, 0, GAP_OPEN + GAP_EXT * (i - pb2))
+        Bv = np.where(j == 0, hb, Bv)
+        invalid = (j < 0) | (j > n)
+        Bv = np.where(invalid, _BIG, Bv)
+        scan = np.minimum.accumulate(Bv - ew, axis=1)
+        E_row = np.empty((B, W), dtype=np.int64)
+        E_row[:, 0] = _BIG
+        E_row[:, 1:] = scan[:, :-1] + ew[:, 1:] + GAP_OPEN
+        E_row = np.where(invalid, _BIG, E_row)
+        H_row = np.minimum(Bv, E_row)
+        H_row = np.where(j == 0, hb, H_row)
+        H_row = np.where(invalid, _BIG, H_row)
+        F_row = np.where(invalid, _BIG, F_row)
+        # freeze members whose pattern already ended
+        keep = (i <= m2)
+        H[:, i, :] = np.where(keep, H_row, H[:, i - 1, :])
+        E[:, i, :] = np.where(keep, E_row, E[:, i - 1, :])
+        F[:, i, :] = np.where(keep, F_row, F[:, i - 1, :])
+    return H, E, F, m, n[:, 0]
+
+
+def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]]
+                        ) -> List[str]:
+    """Cigars for (pattern, text, pb, pe, tb, te) jobs with *different*
+    patterns, batched by band size. Exact scalar parity; escalating members
+    fall back to the scalar path."""
+    out: List[str] = [""] * len(jobs)
+    groups: dict = {}
+    for idx, (p, t, pb, pe, tb, te) in enumerate(jobs):
+        reach = max(abs(len(t) - len(p)), pb, pe, tb, te)
+        k = 32
+        while k < reach + 16:
+            k *= 2
+        if 2 * (k + 1) >= len(t) + 2:
+            out[idx] = affine_align_ends_free_cigar(p, t, pb, pe, tb, te)
+        else:
+            groups.setdefault(k, []).append(idx)
+    for k, members in sorted(groups.items()):
+        m_max = max(len(jobs[i][0]) for i in members)
+        per_member = 3 * (m_max + 1) * (2 * (k + 1)) * 8
+        chunk = max(1, _MEM_BUDGET_BYTES // max(1, per_member))
+        for c0 in range(0, len(members), chunk):
+            sub_idx = members[c0 : c0 + chunk]
+            pats = [_codes(jobs[i][0]) for i in sub_idx]
+            texts = [_codes(jobs[i][1]) for i in sub_idx]
+            pb = np.array([jobs[i][2] for i in sub_idx], dtype=np.int64)
+            tb = np.array([jobs[i][4] for i in sub_idx], dtype=np.int64)
+            H, E, F, m, n = _banded_batch_multi(pats, texts, k, pb, tb)
+            for bi, idx in enumerate(sub_idx):
+                p, t, pbv, pev, tbv, tev = jobs[idx]
+                Hv = _MemberView(H[bi], k)
+                Ev = _MemberView(E[bi], k)
+                Fv = _MemberView(F[bi], k)
+                score, ei, ej = _end_cell(Hv, int(m[bi]), int(n[bi]), pev, tev)
+                reach = max(abs(int(n[bi]) - int(m[bi])), pbv, pev, tbv, tev)
+                if score < GAP_OPEN + GAP_EXT * (k + 1 - reach):
+                    out[idx] = _traceback(Hv, Ev, Fv, pats[bi], texts[bi],
+                                          int(m[bi]), int(n[bi]), ei, ej)
+                else:
+                    out[idx] = affine_align_ends_free_cigar(
+                        p, t, pbv, pev, tbv, tev)
+    return out
+
+
 def affine_cigars_batch(pattern: str,
                         jobs: Sequence[Tuple[str, int, int, int, int]]
                         ) -> List[str]:

@@ -142,14 +142,77 @@ def compute_se(values: List[float]) -> float:
     return math.sqrt(n / (len(values) - 1)) / math.sqrt(len(values))
 
 
+class PoaTask:
+    """One allele's deferred consensus: backbone + per-member alignment jobs
+    (a None job reproduces the reference's stale-aligner cigar reuse)."""
+
+    def __init__(self, allele: AnAllele, rep_read: AnRead,
+                 member_reads: List[AnRead], jobs: List[Optional[tuple]]):
+        self.allele = allele
+        self.rep_read = rep_read
+        self.member_reads = member_reads
+        self.jobs = jobs
+
+    def flat_jobs(self) -> List[tuple]:
+        return [(self.rep_read.seq,) + j for j in self.jobs if j is not None]
+
+    def apply(self, cigars: List[str]) -> None:
+        poa = Ppoa(self.rep_read.seq)
+        cigar = ""
+        ci = 0
+        for read, job in zip(self.member_reads, self.jobs):
+            if job is not None:
+                cigar = cigars[ci]
+                ci += 1
+            poa.insert_alignment(read.seq, cigar, read.is_spanning_l,
+                                 read.is_spanning_r)
+        n_members = len(self.member_reads) + 1
+        c = np.float32(n_members * 0.4)
+        if n_members < 4:
+            c = np.float32(1.0)
+        poa.adjust_weights(float(c), float(np.float32(0.3)))
+        self.allele.seq = poa.consensus()
+        if not self.allele.seq:
+            self.allele.seq = "N"
+
+
+def consensus_apply_batched(tasks: List["PoaTask"]) -> None:
+    """Run every task's member alignments as one multi-pattern banded DP
+    (ops/align_batch.py), then build each POA."""
+    from .align_batch import affine_cigars_multi
+
+    flat: List[tuple] = []
+    spans: List[tuple] = []
+    for task in tasks:
+        jobs = task.flat_jobs()
+        spans.append((task, len(flat), len(jobs)))
+        flat.extend(jobs)
+    cigars = affine_cigars_multi(flat)
+    for task, start, count in spans:
+        task.apply(cigars[start : start + count])
+
+
 def rapid_consensus(ignore_haps: bool, reads: List[AnRead], labels: List[int],
                     valid_indeces: List[int], total_alleles: int,
                     valid_distmatrix: DistMatrix,
                     alleles: List[AnAllele]) -> None:
     """Per-allele medoid backbone + POA consensus (analignments.cpp:192-298)."""
+    tasks = consensus_prepare(ignore_haps, reads, labels, valid_indeces,
+                              total_alleles, valid_distmatrix, alleles)
+    consensus_apply_batched(tasks)
+
+
+def consensus_prepare(ignore_haps: bool, reads: List[AnRead],
+                      labels: List[int], valid_indeces: List[int],
+                      total_alleles: int, valid_distmatrix: DistMatrix,
+                      alleles: List[AnAllele]) -> List[PoaTask]:
+    """Everything in rapid_consensus up to (but excluding) the alignments:
+    coverage bookkeeping, SE, haplotag checks, small-cluster shortcut.
+    Returns the deferred POA tasks for batched alignment."""
     if not valid_indeces:
         sys.stderr.write("ERROR: empty vector of valid read-indeces\n")
         raise SystemExit(1)
+    tasks: List[PoaTask] = []
     for label in range(total_alleles):
         label_indeces_valid_reads = []
         label_indeces_valid_indeces = []
@@ -210,14 +273,15 @@ def rapid_consensus(ignore_haps: bool, reads: List[AnRead], labels: List[int],
         if len(label_indeces_all_reads) + 1 <= 2:
             local_allele.seq = reads[label_indeces_valid_reads[0]].seq
         else:
-            poa = Ppoa(rep_read.seq)
-            # collect per-member alignment jobs (analignments.cpp:266-279),
-            # run them as one batched banded DP against the shared backbone,
-            # then insert in order. A job of None reproduces the reference's
-            # stale-aligner state (the previous member's cigar is reused).
-            jobs = []
+            # collect per-member alignment jobs (analignments.cpp:266-279);
+            # alignments run later as one batched banded DP across all
+            # alleles (and regions). A job of None reproduces the
+            # reference's stale-aligner state (previous cigar reused).
+            jobs: List[Optional[tuple]] = []
+            member_reads: List[AnRead] = []
             for i in label_indeces_all_reads:
                 read = reads[i]
+                member_reads.append(read)
                 length_diff = len(rep_read.seq) - len(read.seq)
                 if read.is_spanning() or length_diff < 0:
                     if length_diff >= 0:
@@ -236,25 +300,8 @@ def rapid_consensus(ignore_haps: bool, reads: List[AnRead], labels: List[int],
                     else:
                         jobs.append((read.seq, length_diff // 2,
                                      length_diff // 2, 0, 0))
-            from .align_batch import affine_cigars_batch
-            real_jobs = [j for j in jobs if j is not None]
-            cigars = affine_cigars_batch(rep_read.seq, real_jobs)
-            cigar = ""  # persists across members like the C++ WFAligner state
-            ci = 0
-            for i, job in zip(label_indeces_all_reads, jobs):
-                read = reads[i]
-                if job is not None:
-                    cigar = cigars[ci]
-                    ci += 1
-                poa.insert_alignment(read.seq, cigar, read.is_spanning_l, read.is_spanning_r)
-            c = np.float32((len(label_indeces_all_reads) + 1) * 0.4)
-            t = np.float32(0.3)
-            if len(label_indeces_all_reads) + 1 < 4:
-                c = np.float32(1.0)
-            poa.adjust_weights(float(c), float(t))
-            local_allele.seq = poa.consensus()
-            if not local_allele.seq:
-                local_allele.seq = "N"
+            tasks.append(PoaTask(local_allele, rep_read, member_reads, jobs))
+    return tasks
 
 
 def local_realignment(chr: str, start: int, end: int, flank: int, min_sim: float,
