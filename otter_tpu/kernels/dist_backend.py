@@ -41,11 +41,17 @@ class DeviceDistBackend:
         if device == "tpu" and plat not in ("tpu", "axon"):
             raise RuntimeError(f"TPU requested but platform is {plat}")
         if device == "cpu":
-            mode = "numpy"  # vectorized host path, no XLA compile latency
+            mode = "native"  # threaded C++ banded DP; numpy on build failure
         elif plat in ("tpu", "axon"):
             mode = "pallas"
         else:
-            mode = "numpy"
+            mode = "native"
+        if mode == "native":
+            try:
+                from ..native import build_native
+                build_native()
+            except Exception:
+                mode = "numpy"
         self.engine = EditDistanceEngine(mode=mode)
 
     # -- assemble hot path ---------------------------------------------------

@@ -321,6 +321,22 @@ class EditDistanceEngine:
             jnp.asarray(a), jnp.asarray(bp), jnp.asarray(mn[:, 0]),
             jnp.asarray(mn[:, 1]), k, max_rows))
 
+    def _native_distances(self, pairs, todo, out) -> bool:
+        """Whole-batch native C++ path (mode == 'native'). Returns True when
+        handled."""
+        try:
+            import os
+            from ..native import edit_distance_batch
+            sub = [pairs[i] for i in todo]
+            threads = min(32, os.cpu_count() or 1)
+            dists, cells = edit_distance_batch(sub, threads)
+            self.cells += cells
+            for bi, idx in enumerate(todo):
+                out[idx] = int(dists[bi])
+            return True
+        except Exception:
+            return False
+
     # Myers routing: pairs whose shorter side fits this many bit-words (and
     # are pure ACGT) go through the bit-parallel kernel; the rest use the
     # banded row kernel.
@@ -377,6 +393,8 @@ class EditDistanceEngine:
             else:
                 todo.append(idx)
         if not todo:
+            return out
+        if self.mode == "native" and self._native_distances(pairs, todo, out):
             return out
         todo = self._myers_route(pairs, todo, out)
         if not todo:
