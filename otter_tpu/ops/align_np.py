@@ -325,18 +325,46 @@ def edit_align_cigar_len(pattern: str, text: str) -> Tuple[int, int]:
     a, b = _codes(pattern), _codes(text)
     m, n = len(a), len(b)
     K = np.int64(1 << 22)  # > m + n for any realistic allele
-    js = np.arange(n + 1, dtype=np.int64)
-    # cost = edit * K + (#indel steps)
-    prev = js * (K + 1)
     step = K + 1
-    for i in range(1, m + 1):
-        sub = np.where(b == a[i - 1], 0, K).astype(np.int64)
-        v = np.empty(n + 1, dtype=np.int64)
-        v[0] = i * step
-        np.minimum(prev[1:] + step, prev[:-1] + sub, out=v[1:])
-        cur = np.minimum.accumulate(v - js * step) + js * step
-        prev = cur
-    composite = int(prev[n])
+    # banded with doubling (exact when the edit part of the composite <= k)
+    composite = None
+    k = max(63, abs(m - n) + 1)
+    while True:
+        W = 2 * (k + 1)
+        if W >= n + 2:
+            break  # full-width fallback below
+        w_idx = np.arange(W, dtype=np.int64)
+        j0 = w_idx - (k + 1)
+        prev = np.where((j0 >= 0) & (j0 <= n), j0 * step, 1 << 56)
+        bpad = np.concatenate(
+            [np.full(k + 2, -1, dtype=np.int64), b.astype(np.int64),
+             np.full(W + 2, -1, dtype=np.int64)])
+        for i in range(1, m + 1):
+            # b[j-1] for j = i + j0: bpad index (j-1) + (k+2) = i + w_idx
+            j = i + j0
+            b_win = bpad[i : i + W]
+            sub = np.where(b_win == a[i - 1], 0, K)
+            up = np.concatenate([prev[1:], [1 << 56]]) + step
+            v = np.minimum(up, prev + sub)
+            v = np.where(j == 0, i * step, v)
+            v = np.where((j < 0) | (j > n), 1 << 56, v)
+            prev = np.minimum.accumulate(v - w_idx * step) + w_idx * step
+        wf = n - m + (k + 1)
+        cand = int(prev[wf]) if 0 <= wf < W else (1 << 56)
+        if cand // K <= k:
+            composite = cand
+            break
+        k = 2 * k + 1
+    if composite is None:
+        js = np.arange(n + 1, dtype=np.int64)
+        prev = js * step
+        for i in range(1, m + 1):
+            sub = np.where(b == a[i - 1], 0, K).astype(np.int64)
+            v = np.empty(n + 1, dtype=np.int64)
+            v[0] = i * step
+            np.minimum(prev[1:] + step, prev[:-1] + sub, out=v[1:])
+            prev = np.minimum.accumulate(v - js * step) + js * step
+        composite = int(prev[n])
     edit = composite // K
     # careful: composite = edit*K + indels, and indels < K
     indels = composite - edit * K
