@@ -59,6 +59,8 @@ def _cmd_assemble(argv: List[str]) -> int:
     p.add_argument("-f", "--flank-size", dest="flank_size", type=int, default=100)
     p.add_argument("-s", "--min-sim", dest="min_sim", type=float, default=0.9)
     p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("--resume", default="",
+                   help="Skip regions already present in this partial output file.")
     _add_device_args(p)
     args = p.parse_args(argv)
     if not args.inputs:
@@ -91,7 +93,8 @@ def _cmd_assemble(argv: List[str]) -> int:
     params.is_debug = args.debug
     params.device = args.device
     from ..models.assemble import assemble
-    assemble(args.inputs[0], args.bed, args.reference, args.reads_only, params)
+    assemble(args.inputs[0], args.bed, args.reference, args.reads_only, params,
+             resume_from=args.resume)
     return 0
 
 

@@ -300,8 +300,33 @@ def _make_dist_backend(params: OtterOpts):
     return None
 
 
+def completed_regions(partial_output_path: str) -> set:
+    """Region ids (chr:start-end) already present in a partial assemble
+    output (SAM ta: tags or FASTA headers) — the restart unit is a region,
+    matching the reference's implicit recovery model (SURVEY.md §5)."""
+    done = set()
+    try:
+        with open(partial_output_path) as fh:
+            for line in fh:
+                if line.startswith("@"):
+                    continue
+                if line.startswith(">"):
+                    parts = line[1:].split("#")
+                    if len(parts) >= 2:
+                        done.add(parts[1])
+                else:
+                    for field in line.rstrip("\n").split("\t")[11:]:
+                        if field.startswith("ta:Z:"):
+                            done.add(field[5:])
+                            break
+    except OSError:
+        pass
+    return done
+
+
 def assemble(bam_path: str, bed: str, reference: str, reads_only: bool,
-             params: OtterOpts, out: Optional[TextIO] = None) -> None:
+             params: OtterOpts, out: Optional[TextIO] = None,
+             resume_from: str = "") -> None:
     """Top level (assemble.cpp:160-179): SAM header then per-region work.
 
     Multi-host: when running under jax.distributed, each process handles its
@@ -311,6 +336,14 @@ def assemble(bam_path: str, bed: str, reference: str, reads_only: bool,
     if out is None:
         out = sys.stdout
     bed_regions = parse_bed_file(bed)
+    if resume_from:
+        done = completed_regions(resume_from)
+        before = len(bed_regions)
+        bed_regions = [b for b in bed_regions
+                       if b.to_sc_string() not in done]
+        sys.stderr.write(
+            f"({antimestamp()}): resume: skipping {before - len(bed_regions)} "
+            f"completed regions\n")
     pidx = 0
     if params.device != "host":
         from ..parallel.distributed import maybe_initialize, shard_regions

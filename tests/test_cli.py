@@ -73,3 +73,41 @@ def test_bandwidth_short_flag_is_h(tmp_path, capsys):
     rc = main(["assemble", "-b", bed, "-R", "S1", "--fasta", "-h", "0.02",
                "--device", "host", bam])
     assert rc == 0
+
+
+def test_assemble_resume_skips_completed(tmp_path, capsys):
+    rng = random.Random(44)
+    ref = make_reference(rng, length=6000, repeat="CAG", repeat_at=1500,
+                         repeat_units=20)
+    bam = str(tmp_path / "r.bam")
+    from fixtures import make_bam, read_record
+    from otter_tpu.io.bam import BAM_CMATCH
+    recs = []
+    regions = [(1500, 1560), (3000, 3060)]
+    for r, (start, end) in enumerate(regions):
+        for c in range(5):
+            seq = ref[start - 150 : end + 150]
+            recs.append(read_record(f"x{r}_{c}", 0, start - 150, seq,
+                                    [(len(seq), BAM_CMATCH)],
+                                    tags=[("rq", "f", 0.99)]))
+    make_bam(bam, [("chr1", len(ref))], recs)
+    bed = str(tmp_path / "r.bed")
+    with open(bed, "w") as fh:
+        for start, end in regions:
+            fh.write(f"chr1\t{start}\t{end}\n")
+    # full run captured as "partial" containing only the first region
+    rc = main(["assemble", "-b", bed, "-R", "S1", "--device", "host", bam])
+    assert rc == 0
+    full = capsys.readouterr().out
+    partial = str(tmp_path / "partial.sam")
+    with open(partial, "w") as fh:
+        for line in full.split("\n"):
+            if line.startswith("@") or "ta:Z:chr1:1500-1560" in line:
+                fh.write(line + "\n")
+    rc = main(["assemble", "-b", bed, "-R", "S1", "--device", "host",
+               "--resume", partial, bam])
+    assert rc == 0
+    resumed = capsys.readouterr().out
+    body = [l for l in resumed.split("\n") if l and not l.startswith("@")]
+    assert all("ta:Z:chr1:3000-3060" in l for l in body)
+    assert len(body) >= 1
