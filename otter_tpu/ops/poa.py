@@ -95,6 +95,32 @@ class Ppoa:
 
         while cigar_i < len(cigar):
             c = cigar[cigar_i]
+            # fast path: an interior run of M's over consecutive backbone
+            # nodes is a bulk weight increment on backbone edges (t -> t+1),
+            # which sit at position 0 of each backbone node's edge list by
+            # construction (init). The first M of a run is handled by the
+            # generic step (its incoming edge may come from an alt node).
+            if (c == "M" and not is_first_node and previous_node == ref_i - 1
+                    and ref_i < backbone_len):
+                run = 1
+                while (cigar_i + run < len(cigar)
+                       and cigar[cigar_i + run] == "M"
+                       and ref_i + run < backbone_len):
+                    run += 1
+                # generic semantics per M step t = ref_i..ref_i+run-1:
+                #   insert_edge(t-1, t); previous_node = t; ref_i/target_i++
+                #   then maybe ending_nodes.add(t) when bl - (t+1) <= 10
+                for t in range(ref_i, ref_i + run):
+                    self.edges[t - 1][0][1] += 1.0
+                if is_spanning_r:
+                    lo = max(ref_i, backbone_len - 11)
+                    for t in range(lo, ref_i + run):
+                        self.ending_nodes.add(t)
+                previous_node = ref_i + run - 1
+                ref_i += run
+                target_i += run
+                cigar_i += run
+                continue
             target_seq = sequence[target_i] if target_i < len(sequence) else ""
             if c == "M" or c == "X":
                 if c == "M":
@@ -185,57 +211,72 @@ class Ppoa:
         # topologically drain the node list, computing heaviest paths.
         # Path weights are C++ floats in the reference (ppoa_path.weight),
         # so sums go through float32 to keep tie behavior identical.
+        # Backpointers replace the reference's per-node path copies (O(V^2));
+        # selection order/tie-breaking is unchanged, so the reconstructed
+        # path is identical.
         import numpy as np
         f32 = np.float32
-        heaviest: Dict[int, Tuple[float, List[int]]] = {}
+        heaviest: Dict[int, Tuple[float, int]] = {}  # node -> (weight, prev)
 
         def set_heaviest(node: int) -> None:
             if node in heaviest:
                 return
             inc = incoming[node]
             if not inc:
-                heaviest[node] = (f32(0.0), [])
+                heaviest[node] = (f32(0.0), -1)
                 return
             not_defined = True
             h_weight = f32(0.0)
-            h_path: List[int] = []
+            h_prev = -1
             for src, w in inc:
                 if src not in heaviest:
                     set_heaviest(src)
-                sw, sp = heaviest[src]
+                sw = heaviest[src][0]
                 cand = f32(sw + f32(w))
                 if not_defined or cand > h_weight:
                     not_defined = False
                     h_weight = cand
-                    h_path = sp + [src]
-            heaviest[node] = (h_weight, h_path)
+                    h_prev = src
+            heaviest[node] = (h_weight, h_prev)
 
-        remaining = list(range(n_nodes))
-        guard = 0
-        while remaining:
-            nxt = remaining.pop(0)
-            if all(src in heaviest for src, _ in incoming[nxt]):
-                set_heaviest(nxt)
-                guard = 0
-            else:
-                remaining.append(nxt)
-                guard += 1
-                if guard > len(remaining) + 1:
-                    # graph cycle (cannot happen for valid cigars); bail out
-                    for node in remaining:
-                        set_heaviest(node)
-                    break
+        # Kahn topological order (replaces the reference's O(V^2) list
+        # rotation, anppoa.hpp:327-344 — heaviest values are memoized and
+        # order-independent, so results are identical)
+        from collections import deque
+
+        indeg = [len(incoming[n]) for n in range(n_nodes)]
+        queue = deque(n for n in range(n_nodes) if indeg[n] == 0)
+        processed = 0
+        while queue:
+            nxt = queue.popleft()
+            set_heaviest(nxt)
+            processed += 1
+            for sink, _w in self.edges[nxt]:
+                indeg[sink] -= 1
+                if indeg[sink] == 0:
+                    queue.append(sink)
+        if processed < n_nodes:
+            # graph cycle (cannot happen for valid cigars); bail out
+            for node in range(n_nodes):
+                set_heaviest(node)
 
         h_node = 0
-        h = (0.0, [])
+        h_weight = f32(0.0)
         not_init = True
         for node in sorted(heaviest.keys()):
             if node in self.ending_nodes:
-                if not_init or heaviest[node][0] > h[0]:
+                if not_init or heaviest[node][0] > h_weight:
                     not_init = False
                     h_node = node
-                    h = heaviest[node]
-        path = h[1] + [h_node]
+                    h_weight = heaviest[node][0]
+        # reconstruct via backpointers (the reference's path vector would
+        # contain exactly this chain, anppoa.hpp:278-283,373)
+        path = []
+        node = h_node
+        while node != -1:
+            path.append(node)
+            node = heaviest[node][1] if node in heaviest else -1
+        path.reverse()
         return "".join(self.nodes[p] for p in path)
 
     def print_dot(self) -> str:
