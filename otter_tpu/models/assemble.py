@@ -134,10 +134,13 @@ def prepare_region(params: OtterOpts, local_bed: BED, bam: BamReader,
 
 
 def cluster_region(params: OtterOpts, work: RegionWork,
-                   distmatrix: DistMatrix):
+                   distmatrix: DistMatrix, dist_backend=None):
     """Clustering + reassignment + consensus preparation
     (assemble.cpp:128-141). Returns (clustmsg, alleles, poa_tasks)."""
-    from ..ops.consensus import consensus_prepare
+    from ..ops.consensus import (
+        consensus_prepare,
+        reassignment_distances_batched,
+    )
 
     clustmsg = ClusteringStatus()
     otter_hclust(work.ignore_haps, params.max_alleles, params.bandwidth_short,
@@ -149,8 +152,10 @@ def cluster_region(params: OtterOpts, work: RegionWork,
     for i in range(len(clustmsg.labels)):
         labels[work.valid_indeces[i]] = clustmsg.labels[i]
     if work.invalid_indeces:
+        engine = dist_backend.engine if dist_backend is not None else None
+        pre = reassignment_distances_batched(work.reads, labels, engine=engine)
         invalid_reassignment(work.ignore_haps, params.min_sim, params.max_error,
-                             clustmsg.fc, work.reads, labels)
+                             clustmsg.fc, work.reads, labels, precomputed=pre)
     alleles = [AnAllele() for _ in range(clustmsg.fc)]
     tasks = consensus_prepare(work.ignore_haps, work.reads, labels,
                               work.valid_indeces, clustmsg.fc, distmatrix,
@@ -229,7 +234,7 @@ def process_region_batch(params: OtterOpts, batch: List[RegionWork],
                 largest = float(max(len(x), len(y)))
                 distmatrix.set_dist(i, j, d / largest)
         with metrics.phase("cluster_consensus"):
-            clustmsg, alleles, tasks = cluster_region(params, work, distmatrix)
+            clustmsg, alleles, tasks = cluster_region(params, work, distmatrix, dist_backend)
         staged.append((work, clustmsg, alleles))
         all_tasks.extend(tasks)
     # one multi-pattern banded DP for every allele consensus in the batch

@@ -92,14 +92,75 @@ def fill_dist_matrix(ignore_haps: bool, reads: List[AnRead], indeces: List[int],
             distmatrix.set_dist(i, j, d)
 
 
+def reassignment_distances_batched(reads: List[AnRead], labels: List[int],
+                                   engine=None) -> dict:
+    """Precompute align_anreads distances for (unassigned i, initially
+    labeled spanning j) pairs in batch. End2End cases go through the batched
+    edit engine (device kernels when available); ends-free cases through the
+    vectorized host DP. Reads labeled *during* the sequential reassignment
+    loop are handled on demand there, preserving the reference's in-loop
+    dependency (analignments.cpp:129-176)."""
+    from .align_batch import edit_ends_free_batch
+
+    e2e_pairs = []
+    e2e_keys = []
+    ef_jobs = []
+    ef_keys = []
+    ef_norm = []
+    pre: dict = {}
+    for i in range(len(labels)):
+        if labels[i] >= 0:
+            continue
+        read_x = reads[i]
+        for j in range(len(labels)):
+            read_y = reads[j]
+            if i == j or labels[j] < 0 or not read_y.is_spanning():
+                continue
+            if read_x.seq == read_y.seq:
+                pre[(i, j)] = 0.0
+            elif (read_x.is_spanning() and read_y.is_spanning()) or (
+                read_y.is_spanning() and len(read_x.seq) >= len(read_y.seq)
+            ):
+                e2e_pairs.append((read_x.seq, read_y.seq))
+                e2e_keys.append((i, j))
+            else:
+                length_diff = len(read_y.seq) - len(read_x.seq)
+                # read_x shorter here (analignments.cpp:83-99 else-branch)
+                if read_x.is_spanning_l:
+                    job = (read_y.seq, read_x.seq, 0, length_diff, 0, 0)
+                elif read_x.is_spanning_r:
+                    job = (read_y.seq, read_x.seq, length_diff, 0, 0, 0)
+                else:
+                    job = (read_y.seq, read_x.seq, length_diff // 2,
+                           length_diff // 2, 0, 0)
+                ef_jobs.append(job)
+                ef_keys.append((i, j))
+                ef_norm.append(float(len(read_x.seq)))
+    if e2e_pairs:
+        if engine is not None:
+            dists = engine.distances(e2e_pairs)
+        else:
+            dists = edit_ends_free_batch(
+                [(x, y, 0, 0, 0, 0) for x, y in e2e_pairs])
+        for key, d, (x, y) in zip(e2e_keys, dists, e2e_pairs):
+            pre[key] = d / float(max(len(x), len(y)))
+    if ef_jobs:
+        dists = edit_ends_free_batch(ef_jobs)
+        for key, d, nrm in zip(ef_keys, dists, ef_norm):
+            pre[key] = d / nrm
+    return pre
+
+
 def invalid_reassignment(ignore_haps: bool, min_sim: float, max_error: float,
                          total_alleles: int, reads: List[AnRead],
                          labels: List[int],
-                         pair_dist_fn: Optional[PairDistFn] = None) -> None:
+                         pair_dist_fn: Optional[PairDistFn] = None,
+                         precomputed: Optional[dict] = None) -> None:
     """Assign non-spanning reads to the allele with max similarity, requiring
     min_sim and a margin >= max_error over the runner-up
     (analignments.cpp:126-177)."""
     fn = pair_dist_fn or (lambda a, b: get_dist_anreads(True, a, b))
+    pre = precomputed or {}
     for i in range(len(labels)):
         if labels[i] < 0:
             max_sim = [0.0] * total_alleles
@@ -107,7 +168,9 @@ def invalid_reassignment(ignore_haps: bool, min_sim: float, max_error: float,
             for j in range(len(labels)):
                 read_j = reads[j]
                 if i != j and labels[j] >= 0 and read_j.is_spanning():
-                    dist = fn(read_i, read_j)
+                    dist = pre.get((i, j))
+                    if dist is None:
+                        dist = fn(read_i, read_j)
                     if dist < 0:
                         sys.stderr.write(
                             "ERROR: unexpected distance for the following alignment:\n"
