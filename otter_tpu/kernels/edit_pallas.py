@@ -369,14 +369,26 @@ class EditDistanceEngine:
                 eligible.setdefault((nw, tl), []).append(idx)
             else:
                 rest.append(idx)
+        # two-phase: dispatch every bucket asynchronously (device executes
+        # while the host packs the next bucket), then collect
+        from .myers_pallas import myers_dispatch
+
+        pending = []
         for (nw, tl), members in sorted(eligible.items()):
             sub = [pairs[i] for i in members]
             try:
-                d = myers_distances(sub, nw, tl, interpret=self.interpret)
+                dev = myers_dispatch(sub, nw, tl, interpret=self.interpret)
             except Exception:
                 rest.extend(members)
                 continue
-            self.cells += len(sub) * nw * 32 * tl
+            pending.append((members, len(sub), nw, tl, dev))
+        for members, nsub, nw, tl, dev in pending:
+            try:
+                d = np.asarray(dev).reshape(-1)[:nsub]
+            except Exception:
+                rest.extend(members)
+                continue
+            self.cells += nsub * nw * 32 * tl
             for bi, idx in enumerate(members):
                 out[idx] = int(d[bi])
         return rest

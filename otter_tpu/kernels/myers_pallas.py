@@ -174,15 +174,21 @@ def pack_for_pallas(pairs: List[Tuple[str, str]], n_words: int,
     return peq_flat, tpack_flat, nlen_flat, sel_flat, minit_flat, n_prog
 
 
+def myers_dispatch(pairs: List[Tuple[str, str]], n_words: int,
+                   text_len: int, interpret: bool = False):
+    """Pack + launch asynchronously; returns the device array (plane layout
+    row-major (prog, sublane, lane) == pair order). Collect with
+    ``np.asarray(out).reshape(-1)[:len(pairs)]``."""
+    peq, tpack, nlen, sel, minit, n_prog = pack_for_pallas(
+        pairs, n_words, text_len)
+    return myers_pallas(jnp.asarray(peq), jnp.asarray(tpack),
+                        jnp.asarray(nlen), jnp.asarray(sel),
+                        jnp.asarray(minit), n_words, text_len,
+                        interpret=interpret)
+
+
 def myers_distances(pairs: List[Tuple[str, str]], n_words: int,
                     text_len: int, interpret: bool = False) -> np.ndarray:
     """Convenience wrapper: pack, run, unpack. Returns (len(pairs),)."""
-    peq, tpack, nlen, sel, minit, n_prog = pack_for_pallas(
-        pairs, n_words, text_len)
-    out = myers_pallas(jnp.asarray(peq), jnp.asarray(tpack),
-                       jnp.asarray(nlen), jnp.asarray(sel),
-                       jnp.asarray(minit), n_words, text_len,
-                       interpret=interpret)
-    # plane layout row-major (prog, sublane, lane) == pair order
-    out_b = np.asarray(out).reshape(-1)
-    return out_b[: len(pairs)]
+    out = myers_dispatch(pairs, n_words, text_len, interpret=interpret)
+    return np.asarray(out).reshape(-1)[: len(pairs)]
