@@ -124,3 +124,42 @@ def test_multi_region_batched_equals_host(tmp_path):
     assert outs["host"] == outs["cpu"]
     body = [l for l in outs["host"].split("\n") if l and not l.startswith("@")]
     assert len(body) == 15  # 5 het regions x2 + 5 hom x1
+
+
+def test_reads_with_N_bases(tmp_path):
+    """Reads containing N route through the banded kernel (Myers is
+    ACGT-only) and still assemble; 'N'=='N' counts as a match like the
+    reference's raw char comparison."""
+    rng = random.Random(555)
+    ref = make_reference(rng, length=3000, repeat="CAG", repeat_at=1500,
+                         repeat_units=20)
+    start, end = 1500, 1560
+    from fixtures import read_record, make_bam
+    from otter_tpu.io.bam import BAM_CMATCH
+    recs = []
+    for c in range(8):
+        seq = list(ref[start - 150 : end + 150])
+        # sprinkle N's
+        for _ in range(6):
+            seq[rng.randrange(len(seq))] = "N"
+        seq = "".join(seq)
+        recs.append(read_record(f"n{c}", 0, start - 150, seq,
+                                [(len(seq), BAM_CMATCH)],
+                                tags=[("rq", "f", 0.99)]))
+    bam = str(tmp_path / "n.bam")
+    make_bam(bam, [("chr1", len(ref))], recs)
+    bed = str(tmp_path / "r.bed")
+    with open(bed, "w") as fh:
+        fh.write(f"chr1\t{start}\t{end}\n")
+    outs = {}
+    for device in ("host", "cpu"):
+        params = OtterOpts()
+        params.read_group = "S1"
+        params.device = device
+        out = io.StringIO()
+        assemble(bam, bed, "", False, params, out=out)
+        outs[device] = out.getvalue()
+    assert outs["host"] == outs["cpu"]
+    body = [l for l in outs["host"].rstrip("\n").split("\n")
+            if not l.startswith("@")]
+    assert len(body) >= 1
