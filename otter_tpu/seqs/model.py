@@ -10,7 +10,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
-from ..utils.fmt import fmt_float
+from ..utils.fmt import fmt_double, fmt_float
 
 PS_TAG, HP_TAG, RQ_TAG, RG_TAG = "PS", "HP", "rq", "RG"
 TA_TAG, TC_TAG, AC_TAG, SC_TAG = "ta", "tc", "ac", "sc"
@@ -73,7 +73,9 @@ class AnRead:
             out.append(f"\t{PS_TAG}:i:{self.hpt.ps}")
         if self.hpt.hp >= 0:
             out.append(f"\t{HP_TAG}:i:{self.hpt.hp}")
-        out.append(f"\t{RQ_TAG}:f:{fmt_float(self.rq)}")
+        # rq is a C++ double (ANREAD.rq) streamed directly (anseqs.cpp:95);
+        # its value came from a float aux tag so it is float32-representable
+        out.append(f"\t{RQ_TAG}:f:{fmt_double(self.rq)}")
         return "".join(out)
 
     def to_fa(self, region: str) -> str:
