@@ -62,7 +62,7 @@ def bench_tpu(pairs):
     from otter_tpu.kernels.edit_pallas import EditDistanceEngine
 
     plat = jax.devices()[0].platform
-    mode = "pallas" if plat in ("tpu", "axon") else "jnp"
+    mode = "pallas" if plat in ("tpu", "axon") else "numpy"
     eng = EditDistanceEngine(mode=mode)
     # warmup pass over the full workload compiles every bucket shape
     eng.distances(pairs)
@@ -83,6 +83,14 @@ def bench_cpu_single(pairs):
 
 
 def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from otter_tpu.utils.preflight import wait_for_device
+
+    plat = wait_for_device(retries=4, timeout_s=90, sleep_s=30)
+    if plat not in ("tpu", "axon"):
+        # accelerator tunnel down: fall back so the bench never hangs
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        os.environ["JAX_PLATFORMS"] = "cpu"
     rng = random.Random(20260817)
     pairs = make_workload(rng, n_pairs=2048, length=1024)
     tpu_rate, tpu_d, plat, pairs_rate = bench_tpu(pairs)

@@ -126,6 +126,12 @@ def run(device, bam, bed):
 
 
 def main():
+    from otter_tpu.utils.preflight import wait_for_device
+
+    plat = wait_for_device(retries=3, timeout_s=90, sleep_s=20)
+    if plat not in ("tpu", "axon"):
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        os.environ["JAX_PLATFORMS"] = "cpu"
     n_regions = int(os.environ.get("BENCH_REGIONS", "100"))
     with tempfile.TemporaryDirectory() as tmp:
         bam, bed = build_fixture(tmp, n_regions=n_regions)

@@ -1,0 +1,43 @@
+"""Device preflight: probe accelerator liveness from a subprocess.
+
+The remote-TPU tunnel used in some environments can hang a process during
+backend initialization; probing from a disposable subprocess (with timeout
+and retries) lets benches and pipelines fall back to CPU instead of hanging.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+
+
+PROBE_CODE = (
+    "import jax, jax.numpy as jnp;"
+    "print(float((jnp.ones((8,128))*2).sum()), jax.devices()[0].platform)"
+)
+
+
+def probe_device(timeout_s: float = 90.0) -> str:
+    """Returns the live platform name ('tpu', 'axon', 'cpu', ...) or ''
+    when the accelerator backend does not come up within the timeout."""
+    try:
+        res = subprocess.run([sys.executable, "-c", PROBE_CODE],
+                             capture_output=True, timeout=timeout_s,
+                             text=True)
+        if res.returncode == 0 and res.stdout.strip():
+            return res.stdout.strip().split()[-1]
+    except (subprocess.TimeoutExpired, OSError):
+        pass
+    return ""
+
+
+def wait_for_device(retries: int = 3, timeout_s: float = 90.0,
+                    sleep_s: float = 20.0) -> str:
+    for attempt in range(retries):
+        plat = probe_device(timeout_s)
+        if plat:
+            return plat
+        if attempt + 1 < retries:
+            time.sleep(sleep_s)
+    return ""
