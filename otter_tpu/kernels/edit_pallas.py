@@ -370,18 +370,23 @@ class EditDistanceEngine:
             else:
                 rest.append(idx)
         # two-phase: dispatch every bucket asynchronously (device executes
-        # while the host packs the next bucket), then collect
-        from .myers_pallas import myers_dispatch
+        # while the host packs the next bucket), then collect. Chunks are a
+        # fixed 1024 pairs (one program) so each (n_words, text_len) bucket
+        # compiles exactly once regardless of batch size.
+        from .myers_pallas import PAIRS_PER_PROG, myers_dispatch
 
         pending = []
         for (nw, tl), members in sorted(eligible.items()):
-            sub = [pairs[i] for i in members]
-            try:
-                dev = myers_dispatch(sub, nw, tl, interpret=self.interpret)
-            except Exception:
-                rest.extend(members)
-                continue
-            pending.append((members, len(sub), nw, tl, dev))
+            for c0 in range(0, len(members), PAIRS_PER_PROG):
+                chunk = members[c0 : c0 + PAIRS_PER_PROG]
+                sub = [pairs[i] for i in chunk]
+                try:
+                    dev = myers_dispatch(sub, nw, tl,
+                                         interpret=self.interpret)
+                except Exception:
+                    rest.extend(chunk)
+                    continue
+                pending.append((chunk, len(sub), nw, tl, dev))
         for members, nsub, nw, tl, dev in pending:
             try:
                 d = np.asarray(dev).reshape(-1)[:nsub]
