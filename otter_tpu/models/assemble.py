@@ -202,7 +202,7 @@ def _region_pairs(work: RegionWork):
 
 
 def process_region_batch(params: OtterOpts, batch: List[RegionWork],
-                         dist_backend, out: TextIO) -> None:
+                         dist_backend, out: TextIO, pool=None) -> None:
     """Merge many regions' pair workloads into one device dispatch, then
     finish each region in order."""
     all_pairs = []
@@ -219,8 +219,7 @@ def process_region_batch(params: OtterOpts, batch: List[RegionWork],
     metrics.add("pair_alignments", len(all_pairs))
     from ..ops.consensus import consensus_apply_batched
 
-    staged = []
-    all_tasks = []
+    matrices = []
     for work, coords, start in spans:
         distmatrix = DistMatrix(len(work.valid_indeces))
         if coords is None:
@@ -233,6 +232,24 @@ def process_region_batch(params: OtterOpts, batch: List[RegionWork],
                     all_pairs[start : start + len(coords)]):
                 largest = float(max(len(x), len(y)))
                 distmatrix.set_dist(i, j, d / largest)
+        matrices.append(distmatrix)
+
+    if params.threads > 1 and pool is not None:
+        # fan the host math out over worker processes (the reference's
+        # -t thread semantics; workers are jax-free)
+        from ._finish_worker import finish_region_worker
+        with metrics.phase("cluster_consensus"):
+            results = pool.map(
+                finish_region_worker,
+                [(params, work, dm.values)
+                 for (work, _c, _s), dm in zip(spans, matrices)])
+        for (work, _c, _s), (clustmsg, alleles) in zip(spans, results):
+            emit_region(params, work, clustmsg, alleles, out)
+        return
+
+    staged = []
+    all_tasks = []
+    for (work, coords, start), distmatrix in zip(spans, matrices):
         with metrics.phase("cluster_consensus"):
             clustmsg, alleles, tasks = cluster_region(params, work, distmatrix, dist_backend)
         staged.append((work, clustmsg, alleles))
@@ -268,25 +285,36 @@ def assemble_process(params: OtterOpts, bam_path: str, bed_regions: List[BED],
     bam = BamReader(bam_path, load_index=True)
     faidx = Faidx(reference) if reference else None
     dist_backend = _make_dist_backend(params)
-    with metrics.phase("region_total"):
-        if dist_backend is None:
-            for local_bed in bed_regions:
-                assemble_region(params, local_bed, bam, faidx, reads_only, out)
-                metrics.add("regions")
-        else:
-            pending: List[RegionWork] = []
-            for local_bed in bed_regions:
-                with metrics.phase("host_io"):
-                    work = prepare_region(params, local_bed, bam, faidx,
-                                          reads_only, out)
-                metrics.add("regions")
-                if work is not None:
-                    pending.append(work)
-                if len(pending) >= DEFAULT_REGION_BATCH:
-                    process_region_batch(params, pending, dist_backend, out)
-                    pending = []
-            if pending:
-                process_region_batch(params, pending, dist_backend, out)
+    pool = None
+    if params.threads > 1 and dist_backend is not None:
+        import multiprocessing as mp
+        pool = mp.get_context("spawn").Pool(params.threads)
+    try:
+        with metrics.phase("region_total"):
+            if dist_backend is None:
+                for local_bed in bed_regions:
+                    assemble_region(params, local_bed, bam, faidx, reads_only, out)
+                    metrics.add("regions")
+            else:
+                pending: List[RegionWork] = []
+                for local_bed in bed_regions:
+                    with metrics.phase("host_io"):
+                        work = prepare_region(params, local_bed, bam, faidx,
+                                              reads_only, out)
+                    metrics.add("regions")
+                    if work is not None:
+                        pending.append(work)
+                    if len(pending) >= DEFAULT_REGION_BATCH:
+                        process_region_batch(params, pending, dist_backend, out,
+                                             pool=pool)
+                        pending = []
+                if pending:
+                    process_region_batch(params, pending, dist_backend, out,
+                                         pool=pool)
+    finally:
+        if pool is not None:
+            pool.close()
+            pool.join()
     bam.close()
     if faidx is not None:
         faidx.close()

@@ -125,3 +125,16 @@ def test_assemble_max_cov_skip(het_fixture, capsys):
     body = [l for l in out.getvalue().rstrip("\n").split("\n")
             if l and not l.startswith("@")]
     assert body == []
+
+
+def test_assemble_threads_pool_identical(het_fixture):
+    """-t worker-pool path produces byte-identical output."""
+    base_params = _params()
+    out1 = io.StringIO()
+    assemble(het_fixture["bam"], het_fixture["bed"], "", False, base_params,
+             out=out1)
+    params = _params(device="cpu", threads=3)
+    out2 = io.StringIO()
+    assemble(het_fixture["bam"], het_fixture["bed"], "", False, params,
+             out=out2)
+    assert out1.getvalue() == out2.getvalue()
