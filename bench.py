@@ -62,7 +62,7 @@ def bench_tpu(pairs):
     from otter_tpu.kernels.edit_pallas import EditDistanceEngine
 
     plat = jax.devices()[0].platform
-    mode = "pallas" if plat in ("tpu", "axon") else "numpy"
+    mode = "pallas" if plat in ("tpu", "axon") else "native"
     eng = EditDistanceEngine(mode=mode)
     # warmup pass over the full workload compiles every bucket shape
     eng.distances(pairs)
