@@ -164,6 +164,9 @@ def _decode_record(blob: bytes) -> BamRecord:
         cigar = list(zip((cig >> 4).tolist(), (cig & 0xF).tolist()))
     else:
         cigar = []
+    long_cigar_placeholder = (
+        n_cigar_op == 2 and cigar[0][1] == BAM_CSOFT_CLIP
+        and cigar[0][0] == l_seq and cigar[1][1] == BAM_CREF_SKIP)
     off += 4 * n_cigar_op
     n_nyb = (l_seq + 1) // 2
     if l_seq:
@@ -176,23 +179,42 @@ def _decode_record(blob: bytes) -> BamRecord:
     qual = blob[off : off + l_seq]
     off += l_seq
     aux = blob[off:]
-    return BamRecord(name, flag, ref_id, pos, mapq, cigar, seq, qual, aux,
-                     next_ref_id, next_pos, tlen)
+    rec = BamRecord(name, flag, ref_id, pos, mapq, cigar, seq, qual, aux,
+                    next_ref_id, next_pos, tlen)
+    if long_cigar_placeholder:
+        # >65535-op alignments carry the real cigar in the CG:B,I tag
+        # (SAM spec §4.2.2); the record cigar is the kSmN placeholder
+        cg = rec.get_aux("CG")
+        if isinstance(cg, list) and cg:
+            arr = _np.asarray(cg, dtype=_np.uint32)
+            rec.cigar = list(zip((arr >> 4).tolist(), (arr & 0xF).tolist()))
+    return rec
 
 
 def _encode_record(rec: BamRecord) -> bytes:
     l_seq = len(rec.seq)
     name_b = rec.name.encode() + b"\x00"
+    cigar = rec.cigar
+    extra_aux = b""
+    if len(cigar) > 0xFFFF:
+        # long-cigar convention (SAM spec §4.2.2): kSmN placeholder in the
+        # record, real cigar in CG:B,I
+        cg = bytearray(b"CGBI")
+        cg += struct.pack("<I", len(cigar))
+        for ol, op in cigar:
+            cg += struct.pack("<I", (ol << 4) | op)
+        extra_aux = bytes(cg)
+        cigar = [(l_seq, BAM_CSOFT_CLIP), (rec.ref_len(), BAM_CREF_SKIP)]
     body = bytearray()
     body += struct.pack(
         "<iiBBHHHiiii",
         rec.ref_id, rec.pos, len(name_b), rec.mapq,
         reg2bin(rec.pos, max(rec.pos + 1, rec.end_pos())),
-        len(rec.cigar), rec.flag, l_seq,
+        len(cigar), rec.flag, l_seq,
         rec.next_ref_id, rec.next_pos, rec.tlen,
     )
     body += name_b
-    for ol, op in rec.cigar:
+    for ol, op in cigar:
         body += struct.pack("<I", (ol << 4) | op)
     nyb = bytearray((l_seq + 1) // 2)
     for i, ch in enumerate(rec.seq):
@@ -203,7 +225,7 @@ def _encode_record(rec: BamRecord) -> bytes:
             nyb[i >> 1] |= code
     body += nyb
     body += rec.qual if rec.qual else b"\xff" * l_seq
-    body += rec.aux
+    body += rec.aux + extra_aux
     return struct.pack("<I", len(body)) + bytes(body)
 
 
@@ -269,7 +291,7 @@ class BamReader:
         no, co, so, ao = d["name_off"], d["cigar_off"], d["seq_off"], d["aux_off"]
         for i in range(n):
             cg = cigars[co[i] : co[i + 1]]
-            recs.append(BamRecord(
+            rec = BamRecord(
                 name=names[no[i] : no[i + 1]].decode(),
                 flag=int(d["flag"][i]),
                 ref_id=int(d["ref_id"][i]),
@@ -279,7 +301,16 @@ class BamReader:
                 seq=seqs[so[i] : so[i + 1]].decode("ascii"),
                 qual=b"",
                 aux=auxs[ao[i] : ao[i + 1]].tobytes(),
-            ))
+            )
+            if (len(rec.cigar) == 2 and rec.cigar[0][1] == BAM_CSOFT_CLIP
+                    and rec.cigar[0][0] == rec.l_qseq
+                    and rec.cigar[1][1] == BAM_CREF_SKIP):
+                cgv = rec.get_aux("CG")
+                if isinstance(cgv, list) and cgv:
+                    arr = _np.asarray(cgv, dtype=_np.uint32)
+                    rec.cigar = list(zip((arr >> 4).tolist(),
+                                         (arr & 0xF).tolist()))
+            recs.append(rec)
         return recs
 
     def __iter__(self) -> Iterator[BamRecord]:

@@ -63,15 +63,26 @@ def wga_bam_genotyper_process(params: OtterOpts, bed_regions: List[BED],
                     f"{antimestamp()}): Unexpected number of ref and query "
                     f"OP-intervals: {len(ref_positions)} vs {len(query_positions)}\n")
                 raise SystemExit(1)
-            op_ivals = [
-                Interval(ref_positions[i][0], ref_positions[i][1], i)
-                for i in range(len(query_positions))
-            ]
-            op_tree = IntervalTree(op_ivals)
+            # op ref-intervals are monotone in cigar order (rpos only grows),
+            # so the ops overlapping a closed range [s, e] form a contiguous
+            # slice — two binary searches replace the reference's
+            # per-alignment interval tree (wgat.cpp:57-60), and cigar order
+            # equals the (start, stop) sort the reference applies (:65-68)
+            import numpy as _np
+            op_starts = _np.fromiter((r[0] for r in ref_positions),
+                                     dtype=_np.int64,
+                                     count=len(ref_positions))
+            op_stops = _np.fromiter((r[1] for r in ref_positions),
+                                    dtype=_np.int64, count=len(ref_positions))
             for overlap in bed_overlaps:
                 local_bed = bed_regions[overlap.value]
-                bed_op_overlaps = op_tree.find_overlapping(overlap.start, overlap.stop)
-                bed_op_overlaps.sort(key=lambda x: (x.start, x.stop))
+                lo = int(_np.searchsorted(op_stops, overlap.start, side="left"))
+                hi = int(_np.searchsorted(op_starts, overlap.stop,
+                                          side="right"))
+                bed_op_overlaps = [
+                    Interval(int(op_starts[i]), int(op_stops[i]), i)
+                    for i in range(lo, hi)
+                ]
                 clipped_l = False
                 clipped_r = False
                 query_start = 0

@@ -112,3 +112,29 @@ def test_bed_parsing(tmp_path, capsys):
     assert beds[0].chr == "chr1" and beds[0].start == 100 and beds[0].end == 200
     assert beds[1].to_sc_string() == "chr2:300-400"
     assert beds[2].to_string() == "chr3\t5\t6"
+
+
+def test_long_cigar_cg_tag_roundtrip(tmp_path):
+    """>65535-op cigars round-trip via the CG:B,I convention (SAM §4.2.2)."""
+    rng = random.Random(9)
+    from otter_tpu.io.bam import BAM_CINS, BAM_CDEL
+    cig = []
+    qlen = 0
+    rlen = 0
+    for _ in range(40000):
+        cig.append((1, BAM_CMATCH))
+        qlen += 1
+        rlen += 1
+        cig.append((1, BAM_CINS))
+        qlen += 1
+    assert len(cig) > 0xFFFF
+    seq = "".join(rng.choice("ACGT") for _ in range(qlen))
+    rec = read_record("long", 0, 100, seq, cig)
+    p = str(tmp_path / "long.bam")
+    make_bam(p, [("chr1", rlen + 1000)], [rec])
+    rd = BamReader(p)
+    got = list(rd.fetch("chr1", 100, 200))
+    assert len(got) == 1
+    assert got[0].cigar == cig
+    assert got[0].seq == seq
+    rd.close()
