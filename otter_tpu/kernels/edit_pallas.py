@@ -387,15 +387,26 @@ class EditDistanceEngine:
                     rest.extend(chunk)
                     continue
                 pending.append((chunk, len(sub), nw, tl, dev))
-        for members, nsub, nw, tl, dev in pending:
+        if pending:
+            # one device-side concat + ONE host materialization: the
+            # device->host sync has high fixed latency on tunneled TPUs,
+            # so never materialize per chunk
             try:
-                d = np.asarray(dev).reshape(-1)[:nsub]
+                import jax.numpy as jnp
+                flat_dev = jnp.concatenate(
+                    [dev.reshape(-1)[:nsub]
+                     for _m, nsub, _nw, _tl, dev in pending])
+                flat = np.asarray(flat_dev)
             except Exception:
-                rest.extend(members)
-                continue
-            self.cells += nsub * nw * 32 * tl
-            for bi, idx in enumerate(members):
-                out[idx] = int(d[bi])
+                rest.extend([i for m, *_ in pending for i in m])
+                return rest
+            offset = 0
+            for members, nsub, nw, tl, dev in pending:
+                d = flat[offset : offset + nsub]
+                offset += nsub
+                self.cells += nsub * nw * 32 * tl
+                for bi, idx in enumerate(members):
+                    out[idx] = int(d[bi])
         return rest
 
     def distances(self, pairs: List[Tuple[str, str]]) -> np.ndarray:
