@@ -36,7 +36,7 @@ from ..seqs.model import AnAllele, AnRead
 from ..utils import metrics
 from ..utils.timestamp import antimestamp
 
-DEFAULT_REGION_BATCH = 64
+DEFAULT_REGION_BATCH = 256
 
 
 def count_spanning_reads(anread_block: List[AnRead]) -> int:
