@@ -110,6 +110,11 @@ def _end_cell(H: _MemberView, m: int, n: int, pe: int, te: int):
 
 
 def _traceback(H, E, F, a, b, m, n, ei, ej) -> str:
+    """Shared banded/full traceback. When given _MemberView wrappers, the
+    band arithmetic is inlined on raw python lists for speed (the walk is
+    the per-member serial hot loop)."""
+    if isinstance(H, _MemberView):
+        return _traceback_banded(H.arr, E.arr, F.arr, H.k, a, b, m, n, ei, ej)
     ops = []
     ops.extend("I" * (n - ej))
     ops.extend("D" * (m - ei))
@@ -151,6 +156,63 @@ def _traceback(H, E, F, a, b, m, n, ei, ej) -> str:
     return "".join(reversed(ops))
 
 
+def _traceback_banded(Ha, Ea, Fa, k, a, b, m, n, ei, ej) -> str:
+    """Inlined banded traceback (no per-access method dispatch)."""
+    Hl = Ha
+    El = Ea
+    Fl = Fa
+    W = Ha.shape[1]
+    kp1 = k + 1
+    al = a.tolist()
+    bl = b.tolist()
+    ops = []
+    ops.extend("I" * (n - ej))
+    ops.extend("D" * (m - ei))
+    i, j = ei, ej
+    state = "H"
+    big = _BIG
+    while i > 0 or j > 0:
+        w = j - i + kp1
+        if state == "H":
+            h = Hl[i, w] if 0 <= w < W else big
+            if i == 0:
+                ops.extend("I" * j)
+                break
+            if j == 0:
+                ops.extend("D" * i)
+                break
+            if h == (Fl[i, w] if 0 <= w < W else big):
+                state = "F"
+                continue
+            if h == (El[i, w] if 0 <= w < W else big):
+                state = "E"
+                continue
+            ops.append("M" if al[i - 1] == bl[j - 1] else "X")
+            i -= 1
+            j -= 1
+        elif state == "F":
+            ops.append("D")
+            wf = w + 1  # (i-1, j) in row i-1 coords
+            cur = Fl[i, w] if 0 <= w < W else big
+            up = Fl[i - 1, wf] if 0 <= wf < W else big
+            if cur == up + GAP_EXT and i > 1:
+                i -= 1
+            else:
+                i -= 1
+                state = "H"
+        else:
+            ops.append("I")
+            wl = w - 1
+            cur = El[i, w] if 0 <= w < W else big
+            left = El[i, wl] if 0 <= wl < W else big
+            if cur == left + GAP_EXT and j > 1:
+                j -= 1
+            else:
+                j -= 1
+                state = "H"
+    return "".join(reversed(ops))
+
+
 # keep the batch's H/E/F footprint bounded (int64 x 3 matrices)
 _MEM_BUDGET_BYTES = 512 * 1024 * 1024
 
@@ -164,27 +226,28 @@ def _banded_batch_multi(patterns: List[np.ndarray], texts: List[np.ndarray],
     m = np.array([len(p) for p in patterns], dtype=np.int64)
     m_max = int(m.max())
     W = 2 * (k + 1)
-    ax = np.full((B, m_max), -2, dtype=np.int64)
+    I32 = np.int32
+    ax = np.full((B, m_max), -2, dtype=I32)
     for bi, p in enumerate(patterns):
         ax[bi, : len(p)] = p
-    n = np.array([len(t) for t in texts], dtype=np.int64)[:, None]
+    n = np.array([len(t) for t in texts], dtype=I32)[:, None]
     nmax = int(n.max())
-    bx = np.full((B, nmax + W + 2), -1, dtype=np.int64)
+    bx = np.full((B, nmax + W + 2), -1, dtype=I32)
     for bi, t in enumerate(texts):
         bx[bi, : len(t)] = t
-    H = np.full((B, m_max + 1, W), _BIG, dtype=np.int64)
-    E = np.full((B, m_max + 1, W), _BIG, dtype=np.int64)
-    F = np.full((B, m_max + 1, W), _BIG, dtype=np.int64)
-    w_idx = np.arange(W, dtype=np.int64)[None, :]
-    ew = GAP_EXT * w_idx
-    j0 = w_idx - (k + 1)
-    tb2 = tb[:, None]
-    pb2 = pb[:, None]
-    m2 = m[:, None]
+    H = np.full((B, m_max + 1, W), _BIG, dtype=I32)
+    E = np.full((B, m_max + 1, W), _BIG, dtype=I32)
+    F = np.full((B, m_max + 1, W), _BIG, dtype=I32)
+    w_idx = np.arange(W, dtype=I32)[None, :]
+    ew = (GAP_EXT * w_idx).astype(I32)
+    j0 = (w_idx - (k + 1)).astype(I32)
+    tb2 = tb[:, None].astype(I32)
+    pb2 = pb[:, None].astype(I32)
+    m2 = m[:, None].astype(I32)
     H[:, 0, :] = np.where(
         (j0 >= 0) & (j0 <= n),
         np.where(j0 <= tb2, 0, GAP_OPEN + GAP_EXT * (j0 - tb2)), _BIG)
-    big_col = np.full((B, 1), _BIG, dtype=np.int64)
+    big_col = np.full((B, 1), _BIG, dtype=I32)
     for i in range(1, m_max + 1):
         j = i + j0
         lo = i - (k + 1) - 1
@@ -192,28 +255,29 @@ def _banded_batch_multi(patterns: List[np.ndarray], texts: List[np.ndarray],
             b_win = bx[:, lo : lo + W]
         else:
             b_win = np.concatenate(
-                [np.full((B, -lo), -1, dtype=np.int64), bx[:, : W + lo]],
+                [np.full((B, -lo), -1, dtype=I32), bx[:, : W + lo]],
                 axis=1)
         a_col = ax[:, i - 1 : i]
-        sub = np.where(b_win == a_col, 0, MISMATCH)
+        sub = np.where(b_win == a_col, I32(0), I32(MISMATCH))
         Hup = np.concatenate([H[:, i - 1, 1:], big_col], axis=1)
         Fup = np.concatenate([F[:, i - 1, 1:], big_col], axis=1)
-        F_row = np.minimum(Hup + GAP_OPEN + GAP_EXT, Fup + GAP_EXT)
+        F_row = np.minimum(Hup + I32(GAP_OPEN + GAP_EXT), Fup + I32(GAP_EXT))
         diag = H[:, i - 1, :] + sub
         Bv = np.minimum(diag, F_row)
-        hb = np.where(i <= pb2, 0, GAP_OPEN + GAP_EXT * (i - pb2))
+        hb = np.where(i <= pb2, I32(0),
+                      (GAP_OPEN + GAP_EXT * (i - pb2)).astype(I32))
         Bv = np.where(j == 0, hb, Bv)
         invalid = (j < 0) | (j > n)
-        Bv = np.where(invalid, _BIG, Bv)
+        Bv = np.where(invalid, I32(_BIG), Bv)
         scan = np.minimum.accumulate(Bv - ew, axis=1)
-        E_row = np.empty((B, W), dtype=np.int64)
+        E_row = np.empty((B, W), dtype=I32)
         E_row[:, 0] = _BIG
-        E_row[:, 1:] = scan[:, :-1] + ew[:, 1:] + GAP_OPEN
-        E_row = np.where(invalid, _BIG, E_row)
+        E_row[:, 1:] = scan[:, :-1] + ew[:, 1:] + I32(GAP_OPEN)
+        E_row = np.where(invalid, I32(_BIG), E_row)
         H_row = np.minimum(Bv, E_row)
         H_row = np.where(j == 0, hb, H_row)
-        H_row = np.where(invalid, _BIG, H_row)
-        F_row = np.where(invalid, _BIG, F_row)
+        H_row = np.where(invalid, I32(_BIG), H_row)
+        F_row = np.where(invalid, I32(_BIG), F_row)
         # freeze members whose pattern already ended
         keep = (i <= m2)
         H[:, i, :] = np.where(keep, H_row, H[:, i - 1, :])

@@ -51,17 +51,24 @@ def kde_maximas(radius: int, densities: np.ndarray
     maxs: List[Tuple[int, float]] = []
     mins: List[Tuple[int, float]] = []
     n = len(densities)
+    # windowed sums vectorized over i, adding terms in EXACTLY the
+    # reference's order (d[i], then d[i-1]..d[i-r+1], then d[i+1]..d[i+r-1])
+    # so float64 accumulation is bit-identical (ankde.cpp:31-44)
+    d = np.asarray(densities, dtype=np.float64)
+    sums = d.copy()
+    for j in range(1, radius):
+        shifted = np.zeros_like(d)
+        shifted[j:] = d[:-j]
+        sums += shifted
+    for j in range(1, radius):
+        shifted = np.zeros_like(d)
+        shifted[:-j] = d[j:]
+        sums += shifted
     find_maxima = True
     last_sum = 0.0
     last_sum_i = 1
     for i in range(1, n - 1):
-        s = float(densities[i])
-        for j in range(1, radius):
-            if i - j >= 0:
-                s += float(densities[i - j])
-        for j in range(1, radius):
-            if i + j < n:
-                s += float(densities[i + j])
+        s = float(sums[i])
         if find_maxima:
             if s < last_sum:
                 find_maxima = False
