@@ -191,14 +191,18 @@ class Ppoa:
             cigar_i += 1
 
     def adjust_weights(self, c: float, t: float) -> None:
-        """w -= max(c, t*w), float32 arithmetic like the C++ floats (:243-252)."""
+        """w -= max(c, t*w), float32 arithmetic like the C++ floats
+        (:243-252), vectorized elementwise (same per-edge float32 ops)."""
         import numpy as np
-        for local in self.edges:
-            for e in local:
-                w = np.float32(e[1])
-                t_applied = np.float32(t) * w
-                final_weight = np.float32(c) if np.float32(c) > t_applied else t_applied
-                e[1] = float(np.float32(w - final_weight))
+        flat = [e for local in self.edges for e in local]
+        if not flat:
+            return
+        w = np.array([e[1] for e in flat], dtype=np.float32)
+        t_applied = np.float32(t) * w
+        final = np.maximum(np.float32(c), t_applied)
+        new_w = (w - final).astype(np.float32)
+        for e, nw in zip(flat, new_w.tolist()):
+            e[1] = nw
 
     def consensus(self) -> str:
         """Heaviest path ending in an ending node (:254-344,356-379)."""
