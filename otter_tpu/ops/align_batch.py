@@ -286,14 +286,50 @@ def _banded_batch_multi(patterns: List[np.ndarray], texts: List[np.ndarray],
     return H, E, F, m, n[:, 0]
 
 
-def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]]
-                        ) -> List[str]:
+def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
+                        use_device: bool = False) -> List[str]:
     """Cigars for (pattern, text, pb, pe, tb, te) jobs with *different*
     patterns, batched by band size. Exact scalar parity; escalating members
-    fall back to the scalar path."""
+    fall back to the scalar path.
+
+    use_device routes eligible jobs through the Pallas backpointer kernel
+    (kernels/affine_pallas.py). NOTE: it moves ~1 byte/DP-cell device->host,
+    which wins on directly-attached TPUs but loses through low-bandwidth
+    dev tunnels — hence opt-in (OTTER_TPU_AFFINE_DEVICE=1 or explicit flag).
+    """
+    import os
+
     out: List[str] = [""] * len(jobs)
+    remaining_idx = list(range(len(jobs)))
+    if use_device or os.environ.get("OTTER_TPU_AFFINE_DEVICE") == "1":
+        try:
+            from ..kernels.affine_pallas import (
+                K_DEV,
+                LP_MAX,
+                affine_cigars_device,
+            )
+            eligible = []
+            for idx in remaining_idx:
+                p, t, pb, pe, tb, te = jobs[idx]
+                reach = max(abs(len(t) - len(p)), pb, pe, tb, te)
+                if (reach + 16 <= K_DEV and 0 < len(p) <= LP_MAX
+                        and 0 < len(t) <= 4096):
+                    eligible.append(idx)
+            if eligible:
+                cigs, failed = affine_cigars_device(
+                    [jobs[i] for i in eligible])
+                failed_set = set(failed)
+                done = set()
+                for bi, idx in enumerate(eligible):
+                    if bi not in failed_set:
+                        out[idx] = cigs[bi]
+                        done.add(idx)
+                remaining_idx = [i for i in remaining_idx if i not in done]
+        except Exception:
+            pass  # device path unavailable: host handles everything
     groups: dict = {}
-    for idx, (p, t, pb, pe, tb, te) in enumerate(jobs):
+    for idx in remaining_idx:
+        p, t, pb, pe, tb, te = jobs[idx]
         reach = max(abs(len(t) - len(p)), pb, pe, tb, te)
         k = 32
         while k < reach + 16:

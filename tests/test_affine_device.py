@@ -1,0 +1,66 @@
+"""Device affine-backpointer kernel parity (interpret mode on CPU)."""
+
+import random
+
+import pytest
+
+from otter_tpu.kernels.affine_pallas import affine_cigars_device
+from otter_tpu.ops.align_batch import affine_cigars_multi
+from otter_tpu.ops.align_np import affine_align_ends_free_cigar
+
+
+def _jobs(rng, n):
+    def rand_seq(m):
+        return "".join(rng.choice("ACGT") for _ in range(m))
+
+    def mut(s, rate):
+        o = []
+        for ch in s:
+            x = rng.random()
+            if x < rate * 0.4:
+                o.append(rng.choice([b for b in "ACGT" if b != ch]))
+            elif x < rate * 0.7:
+                o.extend([ch, rng.choice("ACGT")])
+            elif x < rate:
+                pass
+            else:
+                o.append(ch)
+        return "".join(o)
+
+    jobs = []
+    for _ in range(n):
+        p = rand_seq(rng.randrange(60, 140))
+        t = mut(p, rng.choice([0.01, 0.06]))
+        ld = len(p) - len(t)
+        kind = rng.randrange(4)
+        if kind == 1 and ld > 0:
+            jobs.append((p, t, 0, ld, 0, 0))
+        elif kind == 2 and ld < 0:
+            jobs.append((p, t, 0, 0, 0, -ld))
+        elif kind == 3:
+            jobs.append((p, t, max(0, ld // 2), max(0, ld // 2), 0, 0))
+        else:
+            jobs.append((p, t, 0, 0, 0, 0))
+    return jobs
+
+
+def test_device_affine_interpret_matches_host():
+    rng = random.Random(14)
+    jobs = _jobs(rng, 10)
+    cigs, failed = affine_cigars_device(jobs, interpret=True)
+    want = [affine_align_ends_free_cigar(j[0], j[1], *j[2:]) for j in jobs]
+    for i in range(len(jobs)):
+        if i not in failed:
+            assert cigs[i] == want[i], i
+    # escalated members are the high-divergence ones only
+    assert len(failed) < len(jobs)
+
+
+def test_multi_with_device_flag_falls_back_cleanly():
+    """With the flag on but no TPU (CPU test env), the host path still
+    produces complete, correct results."""
+    rng = random.Random(15)
+    jobs = _jobs(rng, 6)
+    got = affine_cigars_multi(jobs, use_device=True)
+    want = [affine_align_ends_free_cigar(j[0], j[1], *j[2:]) for j in jobs]
+    assert got == want
