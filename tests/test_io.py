@@ -138,3 +138,22 @@ def test_long_cigar_cg_tag_roundtrip(tmp_path):
     assert got[0].cigar == cig
     assert got[0].seq == seq
     rd.close()
+
+
+def test_bai_long_reads_bin_levels(tmp_path):
+    """Reads spanning >16kb land in higher-level BAI bins; queries inside
+    their span must still find them."""
+    recs = [
+        read_record("huge", 0, 50000, "A" * 100, [(120000, BAM_CMATCH)]),
+        read_record("tiny", 0, 100000, "ACGT", [(4, BAM_CMATCH)]),
+    ]
+    p = str(tmp_path / "levels.bam")
+    make_bam(p, [("chr1", 500000)], recs)
+    rd = BamReader(p)
+    got = sorted(r.name for r in rd.fetch("chr1", 100001, 100002))
+    assert got == ["huge", "tiny"]
+    got2 = [r.name for r in rd.fetch("chr1", 60000, 60010)]
+    assert got2 == ["huge"]
+    got3 = [r.name for r in rd.fetch("chr1", 400000, 400010)]
+    assert got3 == []
+    rd.close()
