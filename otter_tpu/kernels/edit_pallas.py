@@ -349,7 +349,6 @@ class EditDistanceEngine:
         if self.mode != "pallas":
             return todo
         from .myers import is_acgt
-        from .myers_pallas import myers_distances
 
         eligible: dict = {}
         rest: List[int] = []

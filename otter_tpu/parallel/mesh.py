@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..kernels.edit_pallas import INF, edit_banded_jnp
+from ..kernels.edit_pallas import edit_banded_jnp
 
 _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * 3.14159265358979323846)
 
