@@ -337,11 +337,12 @@ class EditDistanceEngine:
         except Exception:
             return False
 
-    # Myers routing: pairs whose shorter side fits this many bit-words (and
-    # are pure ACGT) go through the bit-parallel kernel; the rest use the
+    # Myers routing: ACGT pairs go through the bit-parallel kernels — the
+    # base kernel when the shorter side fits 64 words, the striped variant
+    # (device-chained carries) for longer patterns; non-ACGT pairs use the
     # banded row kernel.
-    MYERS_MAX_WORDS = 64          # shorter side <= 2048 bp
-    MYERS_TEXT_CAP = 1 << 15      # longer side <= 32 kb
+    MYERS_MAX_WORDS = 64          # base kernel: shorter side <= 2048 bp
+    MYERS_TEXT_CAP = 1 << 15      # longer side <= 32 kb (both kernels)
 
     def _myers_route(self, pairs, todo, out) -> List[int]:
         """Dispatch eligible pairs through the Myers kernel; returns the
@@ -351,14 +352,16 @@ class EditDistanceEngine:
         from .myers import is_acgt
 
         eligible: dict = {}
+        striped: dict = {}
         rest: List[int] = []
         for idx in todo:
             x, y = pairs[idx]
             mn_len = min(len(x), len(y))
             mx_len = max(len(x), len(y))
-            if (mn_len > 0 and mn_len <= self.MYERS_MAX_WORDS * 32
-                    and mx_len <= self.MYERS_TEXT_CAP
+            if not (mn_len > 0 and mx_len <= self.MYERS_TEXT_CAP
                     and is_acgt(x) and is_acgt(y)):
+                rest.append(idx)
+            elif mn_len <= self.MYERS_MAX_WORDS * 32:
                 nw = 4
                 while nw * 32 < mn_len:
                     nw *= 2
@@ -367,7 +370,27 @@ class EditDistanceEngine:
                     tl *= 2
                 eligible.setdefault((nw, tl), []).append(idx)
             else:
-                rest.append(idx)
+                tl = 128
+                while tl < mx_len:
+                    tl *= 2
+                striped.setdefault(tl, []).append(idx)
+        if striped:
+            from .myers_pallas import PAIRS_PER_PROG as _PPP
+            from .myers_striped import myers_striped_distances
+            for tl, members in sorted(striped.items()):
+                for c0 in range(0, len(members), _PPP):
+                    chunk = members[c0 : c0 + _PPP]
+                    sub = [pairs[i] for i in chunk]
+                    try:
+                        d = myers_striped_distances(sub, tl,
+                                                    interpret=self.interpret)
+                    except Exception:
+                        rest.extend(chunk)
+                        continue
+                    mlen_max = max(min(len(a), len(b)) for a, b in sub)
+                    self.cells += len(sub) * mlen_max * tl
+                    for bi, idx in enumerate(chunk):
+                        out[idx] = int(d[bi])
         # two-phase: dispatch every bucket asynchronously (device executes
         # while the host packs the next bucket), then collect. Chunks are a
         # fixed 1024 pairs (one program) so each (n_words, text_len) bucket

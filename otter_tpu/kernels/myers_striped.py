@@ -1,0 +1,236 @@
+"""Striped Myers bit-parallel edit distance — arbitrary pattern lengths.
+
+The base kernel (myers_pallas.py) keeps every pattern word's Pv/Mv as loop
+state, capping patterns at ~64 words. This variant processes the pattern in
+*stripes* of up to STRIPE_WORDS words: the only coupling between stripe s
+and stripe s+1 is three carry bits per text character (the adder carry and
+the Ph/Mh shift carries crossing the stripe's top word). Each stripe pass
+re-scans the text, emitting its per-char boundary carries as packed bit
+words; the next stripe consumes them as carry-ins. Carry arrays are jnp
+device arrays chained call-to-call — nothing crosses the host boundary
+until the final distances.
+
+Total work stays O(m*n) cells at the same ~1 lane-op/32 cells rate, so a
+20 kb x 20 kb pair costs ~2e7 lane-ops — far below the banded row kernel's
+op count even for low error rates.
+
+Score capture: a member's bottom row lives in exactly one stripe (its
+sel mask is zero elsewhere), so each stripe's captured output is correct
+for the members whose pattern ends in it; the host selects per member.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .myers import pack_myers_bucket
+from .myers_pallas import LANES, TB
+
+STRIPE_WORDS = 32
+
+
+def _msb1(x):
+    return jax.lax.shift_right_logical(x, jnp.int32(31))
+
+
+def _myers_stripe_kernel(peq_ref, tpack_ref, nlen_ref, sel_ref, minit_ref,
+                         cin_a_ref, cin_p_ref, cin_m_ref,
+                         out_ref, cout_a_ref, cout_p_ref, cout_m_ref,
+                         *, n_words: int, text_len: int, first_stripe: bool):
+    neg1 = jnp.int32(-1)
+    zero = jnp.int32(0)
+    one = jnp.int32(1)
+    nlen = nlen_ref[:, :]
+    score0 = minit_ref[:, :]
+    Pv0 = [jnp.full((TB, LANES), neg1, dtype=jnp.int32) for _ in range(n_words)]
+    Mv0 = [jnp.zeros((TB, LANES), dtype=jnp.int32) for _ in range(n_words)]
+    acc0 = (jnp.zeros((TB, LANES), jnp.int32),) * 3
+
+    def body(j, carry):
+        Pv, Mv, score, captured, acc_a, acc_p, acc_m = carry
+        Pv = list(Pv)
+        Mv = list(Mv)
+        trow = tpack_ref[pl.ds((j // 16) * TB, TB), :]
+        shift = jnp.broadcast_to((j % 16) * 2, trow.shape).astype(jnp.int32)
+        c = jax.lax.shift_right_logical(trow, shift) & jnp.int32(3)
+        is0 = c == 0
+        is1 = c == 1
+        is2 = c == 2
+        # carry-ins for this char from the previous stripe (bit j%32 of
+        # word j//32); the first stripe uses the DP boundary (ph=1)
+        if first_stripe:
+            carry_add = jnp.zeros((TB, LANES), dtype=jnp.int32)
+            carry_ph = jnp.full((TB, LANES), 1, dtype=jnp.int32)
+            carry_mh = jnp.zeros((TB, LANES), dtype=jnp.int32)
+        else:
+            bshift = jnp.broadcast_to(j % 32, (TB, LANES)).astype(jnp.int32)
+            arow = cin_a_ref[pl.ds((j // 32) * TB, TB), :]
+            prow = cin_p_ref[pl.ds((j // 32) * TB, TB), :]
+            mrow = cin_m_ref[pl.ds((j // 32) * TB, TB), :]
+            carry_add = jax.lax.shift_right_logical(arow, bshift) & one
+            carry_ph = jax.lax.shift_right_logical(prow, bshift) & one
+            carry_mh = jax.lax.shift_right_logical(mrow, bshift) & one
+        ones_sh = jnp.full((TB, LANES), 1, jnp.int32)
+        for w in range(n_words):
+            pA = peq_ref[(0 * n_words + w) * TB : (0 * n_words + w + 1) * TB, :]
+            pC = peq_ref[(1 * n_words + w) * TB : (1 * n_words + w + 1) * TB, :]
+            pG = peq_ref[(2 * n_words + w) * TB : (2 * n_words + w + 1) * TB, :]
+            pT = peq_ref[(3 * n_words + w) * TB : (3 * n_words + w + 1) * TB, :]
+            Eq = jnp.where(is0, pA, jnp.where(is1, pC, jnp.where(is2, pG, pT)))
+            sel = sel_ref[w * TB : (w + 1) * TB, :]
+            Pv_w = Pv[w]
+            Mv_w = Mv[w]
+            Xv = Eq | Mv_w
+            t = Eq & Pv_w
+            s0 = t + Pv_w
+            s = s0 + carry_add
+            carry_next = (_msb1((t & Pv_w) | ((t | Pv_w) & ~s0))
+                          | _msb1((s0 & carry_add) | ((s0 | carry_add) & ~s)))
+            Xh = (s ^ Pv_w) | Eq
+            Ph = Mv_w | ~(Xh | Pv_w)
+            Mh = Pv_w & Xh
+            score = score + jnp.where((Ph & sel) != 0, one, zero)
+            score = score - jnp.where((Mh & sel) != 0, one, zero)
+            ph_out = _msb1(Ph)
+            mh_out = _msb1(Mh)
+            Ph = jax.lax.shift_left(Ph, ones_sh) | carry_ph
+            Mh = jax.lax.shift_left(Mh, ones_sh) | carry_mh
+            carry_ph = ph_out
+            carry_mh = mh_out
+            carry_add = carry_next
+            Pv[w] = Mh | ~(Xv | Ph)
+            Mv[w] = Ph & Xv
+        captured = jnp.where(nlen == j + 1, score, captured)
+        # pack this char's carry-outs into the accumulators (bit j%32)
+        bpos = jnp.broadcast_to(j % 32, (TB, LANES)).astype(jnp.int32)
+        acc_a = acc_a | jax.lax.shift_left(carry_add, bpos)
+        acc_p = acc_p | jax.lax.shift_left(carry_ph, bpos)
+        acc_m = acc_m | jax.lax.shift_left(carry_mh, bpos)
+        # flush every 32 chars
+        flush = (j % 32) == 31
+
+        @pl.when(flush)
+        def _():
+            cout_a_ref[pl.ds((j // 32) * TB, TB), :] = acc_a
+            cout_p_ref[pl.ds((j // 32) * TB, TB), :] = acc_p
+            cout_m_ref[pl.ds((j // 32) * TB, TB), :] = acc_m
+
+        acc_a = jnp.where(flush, zero, acc_a)
+        acc_p = jnp.where(flush, zero, acc_p)
+        acc_m = jnp.where(flush, zero, acc_m)
+        return (tuple(Pv), tuple(Mv), score, captured, acc_a, acc_p, acc_m)
+
+    init = (tuple(Pv0), tuple(Mv0), score0, score0) + acc0
+    _, _, _, captured, _, _, _ = jax.lax.fori_loop(0, text_len, body, init)
+    out_ref[:, :] = captured
+
+
+@functools.partial(jax.jit, static_argnames=("n_words", "text_len",
+                                             "first_stripe", "interpret"))
+def myers_stripe(peq, tpack, nlen, sel, minit, cin_a, cin_p, cin_m,
+                 n_words: int, text_len: int, first_stripe: bool,
+                 interpret: bool = False):
+    """One stripe pass. Returns (captured (B,128), cout_a, cout_p, cout_m)."""
+    n_prog = nlen.shape[0] // TB
+    n_twords = (text_len + 15) // 16
+    n_cwords = (text_len + 31) // 32
+    kernel = functools.partial(_myers_stripe_kernel, n_words=n_words,
+                               text_len=text_len, first_stripe=first_stripe)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((4 * n_words * TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_twords * TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_words * TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_cwords * TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_cwords * TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_cwords * TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_cwords * TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_cwords * TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_cwords * TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nlen.shape[0], LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_cwords * nlen.shape[0], LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_cwords * nlen.shape[0], LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_cwords * nlen.shape[0], LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )(peq, tpack, nlen, sel, minit, cin_a, cin_p, cin_m)
+
+
+def _to_planes(arr_b: np.ndarray, n_prog: int) -> np.ndarray:
+    lead = arr_b.shape[:-1]
+    planes = arr_b.reshape(lead + (n_prog, TB, LANES))
+    planes = np.moveaxis(planes, -3, 0)
+    return np.ascontiguousarray(planes).reshape(-1, LANES)
+
+
+def myers_striped_distances(pairs: List[Tuple[str, str]], text_len: int,
+                            interpret: bool = False) -> np.ndarray:
+    """Exact edit distances for ACGT pairs of any length (pattern = shorter
+    side; stripes of STRIPE_WORDS words chained on device)."""
+    PAIRS = TB * LANES
+    mlen_max = max(min(len(a), len(b)) for a, b in pairs)
+    n_words_total = (mlen_max + 31) // 32
+    n_stripes = (n_words_total + STRIPE_WORDS - 1) // STRIPE_WORDS
+    nw_pad = n_stripes * STRIPE_WORDS
+    peq, tpack, mlen, nlen, sel_word, sel_bit = pack_myers_bucket(
+        pairs, nw_pad, text_len, batch_pad=PAIRS)
+    B = peq.shape[2]
+    n_prog = B // PAIRS
+    words = np.arange(nw_pad)[:, None]
+    sel_mask = np.where(words == sel_word[None, :], sel_bit[None, :],
+                        np.uint32(0)).astype(np.uint32)
+    tpack_flat = jnp.asarray(_to_planes(tpack.view(np.int32), n_prog))
+    nlen_flat = jnp.asarray(_to_planes(nlen[None, :], n_prog))
+    minit_flat = jnp.asarray(_to_planes(mlen[None, :], n_prog))
+    n_cwords = (text_len + 31) // 32
+    zc = jnp.zeros((n_cwords * B, LANES), dtype=jnp.int32)
+    cin = (zc, zc, zc)
+    captured_per_stripe = []
+    for s in range(n_stripes):
+        lo = s * STRIPE_WORDS
+        hi = lo + STRIPE_WORDS
+        peq_s = jnp.asarray(_to_planes(
+            peq[:, lo:hi, :].view(np.int32), n_prog))
+        sel_s = jnp.asarray(_to_planes(
+            sel_mask[lo:hi, :].view(np.int32), n_prog))
+        captured, ca, cp, cm = myers_stripe(
+            peq_s, tpack_flat, nlen_flat, sel_s, minit_flat, *cin,
+            n_words=STRIPE_WORDS, text_len=text_len,
+            first_stripe=(s == 0), interpret=interpret)
+        cin = (ca, cp, cm)
+        captured_per_stripe.append(captured)
+    # one materialization: stack on device, then pick per member
+    stacked = np.asarray(jnp.stack(captured_per_stripe))  # (S, B, 128)
+    stacked = stacked.reshape(n_stripes, -1)
+    stripe_of = sel_word // STRIPE_WORDS
+    out = stacked[stripe_of[: len(pairs)], np.arange(len(pairs))]
+    return out.astype(np.int64)

@@ -101,3 +101,26 @@ def test_engine_jnp_small():
     got = eng.distances(pairs)
     want = np.array([edit_distance(x, y) for x, y in pairs])
     assert np.array_equal(got, want)
+
+
+def test_striped_myers_interpret():
+    from otter_tpu.kernels.myers_striped import myers_striped_distances
+    rng = random.Random(71)
+    pairs = []
+    for _ in range(4):
+        base = "".join(rng.choice("ACGT") for _ in range(1200))
+        pairs.append((base, mutate(rng, base, 0.04)))
+    d = myers_striped_distances(pairs, 2048, interpret=True)
+    want = np.array([edit_distance(x, y) for x, y in pairs])
+    assert np.array_equal(d, want)
+
+
+def test_engine_pallas_interpret_long_acgt():
+    """Long ACGT pairs route through the striped kernel in pallas mode."""
+    rng = random.Random(72)
+    base = "".join(rng.choice("ACGT") for _ in range(2500))
+    pairs = [(base, mutate(rng, base, 0.03)), (base, base)]
+    eng = EditDistanceEngine(mode="pallas", interpret=True)
+    got = eng.distances(pairs)
+    want = np.array([edit_distance(x, y) for x, y in pairs])
+    assert np.array_equal(got, want)
