@@ -338,7 +338,12 @@ def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
             out[idx] = affine_align_ends_free_cigar(p, t, pb, pe, tb, te)
         else:
             groups.setdefault(k, []).append(idx)
-    for k, members in sorted(groups.items()):
+    # batched band-escalation ladder: members whose band proves too narrow
+    # move to the next k group instead of falling back to the (much slower)
+    # per-member scalar path
+    while groups:
+        k = min(groups)
+        members = groups.pop(k)
         m_max = max(len(jobs[i][0]) for i in members)
         per_member = 3 * (m_max + 1) * (2 * (k + 1)) * 8
         chunk = max(1, _MEM_BUDGET_BYTES // max(1, per_member))
@@ -360,8 +365,12 @@ def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
                     out[idx] = _traceback(Hv, Ev, Fv, pats[bi], texts[bi],
                                           int(m[bi]), int(n[bi]), ei, ej)
                 else:
-                    out[idx] = affine_align_ends_free_cigar(
-                        p, t, pbv, pev, tbv, tev)
+                    k2 = 2 * k
+                    if 2 * (k2 + 1) >= len(t) + 2:
+                        out[idx] = affine_align_ends_free_cigar(
+                            p, t, pbv, pev, tbv, tev)
+                    else:
+                        groups.setdefault(k2, []).append(idx)
     return out
 
 
@@ -384,7 +393,10 @@ def edit_ends_free_batch(jobs: Sequence[Tuple[str, str, int, int, int, int]]
             out[idx] = edit_distance_ends_free(p, t, pb, pe, tb, te)
         else:
             groups.setdefault(k, []).append(idx)
-    for k, members in sorted(groups.items()):
+    # batched escalation: band-insufficient members retry at the next k
+    while groups:
+        k = min(groups)
+        members = groups.pop(k)
         W = 2 * (k + 1)
         B = len(members)
         pats = [_codes(jobs[i][0]).astype(np.int64) for i in members]
@@ -456,7 +468,12 @@ def edit_ends_free_batch(jobs: Sequence[Tuple[str, str, int, int, int, int]]
             if int(best[bi]) <= k - reach:
                 out[idx] = int(best[bi])
             else:
-                out[idx] = edit_distance_ends_free(p, t, pbv, pev, tbv, tev)
+                k2 = 2 * k
+                if 2 * (k2 + 1) >= len(t) + 2:
+                    out[idx] = edit_distance_ends_free(p, t, pbv, pev,
+                                                       tbv, tev)
+                else:
+                    groups.setdefault(k2, []).append(idx)
     return out
 
 
