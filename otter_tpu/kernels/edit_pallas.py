@@ -453,6 +453,9 @@ class EditDistanceEngine:
         ladder = [kk for kk in self.K_LADDER if kk < 2 * maxlen]
         if not ladder or ladder[-1] < maxlen:
             ladder.append(((maxlen + 127) // 128) * 128 - 1)
+        return self._banded_ladder(pairs, todo, out, ladder)
+
+    def _banded_ladder(self, pairs, todo, out, ladder) -> np.ndarray:
         unresolved = todo
         for k in [kk for kk in ladder if kk >= self.k_start] or [ladder[-1]]:
             if not unresolved:
@@ -492,4 +495,60 @@ class EditDistanceEngine:
             unresolved = still + deferred
         if unresolved:
             raise AssertionError("banded DP failed to converge")
+        return out
+
+    def ends_free(self, jobs) -> np.ndarray:
+        """Exact ends-free edit distances (edit_distance_ends_free
+        semantics, WFA2 alignEndsFree — see ops/align_np.py).
+
+        On the pallas backend, ACGT jobs whose frees sit on ONE side (the
+        only shape the reference emits, analignments.cpp:34-63) route
+        through the striped Myers kernel — full-matrix exact, no band
+        ladder, no escalation retries. Everything else falls back to the
+        vectorized host batch DP.
+        """
+        from ..ops.align_batch import edit_ends_free_batch
+        from .myers import is_acgt
+        from .myers_pallas import PAIRS_PER_PROG
+        from .myers_striped import myers_striped_ends_free
+
+        out = np.zeros(len(jobs), dtype=np.int64)
+        host: List[int] = []
+        buckets: dict = {}
+        for idx, job in enumerate(jobs):
+            p, t, pb, pe, tb, te = job
+            if p == t:
+                continue
+            one_sided = not ((pb or pe) and (tb or te))
+            if (self.mode == "pallas" and one_sided
+                    and min(len(p), len(t)) > 0
+                    and max(len(p), len(t)) <= self.MYERS_TEXT_CAP
+                    and is_acgt(p) and is_acgt(t)):
+                # bucket by the padded length of the free side (the Myers
+                # text after orientation) to bound the compile-shape set
+                tlen = len(p) if (pb or pe) else len(t)
+                tl = 128
+                while tl < tlen:
+                    tl *= 2
+                buckets.setdefault(tl, []).append(idx)
+            else:
+                host.append(idx)
+        for tl, members in sorted(buckets.items()):
+            for c0 in range(0, len(members), PAIRS_PER_PROG):
+                chunk = members[c0 : c0 + PAIRS_PER_PROG]
+                sub = [jobs[i] for i in chunk]
+                try:
+                    d = myers_striped_ends_free(sub, interpret=self.interpret,
+                                                text_len=tl)
+                except Exception:
+                    host.extend(chunk)
+                    continue
+                mlen_max = max(min(len(j[0]), len(j[1])) for j in sub)
+                self.cells += len(sub) * mlen_max * tl
+                for bi, idx in enumerate(chunk):
+                    out[idx] = int(d[bi])
+        if host:
+            d = edit_ends_free_batch([jobs[i] for i in host])
+            for bi, idx in enumerate(host):
+                out[idx] = int(d[bi])
         return out

@@ -42,6 +42,7 @@ def _msb1(x):
 
 
 def _myers_stripe_kernel(peq_ref, tpack_ref, nlen_ref, sel_ref, minit_ref,
+                         tb_ref, te_ref,
                          cin_a_ref, cin_p_ref, cin_m_ref,
                          out_ref, cout_a_ref, cout_p_ref, cout_m_ref,
                          *, n_words: int, text_len: int, first_stripe: bool):
@@ -49,6 +50,8 @@ def _myers_stripe_kernel(peq_ref, tpack_ref, nlen_ref, sel_ref, minit_ref,
     zero = jnp.int32(0)
     one = jnp.int32(1)
     nlen = nlen_ref[:, :]
+    tbv = tb_ref[:, :]
+    tev = te_ref[:, :]
     score0 = minit_ref[:, :]
     Pv0 = [jnp.full((TB, LANES), neg1, dtype=jnp.int32) for _ in range(n_words)]
     Mv0 = [jnp.zeros((TB, LANES), dtype=jnp.int32) for _ in range(n_words)]
@@ -65,10 +68,12 @@ def _myers_stripe_kernel(peq_ref, tpack_ref, nlen_ref, sel_ref, minit_ref,
         is1 = c == 1
         is2 = c == 2
         # carry-ins for this char from the previous stripe (bit j%32 of
-        # word j//32); the first stripe uses the DP boundary (ph=1)
+        # word j//32); the first stripe uses the DP boundary: ph=1 for
+        # D[0][j] = j, except free leading text (j < tb) where ph=0 so
+        # D[0][j] = max(0, j - tb)
         if first_stripe:
             carry_add = jnp.zeros((TB, LANES), dtype=jnp.int32)
-            carry_ph = jnp.full((TB, LANES), 1, dtype=jnp.int32)
+            carry_ph = jnp.where(j >= tbv, 1, 0).astype(jnp.int32)
             carry_mh = jnp.zeros((TB, LANES), dtype=jnp.int32)
         else:
             bshift = jnp.broadcast_to(j % 32, (TB, LANES)).astype(jnp.int32)
@@ -108,7 +113,10 @@ def _myers_stripe_kernel(peq_ref, tpack_ref, nlen_ref, sel_ref, minit_ref,
             carry_add = carry_next
             Pv[w] = Mh | ~(Xv | Ph)
             Mv[w] = Ph & Xv
-        captured = jnp.where(nlen == j + 1, score, captured)
+        # free trailing text: capture the running min of D[m][j'] over
+        # j' in [n - te, n] (te = 0 degenerates to the plain j' == n capture)
+        in_window = ((j + 1) >= (nlen - tev)) & ((j + 1) <= nlen)
+        captured = jnp.where(in_window, jnp.minimum(captured, score), captured)
         # pack this char's carry-outs into the accumulators (bit j%32)
         bpos = jnp.broadcast_to(j % 32, (TB, LANES)).astype(jnp.int32)
         acc_a = acc_a | jax.lax.shift_left(carry_add, bpos)
@@ -128,14 +136,15 @@ def _myers_stripe_kernel(peq_ref, tpack_ref, nlen_ref, sel_ref, minit_ref,
         acc_m = jnp.where(flush, zero, acc_m)
         return (tuple(Pv), tuple(Mv), score, captured, acc_a, acc_p, acc_m)
 
-    init = (tuple(Pv0), tuple(Mv0), score0, score0) + acc0
+    cap0 = jnp.full((TB, LANES), jnp.int32(2 ** 30))
+    init = (tuple(Pv0), tuple(Mv0), score0, cap0) + acc0
     _, _, _, captured, _, _, _ = jax.lax.fori_loop(0, text_len, body, init)
     out_ref[:, :] = captured
 
 
 @functools.partial(jax.jit, static_argnames=("n_words", "text_len",
                                              "first_stripe", "interpret"))
-def myers_stripe(peq, tpack, nlen, sel, minit, cin_a, cin_p, cin_m,
+def myers_stripe(peq, tpack, nlen, sel, minit, tb, te, cin_a, cin_p, cin_m,
                  n_words: int, text_len: int, first_stripe: bool,
                  interpret: bool = False):
     """One stripe pass. Returns (captured (B,128), cout_a, cout_p, cout_m)."""
@@ -155,6 +164,10 @@ def myers_stripe(peq, tpack, nlen, sel, minit, cin_a, cin_p, cin_m,
             pl.BlockSpec((TB, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_words * TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -182,7 +195,7 @@ def myers_stripe(peq, tpack, nlen, sel, minit, cin_a, cin_p, cin_m,
             jax.ShapeDtypeStruct((n_cwords * nlen.shape[0], LANES), jnp.int32),
         ),
         interpret=interpret,
-    )(peq, tpack, nlen, sel, minit, cin_a, cin_p, cin_m)
+    )(peq, tpack, nlen, sel, minit, tb, te, cin_a, cin_p, cin_m)
 
 
 def _to_planes(arr_b: np.ndarray, n_prog: int) -> np.ndarray:
@@ -192,10 +205,11 @@ def _to_planes(arr_b: np.ndarray, n_prog: int) -> np.ndarray:
     return np.ascontiguousarray(planes).reshape(-1, LANES)
 
 
-def myers_striped_distances(pairs: List[Tuple[str, str]], text_len: int,
-                            interpret: bool = False) -> np.ndarray:
-    """Exact edit distances for ACGT pairs of any length (pattern = shorter
-    side; stripes of STRIPE_WORDS words chained on device)."""
+def _striped_run(pairs: List[Tuple[str, str]], text_len: int,
+                 tb_arr: np.ndarray, te_arr: np.ndarray,
+                 interpret: bool = False) -> np.ndarray:
+    """Shared striped-Myers driver. pairs are already (pattern, text)
+    oriented; tb_arr/te_arr are per-pair free text begin/end lengths."""
     PAIRS = TB * LANES
     mlen_max = max(min(len(a), len(b)) for a, b in pairs)
     n_words_total = (mlen_max + 31) // 32
@@ -208,9 +222,15 @@ def myers_striped_distances(pairs: List[Tuple[str, str]], text_len: int,
     words = np.arange(nw_pad)[:, None]
     sel_mask = np.where(words == sel_word[None, :], sel_bit[None, :],
                         np.uint32(0)).astype(np.uint32)
+    tb_full = np.zeros(B, dtype=np.int32)
+    te_full = np.zeros(B, dtype=np.int32)
+    tb_full[: len(pairs)] = tb_arr
+    te_full[: len(pairs)] = te_arr
     tpack_flat = jnp.asarray(_to_planes(tpack.view(np.int32), n_prog))
     nlen_flat = jnp.asarray(_to_planes(nlen[None, :], n_prog))
     minit_flat = jnp.asarray(_to_planes(mlen[None, :], n_prog))
+    tb_flat = jnp.asarray(_to_planes(tb_full[None, :], n_prog))
+    te_flat = jnp.asarray(_to_planes(te_full[None, :], n_prog))
     n_cwords = (text_len + 31) // 32
     zc = jnp.zeros((n_cwords * B, LANES), dtype=jnp.int32)
     cin = (zc, zc, zc)
@@ -223,7 +243,8 @@ def myers_striped_distances(pairs: List[Tuple[str, str]], text_len: int,
         sel_s = jnp.asarray(_to_planes(
             sel_mask[lo:hi, :].view(np.int32), n_prog))
         captured, ca, cp, cm = myers_stripe(
-            peq_s, tpack_flat, nlen_flat, sel_s, minit_flat, *cin,
+            peq_s, tpack_flat, nlen_flat, sel_s, minit_flat,
+            tb_flat, te_flat, *cin,
             n_words=STRIPE_WORDS, text_len=text_len,
             first_stripe=(s == 0), interpret=interpret)
         cin = (ca, cp, cm)
@@ -234,3 +255,69 @@ def myers_striped_distances(pairs: List[Tuple[str, str]], text_len: int,
     stripe_of = sel_word // STRIPE_WORDS
     out = stacked[stripe_of[: len(pairs)], np.arange(len(pairs))]
     return out.astype(np.int64)
+
+
+def _ends_free_degenerate(m: int, n: int, pb: int, pe: int,
+                          tb: int, te: int) -> int:
+    """Closed-form ends-free score when one side is empty."""
+    if m == 0:
+        return max(0, max(0, n - te) - tb)
+    return max(0, max(0, m - pe) - pb)
+
+
+def myers_striped_distances(pairs: List[Tuple[str, str]], text_len: int,
+                            interpret: bool = False) -> np.ndarray:
+    """Exact edit distances for ACGT pairs of any length (pattern = shorter
+    side; stripes of STRIPE_WORDS words chained on device)."""
+    if any(min(len(a), len(b)) == 0 for a, b in pairs):
+        out = np.array([max(len(a), len(b)) for a, b in pairs],
+                       dtype=np.int64)
+        live = [i for i, (a, b) in enumerate(pairs)
+                if min(len(a), len(b)) > 0]
+        if live:
+            z = np.zeros(len(live), dtype=np.int32)
+            out[live] = _striped_run([pairs[i] for i in live], text_len,
+                                     z, z, interpret=interpret)
+        return out
+    z = np.zeros(len(pairs), dtype=np.int32)
+    return _striped_run(pairs, text_len, z, z, interpret=interpret)
+
+
+def myers_striped_ends_free(jobs: List[Tuple[str, str, int, int, int, int]],
+                            interpret: bool = False,
+                            text_len: int | None = None) -> np.ndarray:
+    """Exact ends-free edit distances on device for ACGT jobs whose frees
+    are on at most ONE side (the spanning-read case, analignments.cpp:34-63).
+
+    Each job is (pattern, text, pb, pe, tb, te) with edit_distance_ends_free
+    semantics. Pattern-side frees are moved to the text side by transposing
+    (Levenshtein is symmetric); text-side frees then map onto the Myers
+    recurrence exactly: a free leading gap of tb zeroes the horizontal +1
+    boundary carries of the first tb text chars, and a free trailing gap of
+    te turns the final capture into a running min of the bottom row over the
+    last te+1 columns.
+    """
+    oriented: List[Tuple[str, str]] = []
+    tbs = np.zeros(len(jobs), dtype=np.int32)
+    tes = np.zeros(len(jobs), dtype=np.int32)
+    out = np.zeros(len(jobs), dtype=np.int64)
+    live: List[int] = []
+    for i, (p, t, pb, pe, tb, te) in enumerate(jobs):
+        if min(len(p), len(t)) == 0:
+            out[i] = _ends_free_degenerate(len(p), len(t), pb, pe, tb, te)
+            continue
+        live.append(i)
+        if pb or pe:
+            if tb or te:
+                raise ValueError("frees on both sides not device-routable")
+            oriented.append((t, p))
+            tbs[i], tes[i] = pb, pe
+        else:
+            oriented.append((p, t))
+            tbs[i], tes[i] = tb, te
+    if oriented:
+        if text_len is None:
+            text_len = max(len(t) for _, t in oriented)
+        out[live] = _striped_run(oriented, text_len, tbs[live], tes[live],
+                                 interpret=interpret)
+    return out

@@ -145,7 +145,10 @@ def reassignment_distances_batched(reads: List[AnRead], labels: List[int],
         for key, d, (x, y) in zip(e2e_keys, dists, e2e_pairs):
             pre[key] = d / float(max(len(x), len(y)))
     if ef_jobs:
-        dists = edit_ends_free_batch(ef_jobs)
+        if engine is not None and hasattr(engine, "ends_free"):
+            dists = engine.ends_free(ef_jobs)
+        else:
+            dists = edit_ends_free_batch(ef_jobs)
         for key, d, nrm in zip(ef_keys, dists, ef_norm):
             pre[key] = d / nrm
     return pre

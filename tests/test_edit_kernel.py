@@ -124,3 +124,57 @@ def test_engine_pallas_interpret_long_acgt():
     got = eng.distances(pairs)
     want = np.array([edit_distance(x, y) for x, y in pairs])
     assert np.array_equal(got, want)
+
+
+def test_striped_ends_free_interpret():
+    """Ends-free jobs (frees on one side, either side) match the host DP
+    through the striped kernel, including a multi-stripe pattern."""
+    from otter_tpu.kernels.myers_striped import myers_striped_ends_free
+    from otter_tpu.ops.align_np import edit_distance_ends_free
+
+    rng = random.Random(73)
+    jobs = []
+    for _ in range(12):
+        m = rng.randint(1, 250)
+        ld = rng.randint(0, 60)
+        p = "".join(rng.choice("ACGT") for _ in range(m))
+        t = "".join(rng.choice("ACGT") for _ in range(m + ld))
+        mode = rng.randint(0, 5)
+        if mode == 0:
+            jobs.append((p, t, 0, 0, ld, 0))
+        elif mode == 1:
+            jobs.append((p, t, 0, 0, 0, ld))
+        elif mode == 2:
+            jobs.append((p, t, 0, 0, ld // 2, ld - ld // 2))
+        elif mode == 3:
+            jobs.append((t, p, ld, 0, 0, 0))
+        elif mode == 4:
+            jobs.append((t, p, 0, ld, 0, 0))
+        else:
+            jobs.append((t, p, ld // 2, ld - ld // 2, 0, 0))
+    jobs.append(("", "ACGTAC", 0, 0, 2, 1))
+    long_p = "".join(rng.choice("ACGT") for _ in range(1400))
+    jobs.append((long_p, long_p[:5] + "".join(
+        rng.choice("ACGT") for _ in range(1500)), 0, 0, 0, 105))
+    got = myers_striped_ends_free(jobs, interpret=True)
+    want = np.array([edit_distance_ends_free(*j) for j in jobs])
+    assert np.array_equal(got, want)
+
+
+def test_engine_ends_free_interpret():
+    from otter_tpu.ops.align_np import edit_distance_ends_free
+
+    rng = random.Random(74)
+    jobs = []
+    for _ in range(6):
+        m = rng.randint(50, 400)
+        ld = rng.randint(0, 40)
+        y = "".join(rng.choice("ACGT") for _ in range(m + ld))
+        x = mutate(rng, y[: m], 0.05)
+        jobs.append((y, x, ld // 2, ld - ld // 2, 0, 0))
+    # non-ACGT job exercises the host fallback branch
+    jobs.append(("ACGNT", "ACGT", 1, 0, 0, 0))
+    eng = EditDistanceEngine(mode="pallas", interpret=True)
+    got = eng.ends_free(jobs)
+    want = np.array([edit_distance_ends_free(*j) for j in jobs])
+    assert np.array_equal(got, want)
