@@ -133,15 +133,9 @@ def prepare_region(params: OtterOpts, local_bed: BED, bam: BamReader,
                       valid_indeces, invalid_indeces)
 
 
-def cluster_region(params: OtterOpts, work: RegionWork,
-                   distmatrix: DistMatrix, dist_backend=None):
-    """Clustering + reassignment + consensus preparation
-    (assemble.cpp:128-141). Returns (clustmsg, alleles, poa_tasks)."""
-    from ..ops.consensus import (
-        consensus_prepare,
-        reassignment_distances_batched,
-    )
-
+def cluster_labels(params: OtterOpts, work: RegionWork,
+                   distmatrix: DistMatrix):
+    """Hierarchical clustering into initial labels (assemble.cpp:128-133)."""
     clustmsg = ClusteringStatus()
     otter_hclust(work.ignore_haps, params.max_alleles, params.bandwidth_short,
                  params.bandwidth_length, params.bandwidth_long,
@@ -151,15 +145,38 @@ def cluster_region(params: OtterOpts, work: RegionWork,
     labels = [-1] * len(work.reads)
     for i in range(len(clustmsg.labels)):
         labels[work.valid_indeces[i]] = clustmsg.labels[i]
+    return clustmsg, labels
+
+
+def cluster_finish(params: OtterOpts, work: RegionWork,
+                   distmatrix: DistMatrix, clustmsg, labels, pre):
+    """Reassignment (with precomputed distances) + consensus preparation
+    (assemble.cpp:134-141)."""
+    from ..ops.consensus import consensus_prepare
+
     if work.invalid_indeces:
-        engine = dist_backend.engine if dist_backend is not None else None
-        pre = reassignment_distances_batched(work.reads, labels, engine=engine)
         invalid_reassignment(work.ignore_haps, params.min_sim, params.max_error,
                              clustmsg.fc, work.reads, labels, precomputed=pre)
     alleles = [AnAllele() for _ in range(clustmsg.fc)]
     tasks = consensus_prepare(work.ignore_haps, work.reads, labels,
                               work.valid_indeces, clustmsg.fc, distmatrix,
                               alleles)
+    return alleles, tasks
+
+
+def cluster_region(params: OtterOpts, work: RegionWork,
+                   distmatrix: DistMatrix, dist_backend=None):
+    """Clustering + reassignment + consensus preparation
+    (assemble.cpp:128-141). Returns (clustmsg, alleles, poa_tasks)."""
+    from ..ops.consensus import reassignment_distances_batched
+
+    clustmsg, labels = cluster_labels(params, work, distmatrix)
+    pre = None
+    if work.invalid_indeces:
+        engine = dist_backend.engine if dist_backend is not None else None
+        pre = reassignment_distances_batched(work.reads, labels, engine=engine)
+    alleles, tasks = cluster_finish(params, work, distmatrix, clustmsg,
+                                    labels, pre)
     return clustmsg, alleles, tasks
 
 
@@ -247,11 +264,45 @@ def process_region_batch(params: OtterOpts, batch: List[RegionWork],
             emit_region(params, work, clustmsg, alleles, out)
         return
 
-    staged = []
-    all_tasks = []
+    # phase 1: cluster every region on host, pooling reassignment jobs so
+    # the whole batch costs two more device round trips (e2e + ends-free)
+    # instead of several per region (tunnel latency dominates small calls)
+    from ..ops.consensus import reassignment_jobs
+
+    region_jobs = []
+    pool_e2e: list = []
+    pool_ef: list = []
     for (work, coords, start), distmatrix in zip(spans, matrices):
         with metrics.phase("cluster_consensus"):
-            clustmsg, alleles, tasks = cluster_region(params, work, distmatrix, dist_backend)
+            clustmsg, labels = cluster_labels(params, work, distmatrix)
+            info = None
+            if work.invalid_indeces:
+                pre, e2e_p, e2e_k, ef_j, ef_k, ef_n = reassignment_jobs(
+                    work.reads, labels)
+                info = (pre, e2e_p, e2e_k, ef_j, ef_k, ef_n,
+                        len(pool_e2e), len(pool_ef))
+                pool_e2e.extend(e2e_p)
+                pool_ef.extend(ef_j)
+        region_jobs.append((work, distmatrix, clustmsg, labels, info))
+    with metrics.phase("device_dispatch"):
+        e2e_d = dist_backend.engine.distances(pool_e2e) if pool_e2e else []
+        ef_d = dist_backend.engine.ends_free(pool_ef) if pool_ef else []
+    metrics.add("pair_alignments", len(pool_e2e) + len(pool_ef))
+
+    staged = []
+    all_tasks = []
+    for work, distmatrix, clustmsg, labels, info in region_jobs:
+        pre = None
+        if info is not None:
+            pre, e2e_p, e2e_k, ef_j, ef_k, ef_n, eo, fo = info
+            for key, d, (x, y) in zip(e2e_k, e2e_d[eo : eo + len(e2e_p)],
+                                      e2e_p):
+                pre[key] = d / float(max(len(x), len(y)))
+            for key, d, nrm in zip(ef_k, ef_d[fo : fo + len(ef_j)], ef_n):
+                pre[key] = d / nrm
+        with metrics.phase("cluster_consensus"):
+            alleles, tasks = cluster_finish(params, work, distmatrix,
+                                            clustmsg, labels, pre)
         staged.append((work, clustmsg, alleles))
         all_tasks.extend(tasks)
     # one multi-pattern banded DP for every allele consensus in the batch

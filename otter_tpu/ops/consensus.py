@@ -92,16 +92,10 @@ def fill_dist_matrix(ignore_haps: bool, reads: List[AnRead], indeces: List[int],
             distmatrix.set_dist(i, j, d)
 
 
-def reassignment_distances_batched(reads: List[AnRead], labels: List[int],
-                                   engine=None) -> dict:
-    """Precompute align_anreads distances for (unassigned i, initially
-    labeled spanning j) pairs in batch. End2End cases go through the batched
-    edit engine (device kernels when available); ends-free cases through the
-    vectorized host DP. Reads labeled *during* the sequential reassignment
-    loop are handled on demand there, preserving the reference's in-loop
-    dependency (analignments.cpp:129-176)."""
-    from .align_batch import edit_ends_free_batch
-
+def reassignment_jobs(reads: List[AnRead], labels: List[int]):
+    """Collect the batchable align_anreads jobs for (unassigned i, initially
+    labeled spanning j) pairs. Returns (pre, e2e_pairs, e2e_keys, ef_jobs,
+    ef_keys, ef_norm); equal-sequence pairs land directly in ``pre``."""
     e2e_pairs = []
     e2e_keys = []
     ef_jobs = []
@@ -136,6 +130,21 @@ def reassignment_distances_batched(reads: List[AnRead], labels: List[int],
                 ef_jobs.append(job)
                 ef_keys.append((i, j))
                 ef_norm.append(float(len(read_x.seq)))
+    return pre, e2e_pairs, e2e_keys, ef_jobs, ef_keys, ef_norm
+
+
+def reassignment_distances_batched(reads: List[AnRead], labels: List[int],
+                                   engine=None) -> dict:
+    """Precompute align_anreads distances for (unassigned i, initially
+    labeled spanning j) pairs in batch. End2End cases go through the batched
+    edit engine (device kernels when available); ends-free cases through the
+    striped Myers device path or the vectorized host DP. Reads labeled
+    *during* the sequential reassignment loop are handled on demand there,
+    preserving the reference's in-loop dependency (analignments.cpp:129-176)."""
+    from .align_batch import edit_ends_free_batch
+
+    pre, e2e_pairs, e2e_keys, ef_jobs, ef_keys, ef_norm = reassignment_jobs(
+        reads, labels)
     if e2e_pairs:
         if engine is not None:
             dists = engine.distances(e2e_pairs)
