@@ -35,9 +35,12 @@ def _banded_batch(a: np.ndarray, texts: List[np.ndarray], k: int,
     bx = np.full((B, nmax + W + 2), -1, dtype=np.int64)
     for bi, t in enumerate(texts):
         bx[bi, : len(t)] = t
-    H = np.full((B, m + 1, W), _BIG, dtype=np.int64)
-    E = np.full((B, m + 1, W), _BIG, dtype=np.int64)
-    F = np.full((B, m + 1, W), _BIG, dtype=np.int64)
+    # every row 1..m is written below; only row 0 needs real init
+    H = np.empty((B, m + 1, W), dtype=np.int64)
+    E = np.empty((B, m + 1, W), dtype=np.int64)
+    F = np.empty((B, m + 1, W), dtype=np.int64)
+    E[:, 0, :] = _BIG
+    F[:, 0, :] = _BIG
     w_idx = np.arange(W, dtype=np.int64)[None, :]
     ew = GAP_EXT * w_idx
     j0 = w_idx - (k + 1)
@@ -235,9 +238,14 @@ def _banded_batch_multi(patterns: List[np.ndarray], texts: List[np.ndarray],
     bx = np.full((B, nmax + W + 2), -1, dtype=I32)
     for bi, t in enumerate(texts):
         bx[bi, : len(t)] = t
-    H = np.full((B, m_max + 1, W), _BIG, dtype=I32)
-    E = np.full((B, m_max + 1, W), _BIG, dtype=I32)
-    F = np.full((B, m_max + 1, W), _BIG, dtype=I32)
+    # rows 1..m_max are fully written every iteration (frozen rows copy the
+    # previous row), so only row 0 needs initialization — np.empty avoids
+    # page-faulting ~100MB of _BIG fills per chunk
+    H = np.empty((B, m_max + 1, W), dtype=I32)
+    E = np.empty((B, m_max + 1, W), dtype=I32)
+    F = np.empty((B, m_max + 1, W), dtype=I32)
+    E[:, 0, :] = _BIG
+    F[:, 0, :] = _BIG
     w_idx = np.arange(W, dtype=I32)[None, :]
     ew = (GAP_EXT * w_idx).astype(I32)
     j0 = (w_idx - (k + 1)).astype(I32)
@@ -335,7 +343,8 @@ def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
         while k < reach + 16:
             k *= 2
         if 2 * (k + 1) >= len(t) + 2:
-            out[idx] = affine_align_ends_free_cigar(p, t, pb, pe, tb, te)
+            out[idx] = affine_align_ends_free_cigar(p, t, pb, pe, tb, te,
+                                                    k_start=k)
         else:
             groups.setdefault(k, []).append(idx)
     # batched band-escalation ladder: members whose band proves too narrow
@@ -368,7 +377,7 @@ def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
                     k2 = 2 * k
                     if 2 * (k2 + 1) >= len(t) + 2:
                         out[idx] = affine_align_ends_free_cigar(
-                            p, t, pbv, pev, tbv, tev)
+                            p, t, pbv, pev, tbv, tev, k_start=k2)
                     else:
                         groups.setdefault(k2, []).append(idx)
     return out

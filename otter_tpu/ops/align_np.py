@@ -108,9 +108,12 @@ def _affine_matrices(a: np.ndarray, b: np.ndarray,
     where B = min(diag, F, boundary) excludes E itself.
     """
     m, n = len(a), len(b)
-    H = np.full((m + 1, n + 1), _BIG, dtype=np.int64)
-    E = np.full((m + 1, n + 1), _BIG, dtype=np.int64)
-    F = np.full((m + 1, n + 1), _BIG, dtype=np.int64)
+    # rows 1..m fully written in the loop; only boundaries need real init
+    H = np.empty((m + 1, n + 1), dtype=np.int64)
+    E = np.empty((m + 1, n + 1), dtype=np.int64)
+    F = np.empty((m + 1, n + 1), dtype=np.int64)
+    E[0, :] = _BIG
+    F[0, :] = _BIG
     H[0, 0] = 0
     js_all = np.arange(n + 1, dtype=np.int64)
     js = js_all[1:]
@@ -165,9 +168,12 @@ def _affine_matrices_banded(a: np.ndarray, b: np.ndarray, k: int,
     """
     m, n = len(a), len(b)
     W = 2 * (k + 1)
-    H = np.full((m + 1, W), _BIG, dtype=np.int64)
-    E = np.full((m + 1, W), _BIG, dtype=np.int64)
-    F = np.full((m + 1, W), _BIG, dtype=np.int64)
+    # rows 1..m fully written in the loop; only row 0 needs real init
+    H = np.empty((m + 1, W), dtype=np.int64)
+    E = np.empty((m + 1, W), dtype=np.int64)
+    F = np.empty((m + 1, W), dtype=np.int64)
+    E[0, :] = _BIG
+    F[0, :] = _BIG
     w_idx = np.arange(W, dtype=np.int64)
     ew = GAP_EXT * w_idx
     j0 = w_idx - (k + 1)
@@ -231,7 +237,8 @@ class _BandView:
 
 def affine_align_ends_free_cigar(pattern: str, text: str,
                                  pb: int = 0, pe: int = 0,
-                                 tb: int = 0, te: int = 0) -> str:
+                                 tb: int = 0, te: int = 0,
+                                 k_start: int = 32) -> str:
     """Per-column cigar (M/X/I/D chars) of the gap-affine alignment.
 
     I consumes text, D consumes pattern (WFA convention as consumed by
@@ -248,7 +255,9 @@ def affine_align_ends_free_cigar(pattern: str, text: str,
     # difference / free ends) it is exact. Otherwise double k; fall back to
     # the full matrices when the band stops being smaller.
     reach = max(abs(n - m), pb, pe, tb, te)
-    k = 32
+    # k_start lets batched callers hand over the band at which their ladder
+    # already failed, skipping the re-climb
+    k = max(32, k_start)
     while k < reach + 16:
         k *= 2
     while True:
