@@ -305,9 +305,10 @@ def process_region_batch(params: OtterOpts, batch: List[RegionWork],
                                             clustmsg, labels, pre)
         staged.append((work, clustmsg, alleles))
         all_tasks.extend(tasks)
-    # one multi-pattern banded DP for every allele consensus in the batch
+    # one multi-pattern banded DP for every allele consensus in the batch,
+    # band-seeded by one pooled device edit-distance dispatch
     with metrics.phase("cluster_consensus"):
-        consensus_apply_batched(all_tasks)
+        consensus_apply_batched(all_tasks, engine=dist_backend.engine)
     for work, clustmsg, alleles in staged:
         emit_region(params, work, clustmsg, alleles, out)
 

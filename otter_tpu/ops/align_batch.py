@@ -295,7 +295,8 @@ def _banded_batch_multi(patterns: List[np.ndarray], texts: List[np.ndarray],
 
 
 def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
-                        use_device: bool = False) -> List[str]:
+                        use_device: bool = False,
+                        dist_hints=None) -> List[str]:
     """Cigars for (pattern, text, pb, pe, tb, te) jobs with *different*
     patterns, batched by band size. Exact scalar parity; escalating members
     fall back to the scalar path.
@@ -304,6 +305,14 @@ def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
     (kernels/affine_pallas.py). NOTE: it moves ~1 byte/DP-cell device->host,
     which wins on directly-attached TPUs but loses through low-bandwidth
     dev tunnels — hence opt-in (OTTER_TPU_AFFINE_DEVICE=1 or explicit flag).
+
+    dist_hints: per-job exact (ends-free) edit distances e. The affine score
+    of the e-edit path costs at most 8e (mismatch 4; a length-L gap 6+2L),
+    and band validity needs k > (score-6)/2 + reach, so seeding
+    k ~ 2.5e + reach (typical score ~5e) lands near the final band in one
+    or two tries instead of climbing from 32. Exactness is unaffected: the
+    validity check still escalates until the banded score is provably
+    optimal.
     """
     import os
 
@@ -339,8 +348,11 @@ def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
     for idx in remaining_idx:
         p, t, pb, pe, tb, te = jobs[idx]
         reach = max(abs(len(t) - len(p)), pb, pe, tb, te)
+        target = reach + 16
+        if dist_hints is not None:
+            target = max(target, (5 * int(dist_hints[idx])) // 2 + reach)
         k = 32
-        while k < reach + 16:
+        while k < target:
             k *= 2
         if 2 * (k + 1) >= len(t) + 2:
             out[idx] = affine_align_ends_free_cigar(p, t, pb, pe, tb, te,
@@ -354,7 +366,7 @@ def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
         k = min(groups)
         members = groups.pop(k)
         m_max = max(len(jobs[i][0]) for i in members)
-        per_member = 3 * (m_max + 1) * (2 * (k + 1)) * 8
+        per_member = 3 * (m_max + 1) * (2 * (k + 1)) * 4  # int32 H/E/F
         chunk = max(1, _MEM_BUDGET_BYTES // max(1, per_member))
         for c0 in range(0, len(members), chunk):
             sub_idx = members[c0 : c0 + chunk]

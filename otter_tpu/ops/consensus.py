@@ -251,9 +251,14 @@ class PoaTask:
             self.allele.seq = "N"
 
 
-def consensus_apply_batched(tasks: List["PoaTask"]) -> None:
+def consensus_apply_batched(tasks: List["PoaTask"], engine=None) -> None:
     """Run every task's member alignments as one multi-pattern banded DP
-    (ops/align_batch.py), then build each POA."""
+    (ops/align_batch.py), then build each POA.
+
+    With a device engine, the exact ends-free edit distance of every job is
+    computed first (one cheap Myers dispatch) and used to seed each member's
+    affine band near its final size, skipping most of the ladder climb on
+    high-error data. The band-validity check still guarantees exactness."""
     from .align_batch import affine_cigars_multi
 
     flat: List[tuple] = []
@@ -262,7 +267,13 @@ def consensus_apply_batched(tasks: List["PoaTask"]) -> None:
         jobs = task.flat_jobs()
         spans.append((task, len(flat), len(jobs)))
         flat.extend(jobs)
-    cigars = affine_cigars_multi(flat)
+    dist_hints = None
+    if flat and engine is not None and getattr(engine, "mode", "") == "pallas":
+        try:
+            dist_hints = engine.ends_free(flat)
+        except Exception:
+            dist_hints = None
+    cigars = affine_cigars_multi(flat, dist_hints=dist_hints)
     for task, start, count in spans:
         task.apply(cigars[start : start + count])
 
