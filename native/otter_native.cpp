@@ -243,3 +243,192 @@ void otter_bam_blobs(void* h, char* names, uint32_t* cigars, char* seqs,
 void otter_bam_free(void* h) { delete static_cast<BamBatch*>(h); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Banded gap-affine aligner with traceback: the native engine behind
+// ops/align_batch.py::affine_cigars_multi. Exact same recurrences, boundary
+// conditions, end-cell preference, and traceback tie-breaking as the numpy
+// reference (_banded_batch_multi / _end_cell / _traceback_banded), which in
+// turn reproduce WFA2 alignEndsFree cigars (gap-affine penalties 0/4/6+2L,
+// right-aligned edits). Band coords: w = j - i + (k+1), W = 2(k+1); a band
+// of k >= max(m, n) covers the full matrix, making the result
+// unconditionally exact.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int32_t kBigAffine = 1 << 28;  // matches align_np._BIG
+constexpr int32_t kMismatch = 4;
+constexpr int32_t kGapOpen = 6;
+constexpr int32_t kGapExt = 2;
+
+// One member: fill H/E/F (history kept for traceback), pick the end cell,
+// emit the cigar. Returns the end-cell score; cigar written to `cig`
+// (capacity >= m + n + 1), length to *cig_len.
+int32_t affine_banded_member(const uint8_t* a, int32_t m, const uint8_t* b,
+                             int32_t n, int32_t k, int32_t pb, int32_t pe,
+                             int32_t tb, int32_t te,
+                             std::vector<int32_t>& Hbuf,
+                             std::vector<int32_t>& Ebuf,
+                             std::vector<int32_t>& Fbuf, char* cig,
+                             int32_t* cig_len) {
+  const int32_t W = 2 * (k + 1);
+  Hbuf.resize(size_t(m + 1) * W);
+  Ebuf.resize(size_t(m + 1) * W);
+  Fbuf.resize(size_t(m + 1) * W);
+  int32_t* H = Hbuf.data();
+  int32_t* E = Ebuf.data();
+  int32_t* F = Fbuf.data();
+  for (int32_t w = 0; w < W; ++w) {
+    const int32_t j0 = w - (k + 1);
+    H[w] = (j0 >= 0 && j0 <= n)
+               ? (j0 <= tb ? 0 : kGapOpen + kGapExt * (j0 - tb))
+               : kBigAffine;
+    E[w] = kBigAffine;
+    F[w] = kBigAffine;
+  }
+  for (int32_t i = 1; i <= m; ++i) {
+    const int32_t* Hp = H + size_t(i - 1) * W;
+    const int32_t* Fp = F + size_t(i - 1) * W;
+    int32_t* Hc = H + size_t(i) * W;
+    int32_t* Ec = E + size_t(i) * W;
+    int32_t* Fc = F + size_t(i) * W;
+    const uint8_t ac = a[i - 1];
+    const int32_t hb =
+        (i <= pb) ? 0 : kGapOpen + kGapExt * (i - pb);
+    int32_t runmin = kBigAffine * 2;  // min over w'<w of Bv[w'] - ext*w'
+    for (int32_t w = 0; w < W; ++w) {
+      const int32_t j = i + w - (k + 1);
+      const int32_t up_h = (w + 1 < W) ? Hp[w + 1] : kBigAffine;
+      const int32_t up_f = (w + 1 < W) ? Fp[w + 1] : kBigAffine;
+      const int32_t f = std::min(up_h + kGapOpen + kGapExt, up_f + kGapExt);
+      int32_t bv;
+      const bool invalid = (j < 0) | (j > n);
+      if (j >= 1 && j <= n) {
+        const int32_t diag = Hp[w] + (b[j - 1] == ac ? 0 : kMismatch);
+        bv = std::min(diag, f);
+      } else {
+        bv = kBigAffine;
+      }
+      if (j == 0) bv = hb;
+      if (invalid) bv = kBigAffine;
+      int32_t e = (w == 0) ? kBigAffine : runmin + kGapExt * w + kGapOpen;
+      if (invalid) e = kBigAffine;
+      int32_t h = std::min(bv, e);
+      if (j == 0) h = hb;
+      if (invalid) h = kBigAffine;
+      Hc[w] = h;
+      Ec[w] = e;
+      Fc[w] = invalid ? kBigAffine : f;
+      runmin = std::min(runmin, bv - kGapExt * w);
+    }
+  }
+  // end cell: best over the free trailing windows, preferring max j then
+  // max i on ties (align_batch.py::_end_cell)
+  const int32_t kp1 = k + 1;
+  auto hat = [&](int32_t i, int32_t j) -> int32_t {
+    const int32_t w = j - i + kp1;
+    return (w >= 0 && w < W) ? H[size_t(i) * W + w] : kBigAffine;
+  };
+  int32_t best = hat(m, n), ei = m, ej = n;
+  for (int32_t j = n - 1; j >= std::max(0, n - te); --j) {
+    const int32_t s = hat(m, j);
+    if (s < best) { best = s; ei = m; ej = j; }
+  }
+  for (int32_t i = m - 1; i >= std::max(0, m - pe); --i) {
+    const int32_t s = hat(i, n);
+    if (s < best) { best = s; ei = i; ej = n; }
+  }
+  // traceback (align_batch.py::_traceback_banded): prefer F then E over the
+  // diagonal on ties -> WFA-compatible right-aligned edits
+  auto eat = [&](int32_t i, int32_t j) -> int32_t {
+    const int32_t w = j - i + kp1;
+    return (w >= 0 && w < W) ? E[size_t(i) * W + w] : kBigAffine;
+  };
+  auto fat = [&](int32_t i, int32_t j) -> int32_t {
+    const int32_t w = j - i + kp1;
+    return (w >= 0 && w < W) ? F[size_t(i) * W + w] : kBigAffine;
+  };
+  char* out = cig;
+  for (int32_t t = 0; t < n - ej; ++t) *out++ = 'I';
+  for (int32_t t = 0; t < m - ei; ++t) *out++ = 'D';
+  int32_t i = ei, j = ej;
+  int state = 0;  // 0 = H, 1 = F, 2 = E
+  while (i > 0 || j > 0) {
+    if (state == 0) {
+      if (i == 0) {
+        for (int32_t t = 0; t < j; ++t) *out++ = 'I';
+        break;
+      }
+      if (j == 0) {
+        for (int32_t t = 0; t < i; ++t) *out++ = 'D';
+        break;
+      }
+      const int32_t h = hat(i, j);
+      if (h == fat(i, j)) { state = 1; continue; }
+      if (h == eat(i, j)) { state = 2; continue; }
+      *out++ = (a[i - 1] == b[j - 1]) ? 'M' : 'X';
+      --i;
+      --j;
+    } else if (state == 1) {
+      *out++ = 'D';
+      if (fat(i, j) == fat(i - 1, j) + kGapExt && i > 1) {
+        --i;
+      } else {
+        --i;
+        state = 0;
+      }
+    } else {
+      *out++ = 'I';
+      if (eat(i, j) == eat(i, j - 1) + kGapExt && j > 1) {
+        --j;
+      } else {
+        --j;
+        state = 0;
+      }
+    }
+  }
+  const int32_t len = int32_t(out - cig);
+  std::reverse(cig, out);
+  *cig_len = len;
+  return best;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batch driver. seqs/offsets lay out 2*B sequences pairwise (a_i, b_i);
+// per-member cigar buffers at cig_off[i] (capacity m_i + n_i + 1). Each
+// member uses band half-width kv[i]. Outputs: cigar lengths, end-cell
+// scores. Threaded round-robin over members.
+void otter_affine_banded_batch(const uint8_t* seqs, const int64_t* offsets,
+                               const int32_t* pb, const int32_t* pe,
+                               const int32_t* tb, const int32_t* te,
+                               const int32_t* kv, int32_t n_members,
+                               int32_t n_threads, char* cigars,
+                               const int64_t* cig_off, int32_t* cig_len,
+                               int32_t* score) {
+  if (n_threads < 1) n_threads = 1;
+  auto worker = [&](int32_t t) {
+    std::vector<int32_t> Hbuf, Ebuf, Fbuf;
+    for (int32_t p = t; p < n_members; p += n_threads) {
+      const uint8_t* a = seqs + offsets[2 * p];
+      const int32_t m = int32_t(offsets[2 * p + 1] - offsets[2 * p]);
+      const uint8_t* b = seqs + offsets[2 * p + 1];
+      const int32_t n = int32_t(offsets[2 * p + 2] - offsets[2 * p + 1]);
+      score[p] = affine_banded_member(a, m, b, n, kv[p], pb[p], pe[p], tb[p],
+                                      te[p], Hbuf, Ebuf, Fbuf,
+                                      cigars + cig_off[p], &cig_len[p]);
+    }
+  };
+  if (n_threads == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+  }
+}
+
+}  // extern "C"

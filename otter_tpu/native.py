@@ -72,6 +72,21 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_uint8)]
             lib.otter_bam_free.restype = None
             lib.otter_bam_free.argtypes = [ctypes.c_void_p]
+            lib.otter_affine_banded_batch.restype = None
+            lib.otter_affine_banded_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),      # seqs
+                ctypes.POINTER(ctypes.c_int64),      # offsets
+                ctypes.POINTER(ctypes.c_int32),      # pb
+                ctypes.POINTER(ctypes.c_int32),      # pe
+                ctypes.POINTER(ctypes.c_int32),      # tb
+                ctypes.POINTER(ctypes.c_int32),      # te
+                ctypes.POINTER(ctypes.c_int32),      # kv
+                ctypes.c_int32, ctypes.c_int32,      # n_members, n_threads
+                ctypes.c_char_p,                     # cigars
+                ctypes.POINTER(ctypes.c_int64),      # cig_off
+                ctypes.POINTER(ctypes.c_int32),      # cig_len
+                ctypes.POINTER(ctypes.c_int32),      # score
+            ]
             _lib = lib
         return _lib
 
@@ -141,3 +156,65 @@ def edit_distance_batch(pairs: List[Tuple[str, str]],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.byref(cells))
     return out.astype(np.int64), int(cells.value)
+
+
+# cap transient H/E/F footprint across affine worker threads
+_AFFINE_MEM_BUDGET = 3 * 1024 * 1024 * 1024
+
+
+def affine_banded_cigar_batch(jobs, ks, n_threads: int = 0):
+    """Native banded gap-affine cigars with traceback.
+
+    jobs: (pattern, text, pb, pe, tb, te) tuples; ks: per-job band
+    half-width (k >= max(m, n) covers the full matrix -> unconditionally
+    exact). Returns (cigars, scores); the caller applies the band-validity
+    check / escalation exactly as for the numpy path.
+    """
+    lib = get_lib()
+    B = len(jobs)
+    blobs = []
+    offsets = np.zeros(2 * B + 1, dtype=np.int64)
+    cig_off = np.zeros(B + 1, dtype=np.int64)
+    pos = 0
+    for i, (a, b, _pb, _pe, _tb, _te) in enumerate(jobs):
+        ab = a.encode("latin-1")
+        bb = b.encode("latin-1")
+        blobs.append(ab)
+        blobs.append(bb)
+        offsets[2 * i + 1] = pos + len(ab)
+        offsets[2 * i + 2] = pos + len(ab) + len(bb)
+        pos += len(ab) + len(bb)
+        cig_off[i + 1] = cig_off[i] + len(ab) + len(bb) + 1
+    seqs = np.frombuffer(b"".join(blobs) + b"\x00", dtype=np.uint8).copy()
+    pb = np.array([j[2] for j in jobs], dtype=np.int32)
+    pe = np.array([j[3] for j in jobs], dtype=np.int32)
+    tb = np.array([j[4] for j in jobs], dtype=np.int32)
+    te = np.array([j[5] for j in jobs], dtype=np.int32)
+    kv = np.asarray(ks, dtype=np.int32)
+    cigars = ctypes.create_string_buffer(int(cig_off[-1]) + 1)
+    cig_len = np.zeros(B, dtype=np.int32)
+    score = np.zeros(B, dtype=np.int32)
+    if n_threads <= 0:
+        n_threads = min(32, os.cpu_count() or 1)
+    per_member = max(
+        3 * 4 * (len(j[0]) + 1) * 2 * (int(k) + 1)
+        for j, k in zip(jobs, kv))
+    n_threads = max(1, min(n_threads, B,
+                           _AFFINE_MEM_BUDGET // max(1, per_member)))
+    lib.otter_affine_banded_batch(
+        seqs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        pb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pe.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        te.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        kv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        B, n_threads, cigars,
+        cig_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cig_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        score.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    out = []
+    for i in range(B):
+        s = int(cig_off[i])
+        out.append(cigars.raw[s : s + int(cig_len[i])].decode("ascii"))
+    return out, score

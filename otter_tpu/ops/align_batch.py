@@ -294,6 +294,42 @@ def _banded_batch_multi(patterns: List[np.ndarray], texts: List[np.ndarray],
     return H, E, F, m, n[:, 0]
 
 
+def _native_ladder(jobs, out: List[str], groups: dict) -> List[str]:
+    """Band-escalation ladder over the native C++ engine
+    (native/otter_native.cpp::otter_affine_banded_batch). Members at the
+    full-matrix threshold run with k = max(m, n) — band covers every cell,
+    so the result is unconditionally exact; others use the same validity
+    check + escalation as the numpy ladder. Cigars are bit-identical to the
+    numpy/scalar paths (same recurrences, end-cell preference, traceback
+    tie-breaking)."""
+    from ..native import affine_banded_cigar_batch
+
+    while groups:
+        k = min(groups)
+        members = groups.pop(k)
+        njobs = [jobs[i] for i in members]
+        ks: List[int] = []
+        exact: List[bool] = []
+        for i in members:
+            p, t = jobs[i][0], jobs[i][1]
+            if 2 * (k + 1) >= len(t) + 2:
+                ks.append(max(len(p), len(t)))
+                exact.append(True)
+            else:
+                ks.append(k)
+                exact.append(False)
+        cigs, scores = affine_banded_cigar_batch(njobs, ks)
+        for bi, idx in enumerate(members):
+            p, t, pbv, pev, tbv, tev = jobs[idx]
+            reach = max(abs(len(t) - len(p)), pbv, pev, tbv, tev)
+            if exact[bi] or (
+                    scores[bi] < GAP_OPEN + GAP_EXT * (ks[bi] + 1 - reach)):
+                out[idx] = cigs[bi]
+            else:
+                groups.setdefault(2 * k, []).append(idx)
+    return out
+
+
 def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
                         use_device: bool = False,
                         dist_hints=None) -> List[str]:
@@ -344,6 +380,13 @@ def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
                 remaining_idx = [i for i in remaining_idx if i not in done]
         except Exception:
             pass  # device path unavailable: host handles everything
+    use_native = os.environ.get("OTTER_TPU_NATIVE_AFFINE", "1") == "1"
+    if use_native:
+        try:
+            from ..native import get_lib
+            get_lib()
+        except Exception:
+            use_native = False
     groups: dict = {}
     for idx in remaining_idx:
         p, t, pb, pe, tb, te = jobs[idx]
@@ -354,11 +397,13 @@ def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
         k = 32
         while k < target:
             k *= 2
-        if 2 * (k + 1) >= len(t) + 2:
+        if not use_native and 2 * (k + 1) >= len(t) + 2:
             out[idx] = affine_align_ends_free_cigar(p, t, pb, pe, tb, te,
                                                     k_start=k)
         else:
             groups.setdefault(k, []).append(idx)
+    if use_native:
+        return _native_ladder(jobs, out, groups)
     # batched band-escalation ladder: members whose band proves too narrow
     # move to the next k group instead of falling back to the (much slower)
     # per-member scalar path

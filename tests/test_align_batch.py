@@ -61,3 +61,62 @@ def test_batch_with_divergent_member():
     want = [affine_align_ends_free_cigar(pattern, *j[:1], *j[1:])
             for j in jobs]
     assert got == want
+
+
+def test_native_affine_parity_scalar():
+    """The native C++ banded engine emits byte-identical cigars to the
+    scalar host path across free-end shapes, error rates, and the
+    full-matrix band (native/otter_native.cpp::otter_affine_banded_batch)."""
+    import os
+    import random
+
+    from otter_tpu.ops.align_batch import affine_cigars_multi
+    from otter_tpu.ops.align_np import affine_align_ends_free_cigar
+
+    rng = random.Random(19)
+
+    def rseq(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    def mutate(s, rate):
+        out = []
+        for ch in s:
+            x = rng.random()
+            if x < rate / 3:
+                out.append(rng.choice("ACGT"))
+            elif x < 2 * rate / 3:
+                out.extend([ch, rng.choice("ACGT")])
+            elif x < rate:
+                pass
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    jobs = []
+    for _ in range(14):
+        p = rseq(rng.randint(50, 600))
+        t = mutate(p, rng.choice([0.03, 0.2]))
+        ld = abs(len(t) - len(p))
+        mode = rng.randint(0, 3)
+        if mode == 0:
+            jobs.append((p, t, 0, 0, 0, 0))
+        elif mode == 1:
+            jobs.append((p, t, ld, 0, 0, 0))
+        elif mode == 2:
+            jobs.append((p, t, 0, 0, 0, ld))
+        else:
+            jobs.append((p, t, ld // 2, ld - ld // 2, 0, 0))
+    p = rseq(800)
+    jobs.append((p, p[:200] + p[600:], 0, 0, 0, 0))  # big deletion
+    jobs.append(("A", "T", 0, 0, 0, 0))
+    want = [affine_align_ends_free_cigar(*j) for j in jobs]
+    prev = os.environ.get("OTTER_TPU_NATIVE_AFFINE")
+    try:
+        os.environ["OTTER_TPU_NATIVE_AFFINE"] = "1"
+        got = affine_cigars_multi(jobs)
+    finally:
+        if prev is None:
+            os.environ.pop("OTTER_TPU_NATIVE_AFFINE", None)
+        else:
+            os.environ["OTTER_TPU_NATIVE_AFFINE"] = prev
+    assert got == want
