@@ -18,19 +18,32 @@ import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_REPO_ROOT, "native", "otter_native.cpp")
-_LIB = os.path.join(_REPO_ROOT, "native", "libotter_native.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 
 
+def _lib_path() -> str:
+    """Source-hashed library path. dlopen caches by path within a process,
+    so rebuilding in place would hand long-lived processes (persistent
+    workers, daemons) the stale image; a content-addressed name forces a
+    fresh load after every source change."""
+    import hashlib
+
+    with open(_SRC, "rb") as fh:
+        h = hashlib.sha1(fh.read()).hexdigest()[:12]
+    return os.path.join(_REPO_ROOT, "native", f"libotter_native.{h}.so")
+
+
 def build_native(force: bool = False) -> str:
-    if not force and os.path.exists(_LIB) and \
-            os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-        return _LIB
+    lib = _lib_path()
+    if not force and os.path.exists(lib):
+        return lib
+    tmp = lib + f".tmp{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-pthread", "-o", _LIB, _SRC]
+           "-pthread", "-o", tmp, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
-    return _LIB
+    os.replace(tmp, lib)  # atomic vs concurrent builders
+    return lib
 
 
 def get_lib() -> ctypes.CDLL:
