@@ -275,9 +275,15 @@ class BamReader:
             return None
         return _decode_record(blob)
 
-    def _native_records(self, raw: bytes) -> Optional[List[BamRecord]]:
+    def _native_records(self, raw: bytes,
+                        region=None) -> Optional[List[BamRecord]]:
         """Decode a raw record stream with the C++ feeder (native/otter_native
-        .cpp); None when the native library is unavailable."""
+        .cpp); None when the native library is unavailable.
+
+        region=(tid, start, end) applies the fetch overlap/unmapped filter on
+        the numpy columns BEFORE building BamRecord objects — most decoded
+        records in a BAI chunk don't overlap the query, so this skips the
+        bulk of the python-object construction."""
         if os.environ.get("OTTER_TPU_NATIVE_IO", "1") != "1":
             return None
         try:
@@ -289,7 +295,24 @@ class BamReader:
         n = len(d["ref_id"])
         names, seqs, auxs, cigars = d["names"], d["seqs"], d["auxs"], d["cigars"]
         no, co, so, ao = d["name_off"], d["cigar_off"], d["seq_off"], d["aux_off"]
-        for i in range(n):
+        idxs = range(n)
+        if region is not None and n:
+            tid, qstart, qend = region
+            lens = (cigars >> 4).astype(_np.int64)
+            ops = cigars & _np.uint32(0xF)
+            # ref-consuming ops: M, D, N, =, X (CG fake cigar's N carries the
+            # true ref span, so end_pos is right for long-cigar records too)
+            refmask = ((ops == 0) | (ops == 2) | (ops == 3)
+                       | (ops == 7) | (ops == 8))
+            cs = _np.concatenate(
+                [[0], _np.cumsum(lens * refmask)])
+            refspan = cs[co[1:]] - cs[co[:-1]]
+            end_pos = d["pos"].astype(_np.int64) + refspan
+            keep = ((d["ref_id"] == tid) & (d["pos"] < qend)
+                    & (end_pos > qstart)
+                    & ((d["flag"] & FLAG_UNMAP) == 0))
+            idxs = _np.nonzero(keep)[0].tolist()
+        for i in idxs:
             cg = cigars[co[i] : co[i + 1]]
             rec = BamRecord(
                 name=names[no[i] : no[i + 1]].decode(),
@@ -345,16 +368,18 @@ class BamReader:
                     if len(blob) < bs:
                         break
                     raw_parts.append(hdr4 + blob)
-                recs = self._native_records(b"".join(raw_parts))
+                recs = self._native_records(b"".join(raw_parts),
+                                            region=(tid, start, end))
                 if recs is None:
-                    recs = [
-                        _decode_record(part[4:]) for part in raw_parts
-                    ]
-                for rec in recs:
-                    if rec.ref_id != tid or rec.pos >= end:
-                        break
-                    if rec.end_pos() > start and not (rec.flag & FLAG_UNMAP):
-                        yield rec
+                    recs = []
+                    for part in raw_parts:
+                        rec = _decode_record(part[4:])
+                        if rec.ref_id != tid or rec.pos >= end:
+                            break
+                        if rec.end_pos() > start and \
+                                not (rec.flag & FLAG_UNMAP):
+                            recs.append(rec)
+                yield from recs
         else:
             for rec in self:
                 if rec.ref_id == tid and rec.pos < end and rec.end_pos() > start \
