@@ -92,7 +92,7 @@ def main():
         os.environ["PALLAS_AXON_POOL_IPS"] = ""
         os.environ["JAX_PLATFORMS"] = "cpu"
     rng = random.Random(20260817)
-    pairs = make_workload(rng, n_pairs=2048, length=1024)
+    pairs = make_workload(rng, n_pairs=8192, length=1024)
     tpu_rate, tpu_d, plat, pairs_rate = bench_tpu(pairs)
     # CPU baseline on a subsample (same distribution), single core
     cpu_pairs = pairs[:256]

@@ -140,6 +140,56 @@ struct BamBatch {
   std::vector<char> seqs;
   std::vector<uint8_t> auxs;
 };
+
+// Size of one aux value of the given type char at p (p points past the type
+// byte); returns -1 on unknown type. B arrays: elem type + int32 count.
+int64_t aux_value_size(const uint8_t* p, const uint8_t* end, char type) {
+  switch (type) {
+    case 'A': case 'c': case 'C': return 1;
+    case 's': case 'S': return 2;
+    case 'i': case 'I': case 'f': return 4;
+    case 'Z': case 'H': {
+      const uint8_t* q = p;
+      while (q < end && *q) ++q;
+      return (q - p) + 1;
+    }
+    case 'B': {
+      if (p + 5 > end) return -1;
+      int64_t esize = aux_value_size(p + 5, end, char(p[0]));
+      if (esize <= 0) return -1;
+      uint32_t count;
+      std::memcpy(&count, p + 1, 4);
+      return 5 + esize * int64_t(count);
+    }
+    default: return -1;
+  }
+}
+
+// CG:B,I long-cigar tag (SAM spec 4.2.2) located inside an aux block.
+struct CgTag {
+  const uint8_t* ops = nullptr;  // packed cigar words
+  uint32_t count = 0;
+  const uint8_t* tag_begin = nullptr;  // tag bytes [tag_begin, tag_end)
+  const uint8_t* tag_end = nullptr;
+};
+
+CgTag find_cg_tag(const uint8_t* p, const uint8_t* end) {
+  while (p + 3 <= end) {
+    const char t0 = char(p[0]), t1 = char(p[1]), type = char(p[2]);
+    if (t0 == 'C' && t1 == 'G' && type == 'B' && p + 8 <= end &&
+        char(p[3]) == 'I') {
+      uint32_t count;
+      std::memcpy(&count, p + 4, 4);
+      if (p + 8 + 4 * int64_t(count) <= end)
+        return {p + 8, count, p, p + 8 + 4 * int64_t(count)};
+      return {};
+    }
+    int64_t vsize = aux_value_size(p + 3, end, type);
+    if (vsize < 0) return {};
+    p += 3 + vsize;
+  }
+  return {};
+}
 }  // namespace
 
 extern "C" {
@@ -179,7 +229,26 @@ void* otter_bam_parse(const uint8_t* buf, int64_t size) {
     b->name_off.push_back(int64_t(b->names.size()));
     p += l_read_name;
     const uint32_t* cig = reinterpret_cast<const uint32_t*>(p);
-    b->cigars.insert(b->cigars.end(), cig, cig + n_cigar_op);
+    // long-cigar convention (SAM spec 4.2.2, like htslib's sam.c): a kSmN
+    // placeholder cigar means the real cigar lives in the CG:B,I aux tag
+    bool placeholder =
+        n_cigar_op == 2 && (cig[0] & 0xF) == 4 /*S*/ &&
+        int32_t(cig[0] >> 4) == *reinterpret_cast<const int32_t*>(r + 16) &&
+        (cig[1] & 0xF) == 3 /*N*/;
+    const uint8_t* aux_probe =
+        p + 4 * n_cigar_op +
+        (*reinterpret_cast<const int32_t*>(r + 16) + 1) / 2 +
+        *reinterpret_cast<const int32_t*>(r + 16);
+    CgTag cg;
+    if (placeholder && aux_probe <= r + block_size)
+      cg = find_cg_tag(aux_probe, r + block_size);
+    if (cg.ops) {
+      const size_t c0 = b->cigars.size();
+      b->cigars.resize(c0 + cg.count);
+      std::memcpy(b->cigars.data() + c0, cg.ops, 4 * size_t(cg.count));
+    } else {
+      b->cigars.insert(b->cigars.end(), cig, cig + n_cigar_op);
+    }
     b->cigar_off.push_back(int64_t(b->cigars.size()));
     p += 4 * n_cigar_op;
     const int32_t n_nyb = (l_seq + 1) / 2;
@@ -192,7 +261,13 @@ void* otter_bam_parse(const uint8_t* buf, int64_t size) {
     b->seq_off.push_back(int64_t(b->seqs.size()));
     p += n_nyb + l_seq;  // skip qual
     const uint8_t* aux_end = r + block_size;
-    b->auxs.insert(b->auxs.end(), p, aux_end);
+    if (cg.ops) {
+      // drop the consumed CG tag so a write round-trip never duplicates it
+      b->auxs.insert(b->auxs.end(), p, cg.tag_begin);
+      b->auxs.insert(b->auxs.end(), cg.tag_end, aux_end);
+    } else {
+      b->auxs.insert(b->auxs.end(), p, aux_end);
+    }
     b->aux_off.push_back(int64_t(b->auxs.size()));
     off += block_size;
   }

@@ -97,6 +97,21 @@ class BamRecord:
         v = self.get_aux(tag)
         return v if isinstance(v, str) else None
 
+    def strip_aux(self, tag: str) -> None:
+        """Remove a two-char aux tag in place (no-op if absent)."""
+        data = self.aux
+        i = 0
+        n = len(data)
+        want = tag.encode()
+        while i + 3 <= n:
+            t = data[i : i + 2]
+            typ = chr(data[i + 2])
+            _, j = _decode_aux_value(data, i + 3, typ)
+            if t == want:
+                self.aux = data[:i] + data[j:]
+                return
+            i = j
+
 
 def _decode_aux_value(data: bytes, i: int, typ: str):
     if typ == "A":
@@ -188,6 +203,7 @@ def _decode_record(blob: bytes) -> BamRecord:
         if isinstance(cg, list) and cg:
             arr = _np.asarray(cg, dtype=_np.uint32)
             rec.cigar = list(zip((arr >> 4).tolist(), (arr & 0xF).tolist()))
+            rec.strip_aux("CG")
     return rec
 
 
@@ -198,7 +214,9 @@ def _encode_record(rec: BamRecord) -> bytes:
     extra_aux = b""
     if len(cigar) > 0xFFFF:
         # long-cigar convention (SAM spec §4.2.2): kSmN placeholder in the
-        # record, real cigar in CG:B,I
+        # record, real cigar in CG:B,I. Any stale CG from a read round-trip
+        # is dropped first so the tag never duplicates.
+        rec.strip_aux("CG")
         cg = bytearray(b"CGBI")
         cg += struct.pack("<I", len(cigar))
         for ol, op in cigar:
@@ -333,6 +351,7 @@ class BamReader:
                     arr = _np.asarray(cgv, dtype=_np.uint32)
                     rec.cigar = list(zip((arr >> 4).tolist(),
                                          (arr & 0xF).tolist()))
+                    rec.strip_aux("CG")
             recs.append(rec)
         return recs
 

@@ -392,19 +392,31 @@ class EditDistanceEngine:
                     for bi, idx in enumerate(chunk):
                         out[idx] = int(d[bi])
         # two-phase: dispatch every bucket asynchronously (device executes
-        # while the host packs the next bucket), then collect. Chunks are a
-        # fixed 1024 pairs (one program) so each (n_words, text_len) bucket
-        # compiles exactly once regardless of batch size.
+        # while the host packs the next bucket), then collect. Chunk sizes
+        # come from a geometric ladder (1..8 programs) so big batches go out
+        # in few dispatches (the tunnel's per-dispatch latency dominated
+        # fixed 1024-pair chunks) while each (n_words, text_len) bucket
+        # still compiles at most 4 shapes.
         from .myers_pallas import PAIRS_PER_PROG, myers_dispatch
 
+        MAX_CHUNK = 8 * PAIRS_PER_PROG
         pending = []
         for (nw, tl), members in sorted(eligible.items()):
-            for c0 in range(0, len(members), PAIRS_PER_PROG):
-                chunk = members[c0 : c0 + PAIRS_PER_PROG]
+            pos = 0
+            while pos < len(members):
+                rem = len(members) - pos
+                take = MAX_CHUNK
+                if rem < MAX_CHUNK:
+                    take = PAIRS_PER_PROG
+                    while take < rem:
+                        take *= 2
+                chunk = members[pos : pos + take]
+                pos += take
                 sub = [pairs[i] for i in chunk]
                 try:
                     dev = myers_dispatch(sub, nw, tl,
-                                         interpret=self.interpret)
+                                         interpret=self.interpret,
+                                         pad_to=take)
                 except Exception:
                     rest.extend(chunk)
                     continue

@@ -56,18 +56,29 @@ def pack_myers_bucket(pairs: List[Tuple[str, str]], n_words: int,
     code_of = np.full(256, 255, dtype=np.uint8)
     for byte, c in _ACGT.items():
         code_of[byte] = c
-    pat_codes = np.full((Bp, n_words * WORD), 255, dtype=np.uint8)
-    txt_codes = np.full((Bp, n_twords * 16), 255, dtype=np.uint8)
     mlen = np.zeros(Bp, dtype=np.int32)
     nlen = np.zeros(Bp, dtype=np.int32)
-    for i, (x, y) in enumerate(pairs):
+    pats: List[str] = []
+    txts: List[str] = []
+    for x, y in pairs:
         pat, txt = (x, y) if len(x) <= len(y) else (y, x)
-        m, n = len(pat), len(txt)
-        assert m <= n_words * WORD and n <= text_len and m > 0
-        pat_codes[i, :m] = code_of[np.frombuffer(pat.encode(), dtype=np.uint8)]
-        txt_codes[i, :n] = code_of[np.frombuffer(txt.encode(), dtype=np.uint8)]
-        mlen[i] = m
-        nlen[i] = n
+        pats.append(pat)
+        txts.append(txt)
+    mlen[:B] = [len(p) for p in pats]
+    nlen[:B] = [len(t) for t in txts]
+    assert B == 0 or (mlen[:B].min() > 0 and mlen[:B].max() <= n_words * WORD
+                      and nlen[:B].max() <= text_len)
+
+    def _pad_codes(seqs: List[str], L: int) -> np.ndarray:
+        """(Bp, L) uint8 code matrix, 255-padded. One bytes-join + one
+        vectorized table lookup (50x the fancy-index scatter at scale)."""
+        pad = b"\xff" * L
+        buf = b"".join(s.encode() + pad[len(s):] for s in seqs)
+        buf += pad * (Bp - len(seqs))
+        return code_of[np.frombuffer(buf, np.uint8).reshape(Bp, L)]
+
+    pat_codes = _pad_codes(pats, n_words * WORD)
+    txt_codes = _pad_codes(txts, n_twords * 16)
     # bit-packing via np.packbits (little-endian words; C speed)
     peq = np.zeros((4, n_words, Bp), dtype=np.uint32)
     for c in range(4):

@@ -1,14 +1,18 @@
 """Pallas TPU kernel for batched Myers bit-parallel edit distance.
 
-Layout: each program instance owns TB x 128 pairs (sublanes x lanes); the
-pattern's bit-words iterate as a static python loop inside a fori over text
-positions, carrying the adder/shift carries word to word. All math is int32
-bitwise (carry-out of a+b+cin is recovered as the MSB of
-(a & b) | ((a | b) & ~sum), avoiding unsigned compares).
+Layout: each program instance owns TB x 128 pairs (sublanes x lanes). The
+Pv/Mv column state lives in VMEM scratch (NOT fori_loop carries — carrying
+2*n_words vregs spills every iteration), and the text dimension is
+strip-mined: each visit to a pattern word advances CSTRIP text characters
+while the word's state and 4 Peq planes stay in registers. That amortizes
+the per-word VMEM traffic (4 peq + sel + 2 loads + 2 stores) over CSTRIP
+column updates. All math is int32 bitwise; the carry-out of a+b+cin is the
+MSB of (a & b) | ((a | b) & ~sum) with sum = a+b+cin (full-adder majority),
+avoiding unsigned compares.
 
-Per text char and word: ~40 vector ops advancing 32 DP cells/lane — about
-1.2 lane-ops per DP cell, ~25x fewer than the banded row kernel, with no
-band-retry ladder (the full DP is computed, always exact).
+Per text char and word: ~34 vector ALU ops + ~2 VMEM ops advancing 32 DP
+cells/lane — ~1.1 lane-ops per DP cell, ~25x fewer than the banded row
+kernel, with no band-retry ladder (the full DP is computed, always exact).
 
 Host packing comes from kernels/myers.py::pack_myers_bucket.
 """
@@ -28,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 TB = 8          # sublane rows of pairs per program
 LANES = 128
 PAIRS_PER_PROG = TB * LANES
+CSTRIP = 4      # text chars advanced per pattern-word visit (must divide 16)
 
 
 def _msb1(x):
@@ -35,71 +40,90 @@ def _msb1(x):
 
 
 def _carry_out(a, b, s):
-    """MSB carry-out of s = a + b (+cin already folded into s)."""
+    """MSB carry-out of the full add s = a + b + cin (full-adder majority,
+    valid at every bit of a ripple-carry add, read at the MSB)."""
     return _msb1((a & b) | ((a | b) & ~s))
 
 
 def _myers_kernel(peq_ref, tpack_ref, nlen_ref, sel_ref, minit_ref, out_ref,
-                  *, n_words: int, text_len: int):
+                  pv_ref, mv_ref, *, n_words: int, text_len: int):
     neg1 = jnp.int32(-1)
     zero = jnp.int32(0)
     one = jnp.int32(1)
+    C = CSTRIP
 
     nlen = nlen_ref[:, :]
     score0 = minit_ref[:, :]
+    zeros = jnp.zeros((TB, LANES), dtype=jnp.int32)
+    ones = jnp.full((TB, LANES), 1, dtype=jnp.int32)
 
-    # state: Pv/Mv per word + score + captured
-    Pv0 = [jnp.full((TB, LANES), neg1, dtype=jnp.int32) for _ in range(n_words)]
-    Mv0 = [jnp.zeros((TB, LANES), dtype=jnp.int32) for _ in range(n_words)]
+    def init_word(w, _):
+        pv_ref[pl.ds(w * TB, TB), :] = jnp.full((TB, LANES), neg1, jnp.int32)
+        mv_ref[pl.ds(w * TB, TB), :] = zeros
+        return 0
 
-    def body(j, carry):
-        Pv, Mv, score, captured = carry
-        Pv = list(Pv)
-        Mv = list(Mv)
-        trow = tpack_ref[pl.ds((j // 16) * TB, TB), :]
-        shift = jnp.broadcast_to((j % 16) * 2, trow.shape).astype(jnp.int32)
-        c = jax.lax.shift_right_logical(trow, shift) & jnp.int32(3)
-        is0 = c == 0
-        is1 = c == 1
-        is2 = c == 2
-        carry_add = jnp.zeros((TB, LANES), dtype=jnp.int32)
-        carry_ph = jnp.full((TB, LANES), 1, dtype=jnp.int32)
-        carry_mh = jnp.zeros((TB, LANES), dtype=jnp.int32)
-        for w in range(n_words):
-            pA = peq_ref[(0 * n_words + w) * TB : (0 * n_words + w + 1) * TB, :]
-            pC = peq_ref[(1 * n_words + w) * TB : (1 * n_words + w + 1) * TB, :]
-            pG = peq_ref[(2 * n_words + w) * TB : (2 * n_words + w + 1) * TB, :]
-            pT = peq_ref[(3 * n_words + w) * TB : (3 * n_words + w + 1) * TB, :]
-            Eq = jnp.where(is0, pA, jnp.where(is1, pC, jnp.where(is2, pG, pT)))
-            sel = sel_ref[w * TB : (w + 1) * TB, :]
-            Pv_w = Pv[w]
-            Mv_w = Mv[w]
-            Xv = Eq | Mv_w
-            t = Eq & Pv_w
-            s = t + Pv_w + carry_add
-            # carry out of t + Pv + cin: fold cin via two-step detection
-            carry_next = _carry_out(t, Pv_w, t + Pv_w) | \
-                (_carry_out(t + Pv_w, carry_add, s))
-            Xh = (s ^ Pv_w) | Eq
-            Ph = Mv_w | ~(Xh | Pv_w)
-            Mh = Pv_w & Xh
-            score = score + jnp.where((Ph & sel) != 0, one, zero)
-            score = score - jnp.where((Mh & sel) != 0, one, zero)
-            ph_out = _msb1(Ph)
-            mh_out = _msb1(Mh)
-            ones_sh = jnp.ones_like(Ph)
-            Ph = jax.lax.shift_left(Ph, ones_sh) | carry_ph
-            Mh = jax.lax.shift_left(Mh, ones_sh) | carry_mh
-            carry_ph = ph_out
-            carry_mh = mh_out
-            carry_add = carry_next
-            Pv[w] = Mh | ~(Xv | Ph)
-            Mv[w] = Ph & Xv
-        captured = jnp.where(nlen == j + 1, score, captured)
-        return tuple(Pv), tuple(Mv), score, captured
+    jax.lax.fori_loop(0, n_words, init_word, 0)
 
-    init = (tuple(Pv0), tuple(Mv0), score0, score0)
-    _, _, _, captured = jax.lax.fori_loop(0, text_len, body, init)
+    n_strips = (text_len + C - 1) // C  # strips never cross a 16-char word
+
+    def strip(s, carry):
+        score, captured = carry
+        j0 = s * C
+        trow = tpack_ref[pl.ds((j0 // 16) * TB, TB), :]
+        isel = []
+        for c in range(C):
+            sh = jnp.broadcast_to((j0 + c) % 16 * 2, trow.shape)
+            ch = jax.lax.shift_right_logical(trow, sh.astype(jnp.int32)) & 3
+            isel.append((ch == 0, ch == 1, ch == 2))
+
+        def word(w, wc):
+            ca = list(wc[0:C])
+            cp = list(wc[C : 2 * C])
+            cm = list(wc[2 * C : 3 * C])
+            d = list(wc[3 * C : 4 * C])
+            base = w * TB
+            pA = peq_ref[pl.ds(0 * n_words * TB + base, TB), :]
+            pC = peq_ref[pl.ds(1 * n_words * TB + base, TB), :]
+            pG = peq_ref[pl.ds(2 * n_words * TB + base, TB), :]
+            pT = peq_ref[pl.ds(3 * n_words * TB + base, TB), :]
+            sel = sel_ref[pl.ds(base, TB), :]
+            Pv = pv_ref[pl.ds(base, TB), :]
+            Mv = mv_ref[pl.ds(base, TB), :]
+            for c in range(C):
+                is0, is1, is2 = isel[c]
+                Eq = jnp.where(is0, pA,
+                               jnp.where(is1, pC, jnp.where(is2, pG, pT)))
+                Xv = Eq | Mv
+                t = Eq & Pv
+                ssum = t + Pv + ca[c]
+                ca[c] = _carry_out(t, Pv, ssum)
+                Xh = (ssum ^ Pv) | Eq
+                Ph = Mv | ~(Xh | Pv)
+                Mh = Pv & Xh
+                d[c] = d[c] + jnp.where((Ph & sel) != 0, one, zero) \
+                    - jnp.where((Mh & sel) != 0, one, zero)
+                ph_out = _msb1(Ph)
+                mh_out = _msb1(Mh)
+                Ph = jax.lax.shift_left(Ph, ones) | cp[c]
+                Mh = jax.lax.shift_left(Mh, ones) | cm[c]
+                cp[c] = ph_out
+                cm[c] = mh_out
+                Pv = Mh | ~(Xv | Ph)
+                Mv = Ph & Xv
+            pv_ref[pl.ds(base, TB), :] = Pv
+            mv_ref[pl.ds(base, TB), :] = Mv
+            return tuple(ca) + tuple(cp) + tuple(cm) + tuple(d)
+
+        init = tuple([zeros] * C) + tuple([ones] * C) + tuple([zeros] * C) \
+            + tuple([zeros] * C)
+        wc = jax.lax.fori_loop(0, n_words, word, init)
+        d = wc[3 * C : 4 * C]
+        for c in range(C):
+            score = score + d[c]
+            captured = jnp.where(nlen == j0 + c + 1, score, captured)
+        return score, captured
+
+    _, captured = jax.lax.fori_loop(0, n_strips, strip, (score0, score0))
     out_ref[:, :] = captured
 
 
@@ -137,6 +161,10 @@ def myers_pallas(peq: jnp.ndarray, tpack: jnp.ndarray, nlen: jnp.ndarray,
         out_specs=pl.BlockSpec((TB, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_prog * TB, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((n_words * TB, LANES), jnp.int32),
+            pltpu.VMEM((n_words * TB, LANES), jnp.int32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=n_prog * PAIRS_PER_PROG * text_len * n_words * 40,
             bytes_accessed=(peq.size + tpack.size) * 4,
@@ -155,12 +183,12 @@ def _to_planes(arr_b: np.ndarray, n_prog: int) -> np.ndarray:
 
 
 def pack_for_pallas(pairs: List[Tuple[str, str]], n_words: int,
-                    text_len: int):
+                    text_len: int, batch_pad: int = PAIRS_PER_PROG):
     """Pack a pair bucket into the kernel's flattened plane layout."""
     from .myers import pack_myers_bucket
 
     peq, tpack, mlen, nlen, sel_word, sel_bit = pack_myers_bucket(
-        pairs, n_words, text_len, batch_pad=PAIRS_PER_PROG)
+        pairs, n_words, text_len, batch_pad=batch_pad)
     B = peq.shape[2]
     n_prog = B // PAIRS_PER_PROG
     words = np.arange(n_words)[:, None]
@@ -175,12 +203,14 @@ def pack_for_pallas(pairs: List[Tuple[str, str]], n_words: int,
 
 
 def myers_dispatch(pairs: List[Tuple[str, str]], n_words: int,
-                   text_len: int, interpret: bool = False):
+                   text_len: int, interpret: bool = False,
+                   pad_to: int = PAIRS_PER_PROG):
     """Pack + launch asynchronously; returns the device array (plane layout
     row-major (prog, sublane, lane) == pair order). Collect with
-    ``np.asarray(out).reshape(-1)[:len(pairs)]``."""
+    ``np.asarray(out).reshape(-1)[:len(pairs)]``. ``pad_to`` rounds the
+    batch up to a fixed program count so compile shapes stay few."""
     peq, tpack, nlen, sel, minit, n_prog = pack_for_pallas(
-        pairs, n_words, text_len)
+        pairs, n_words, text_len, batch_pad=pad_to)
     return myers_pallas(jnp.asarray(peq), jnp.asarray(tpack),
                         jnp.asarray(nlen), jnp.asarray(sel),
                         jnp.asarray(minit), n_words, text_len,

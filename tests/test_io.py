@@ -137,7 +137,20 @@ def test_long_cigar_cg_tag_roundtrip(tmp_path):
     assert len(got) == 1
     assert got[0].cigar == cig
     assert got[0].seq == seq
+    # the consumed CG tag is stripped on expansion (reader or native feeder)
+    assert got[0].get_aux("CG") is None
     rd.close()
+    # second round-trip: re-write the expanded record; the CG tag must not
+    # duplicate and the cigar must survive again
+    p2 = str(tmp_path / "long2.bam")
+    make_bam(p2, [("chr1", rlen + 1000)], got)
+    rd2 = BamReader(p2)
+    got2 = list(rd2.fetch("chr1", 100, 200))
+    assert len(got2) == 1
+    assert got2[0].cigar == cig
+    assert got2[0].get_aux("CG") is None
+    assert got2[0].aux.count(b"CG") == 0
+    rd2.close()
 
 
 def test_bai_long_reads_bin_levels(tmp_path):
