@@ -337,10 +337,13 @@ def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
     patterns, batched by band size. Exact scalar parity; escalating members
     fall back to the scalar path.
 
-    use_device routes eligible jobs through the Pallas backpointer kernel
-    (kernels/affine_pallas.py). NOTE: it moves ~1 byte/DP-cell device->host,
-    which wins on directly-attached TPUs but loses through low-bandwidth
-    dev tunnels — hence opt-in (OTTER_TPU_AFFINE_DEVICE=1 or explicit flag).
+    use_device routes eligible jobs through the Pallas on-device-traceback
+    kernel (kernels/affine_pallas.py::affine_cigars_device_tb): the DP bits
+    stay in VMEM and only ~(m+n) op bytes per member cross device->host
+    (5x the backpointer-output variant through the dev tunnel). Still
+    opt-in (OTTER_TPU_AFFINE_DEVICE=1 or explicit flag): the multithreaded
+    native C++ engine wins on many-core hosts; the device path wins where
+    host cores are scarce or the TPU is directly attached.
 
     dist_hints: per-job exact (ends-free) edit distances e. The affine score
     of the e-edit path costs at most 8e (mismatch 4; a length-L gap 6+2L),
@@ -357,19 +360,29 @@ def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
     if use_device or os.environ.get("OTTER_TPU_AFFINE_DEVICE") == "1":
         try:
             from ..kernels.affine_pallas import (
+                GAP_EXT as _GE,
+                GAP_OPEN as _GO,
                 K_DEV,
                 LP_MAX,
-                affine_cigars_device,
+                affine_cigars_device_tb,
             )
             eligible = []
             for idx in remaining_idx:
                 p, t, pb, pe, tb, te = jobs[idx]
                 reach = max(abs(len(t) - len(p)), pb, pe, tb, te)
-                if (reach + 16 <= K_DEV and 0 < len(p) <= LP_MAX
+                if not (reach + 16 <= K_DEV and 0 < len(p) <= LP_MAX
                         and 0 < len(t) <= 4096):
-                    eligible.append(idx)
+                    continue
+                if dist_hints is not None:
+                    # score >= 2e always (gap-extend 2/edit is the floor),
+                    # so 2e past the band-validity threshold is a certain
+                    # escalation: skip the device round-trip
+                    thr = _GO + _GE * (K_DEV + 1 - reach)
+                    if 2 * int(dist_hints[idx]) >= thr:
+                        continue
+                eligible.append(idx)
             if eligible:
-                cigs, failed = affine_cigars_device(
+                cigs, failed = affine_cigars_device_tb(
                     [jobs[i] for i in eligible])
                 failed_set = set(failed)
                 done = set()

@@ -56,6 +56,43 @@ def test_device_affine_interpret_matches_host():
     assert len(failed) < len(jobs)
 
 
+def test_device_affine_tb_interpret_matches_host():
+    """On-device-traceback variant: identical cigars to the host path."""
+    from otter_tpu.kernels.affine_pallas import affine_cigars_device_tb
+
+    rng = random.Random(14)
+    jobs = _jobs(rng, 10)
+    cigs, failed = affine_cigars_device_tb(jobs, interpret=True)
+    want = [affine_align_ends_free_cigar(j[0], j[1], *j[2:]) for j in jobs]
+    for i in range(len(jobs)):
+        if i not in failed:
+            assert cigs[i] == want[i], i
+    assert len(failed) < len(jobs)
+    # the two device variants agree on failures (same band, same scores)
+    _cigs_bits, failed_bits = affine_cigars_device(jobs, interpret=True)
+    assert failed == failed_bits
+
+
+def test_device_affine_tb_long_pattern_interpret():
+    """>128-row patterns cross bits-scratch chunk boundaries; exactness must
+    hold (walk reads rows written by different outer-loop chunks)."""
+    from otter_tpu.kernels.affine_pallas import affine_cigars_device_tb
+
+    rng = random.Random(77)
+    jobs = _jobs(rng, 2)
+    p = "".join(rng.choice("ACGT") for _ in range(300))
+    t = list(p)
+    t[40] = "A" if p[40] != "A" else "C"
+    del t[200:203]
+    jobs.append((p, "".join(t), 0, 0, 0, 0))
+    cigs, failed = affine_cigars_device_tb(jobs, interpret=True)
+    want = [affine_align_ends_free_cigar(j[0], j[1], *j[2:]) for j in jobs]
+    for i in range(len(jobs)):
+        if i not in failed:
+            assert cigs[i] == want[i], i
+    assert len(jobs) - 1 not in failed
+
+
 def test_multi_with_device_flag_falls_back_cleanly():
     """With the flag on but no TPU (CPU test env), the host path still
     produces complete, correct results."""
