@@ -507,3 +507,267 @@ void otter_affine_banded_batch(const uint8_t* seqs, const int64_t* offsets,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// PPOA: backbone-anchored partial-order-alignment consensus. Exact semantics
+// port of the reference header-only engine (src/anppoa.hpp) and of the
+// python oracle (otter_tpu/ops/poa.py): float32 weights, identical edge
+// insertion order and tie-breaking, w -= max(c, t*w) pruning, heaviest-path
+// consensus ending in one of the last-10-backbone-anchored ending nodes.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Poa {
+  int32_t backbone_len = 0;
+  std::vector<char> nodes;                                  // 1 char per node
+  std::vector<std::vector<std::pair<int32_t, float>>> edges;
+  std::vector<int32_t> starting_nodes;
+  std::vector<char> ending;                                 // flag per node
+
+  void init(const uint8_t* bb, int32_t n) {
+    backbone_len = n;
+    nodes.assign(bb, bb + n);
+    edges.assign(n, {});
+    ending.assign(n, 0);
+    if (n > 0) starting_nodes.push_back(0);
+    for (int32_t i = 1; i < n; ++i) {
+      insert_edge(i - 1, i);
+      if (n - i <= 10) ending[i] = 1;
+    }
+  }
+
+  int32_t new_node(char c) {
+    nodes.push_back(c);
+    edges.emplace_back();
+    ending.push_back(0);
+    return int32_t(nodes.size()) - 1;
+  }
+
+  void insert_edge(int32_t src, int32_t sink) {
+    auto& local = edges[src];
+    for (auto& e : local) {
+      if (e.first == sink) {
+        e.second += 1.0f;
+        return;
+      }
+    }
+    local.emplace_back(sink, 1.0f);
+  }
+
+  // anppoa.hpp:112-241 / poa.py insert_alignment (generic per-column loop)
+  void insert_alignment(const uint8_t* seq, int64_t seq_len,
+                        const uint8_t* cig, int64_t cig_len,
+                        bool span_l, bool span_r) {
+    int32_t previous_node = 0;
+    int64_t ref_i = 0, target_i = 0, cigar_i = 0;
+    bool is_first_node = true;
+    if (!span_l) {
+      is_first_node = false;
+      while (cigar_i < cig_len) {
+        const char c = char(cig[cigar_i]);
+        if (c != 'D' && c != 'I') break;
+        if (c == 'D') {
+          ++ref_i;
+          previous_node = int32_t(ref_i);
+        } else {
+          ++target_i;
+        }
+        ++cigar_i;
+      }
+    }
+    while (cigar_i < cig_len) {
+      const char c = char(cig[cigar_i]);
+      const char target_seq = target_i < seq_len ? char(seq[target_i]) : 0;
+      if (c == 'M' || c == 'X') {
+        if (c == 'M') {
+          if (is_first_node || previous_node == ref_i) {
+            is_first_node = false;
+          } else {
+            insert_edge(previous_node, int32_t(ref_i));
+          }
+          previous_node = int32_t(ref_i);
+        } else {
+          if (is_first_node) {
+            bool need_new = true;
+            for (int32_t node : starting_nodes) {
+              if (nodes[node] == target_seq) {
+                need_new = false;
+                break;
+              }
+            }
+            if (need_new) {
+              previous_node = new_node(target_seq);
+              starting_nodes.push_back(previous_node);
+            }
+            is_first_node = false;
+          } else {
+            auto& outgoing = edges[previous_node];
+            int32_t match_i = -1;
+            for (size_t ei = 0; ei < outgoing.size(); ++ei) {
+              const int32_t sink = outgoing[ei].first;
+              if (nodes[sink] == target_seq && sink >= backbone_len) {
+                match_i = int32_t(ei);
+                break;
+              }
+            }
+            if (match_i >= 0) {
+              outgoing[match_i].second += 1.0f;
+              previous_node = outgoing[match_i].first;
+            } else {
+              const int32_t nn = new_node(target_seq);
+              insert_edge(previous_node, nn);
+              previous_node = nn;
+            }
+          }
+        }
+        ++ref_i;
+        ++target_i;
+      }
+      if (c == 'D') {
+        if (!is_first_node) {
+          ++ref_i;
+        } else {
+          ++ref_i;
+          previous_node = int32_t(ref_i);
+        }
+      } else if (c == 'I') {
+        if (is_first_node) {
+          previous_node = new_node(target_seq);
+          starting_nodes.push_back(previous_node);
+          is_first_node = false;
+        } else {
+          auto& outgoing = edges[previous_node];
+          int32_t match_i = -1;
+          for (size_t ei = 0; ei < outgoing.size(); ++ei) {
+            const int32_t sink = outgoing[ei].first;
+            if (sink >= backbone_len && nodes[sink] == target_seq) {
+              match_i = int32_t(ei);
+              break;
+            }
+          }
+          if (match_i >= 0) {
+            outgoing[match_i].second += 1.0f;
+            previous_node = outgoing[match_i].first;
+          } else {
+            const int32_t nn = new_node(target_seq);
+            insert_edge(previous_node, nn);
+            previous_node = nn;
+          }
+        }
+        ++target_i;
+      }
+      if (backbone_len - ref_i <= 10 && span_r) {
+        if (previous_node >= 0 && previous_node < int32_t(ending.size()))
+          ending[previous_node] = 1;
+      }
+      ++cigar_i;
+    }
+  }
+
+  void adjust_weights(float c, float t) {
+    for (auto& local : edges)
+      for (auto& e : local) e.second -= std::max(c, t * e.second);
+  }
+
+  // anppoa.hpp:254-379 / poa.py consensus: heaviest path in float32, Kahn
+  // topological order, first strictly-greater wins everywhere
+  int64_t consensus(uint8_t* out) {
+    const int32_t n_nodes = int32_t(nodes.size());
+    std::vector<std::vector<std::pair<int32_t, float>>> incoming(n_nodes);
+    for (int32_t src = 0; src < n_nodes; ++src)
+      for (auto& e : edges[src]) incoming[e.first].emplace_back(src, e.second);
+    std::vector<int32_t> indeg(n_nodes), topo;
+    topo.reserve(n_nodes);
+    for (int32_t n = 0; n < n_nodes; ++n)
+      indeg[n] = int32_t(incoming[n].size());
+    for (int32_t n = 0; n < n_nodes; ++n)
+      if (indeg[n] == 0) topo.push_back(n);
+    for (size_t qi = 0; qi < topo.size(); ++qi)
+      for (auto& e : edges[topo[qi]])
+        if (--indeg[e.first] == 0) topo.push_back(e.first);
+    if (int32_t(topo.size()) < n_nodes) {
+      // cycle (impossible for valid cigars): fall back to id order
+      topo.clear();
+      for (int32_t n = 0; n < n_nodes; ++n) topo.push_back(n);
+    }
+    std::vector<float> hw(n_nodes, 0.0f);
+    std::vector<int32_t> hp(n_nodes, -1);
+    for (int32_t node : topo) {
+      const auto& inc = incoming[node];
+      if (inc.empty()) continue;
+      bool not_defined = true;
+      float best_w = 0.0f;
+      int32_t best_p = -1;
+      for (auto& e : inc) {
+        const float cand = hw[e.first] + e.second;
+        if (not_defined || cand > best_w) {
+          not_defined = false;
+          best_w = cand;
+          best_p = e.first;
+        }
+      }
+      hw[node] = best_w;
+      hp[node] = best_p;
+    }
+    int32_t h_node = 0;
+    float h_weight = 0.0f;
+    bool not_init = true;
+    for (int32_t node = 0; node < n_nodes; ++node) {
+      if (!ending[node]) continue;
+      if (not_init || hw[node] > h_weight) {
+        not_init = false;
+        h_node = node;
+        h_weight = hw[node];
+      }
+    }
+    std::vector<int32_t> path;
+    for (int32_t node = h_node; node != -1; node = hp[node])
+      path.push_back(node);
+    int64_t len = 0;
+    for (auto it = path.rbegin(); it != path.rend(); ++it)
+      if (nodes[*it] != 0) out[len++] = uint8_t(nodes[*it]);
+    return len;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Batched PPOA consensus. Members are flat across tasks; task_off[t] ..
+// task_off[t+1] index the member arrays. Each consensus is written at
+// out + out_off[t] (caller-provided capacity = backbone + sum member seq
+// lens per task) with its length in out_len[t].
+void otter_poa_consensus_batch(
+    const uint8_t* bbs, const int64_t* bb_off, const uint8_t* seqs,
+    const int64_t* seq_off, const uint8_t* cigs, const int64_t* cig_off,
+    const uint8_t* span_l, const uint8_t* span_r, const int64_t* task_off,
+    const float* cvals, float tval, int64_t n_tasks, int32_t n_threads,
+    uint8_t* out, const int64_t* out_off, int32_t* out_len) {
+  if (n_threads < 1) n_threads = 1;
+  auto worker = [&](int32_t t) {
+    for (int64_t p = t; p < n_tasks; p += n_threads) {
+      Poa poa;
+      poa.init(bbs + bb_off[p], int32_t(bb_off[p + 1] - bb_off[p]));
+      for (int64_t mi = task_off[p]; mi < task_off[p + 1]; ++mi) {
+        poa.insert_alignment(seqs + seq_off[mi],
+                             seq_off[mi + 1] - seq_off[mi],
+                             cigs + cig_off[mi],
+                             cig_off[mi + 1] - cig_off[mi],
+                             span_l[mi] != 0, span_r[mi] != 0);
+      }
+      poa.adjust_weights(cvals[p], tval);
+      out_len[p] = int32_t(poa.consensus(out + out_off[p]));
+    }
+  };
+  if (n_threads == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+  }
+}
+
+}  // extern "C"

@@ -15,6 +15,9 @@ sequential host path (emission stays in region order).
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
 import sys
 from dataclasses import dataclass, field
 from typing import List, Optional, TextIO, Tuple
@@ -134,14 +137,15 @@ def prepare_region(params: OtterOpts, local_bed: BED, bam: BamReader,
 
 
 def cluster_labels(params: OtterOpts, work: RegionWork,
-                   distmatrix: DistMatrix):
+                   distmatrix: DistMatrix, densities=None):
     """Hierarchical clustering into initial labels (assemble.cpp:128-133)."""
     clustmsg = ClusteringStatus()
     otter_hclust(work.ignore_haps, params.max_alleles, params.bandwidth_short,
                  params.bandwidth_length, params.bandwidth_long,
                  params.max_error, params.min_cov_fraction,
                  params.min_cov_fraction2_l, params.min_cov_fraction2_f,
-                 work.valid_indeces, distmatrix, work.reads, clustmsg)
+                 work.valid_indeces, distmatrix, work.reads, clustmsg,
+                 densities=densities)
     labels = [-1] * len(work.reads)
     for i in range(len(clustmsg.labels)):
         labels[work.valid_indeces[i]] = clustmsg.labels[i]
@@ -264,6 +268,40 @@ def process_region_batch(params: OtterOpts, batch: List[RegionWork],
             emit_region(params, work, clustmsg, alleles, out)
         return
 
+    # opt-in device KDE (OTTER_TPU_MESH_KDE=1): every KDE-eligible region's
+    # normalized distances pool into ONE kde_batch_step call, dp-sharded
+    # over the attached mesh when >1 chip (parallel/mesh.py). float32 vs
+    # the host oracle's float64 — see PARITY.md divergences.
+    region_dens: dict = {}
+    if os.environ.get("OTTER_TPU_MESH_KDE") == "1":
+        norm_pool: list = []
+        rid_pool: list = []
+        bw_pool: list = []
+        ridx = 0
+        ridx_of: dict = {}
+        for si, ((work, _c, _s), dm) in enumerate(zip(spans, matrices)):
+            if params.max_alleles == 1 or len(work.valid_indeces) <= 2:
+                continue  # otter_hclust never reaches the KDE for these
+            bw = params.bandwidth_short
+            for i in work.valid_indeces:
+                if len(work.reads[i].seq) >= params.bandwidth_length:
+                    bw = params.bandwidth_long
+                    break
+            vals = np.asarray(dm.values, dtype=np.float32)
+            norm_pool.append(vals)
+            rid_pool.append(np.full(len(vals), ridx, dtype=np.int32))
+            bw_pool.append(bw)
+            ridx_of[si] = ridx
+            ridx += 1
+        if ridx:
+            with metrics.phase("device_dispatch"):
+                from ..parallel.mesh import pooled_kde_densities
+
+                dens = pooled_kde_densities(
+                    np.concatenate(norm_pool), np.concatenate(rid_pool),
+                    np.asarray(bw_pool, dtype=np.float32), ridx)
+            region_dens = {si: dens[r] for si, r in ridx_of.items()}
+
     # phase 1: cluster every region on host, pooling reassignment jobs so
     # the whole batch costs two more device round trips (e2e + ends-free)
     # instead of several per region (tunnel latency dominates small calls)
@@ -272,9 +310,11 @@ def process_region_batch(params: OtterOpts, batch: List[RegionWork],
     region_jobs = []
     pool_e2e: list = []
     pool_ef: list = []
-    for (work, coords, start), distmatrix in zip(spans, matrices):
+    for si, ((work, coords, start), distmatrix) in enumerate(
+            zip(spans, matrices)):
         with metrics.phase("cluster_consensus"):
-            clustmsg, labels = cluster_labels(params, work, distmatrix)
+            clustmsg, labels = cluster_labels(params, work, distmatrix,
+                                              densities=region_dens.get(si))
             info = None
             if work.invalid_indeces:
                 pre, e2e_p, e2e_k, ef_j, ef_k, ef_n = reassignment_jobs(

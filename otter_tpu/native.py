@@ -100,6 +100,24 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_int32),      # cig_len
                 ctypes.POINTER(ctypes.c_int32),      # score
             ]
+            lib.otter_poa_consensus_batch.restype = None
+            lib.otter_poa_consensus_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),      # bbs
+                ctypes.POINTER(ctypes.c_int64),      # bb_off
+                ctypes.POINTER(ctypes.c_uint8),      # seqs
+                ctypes.POINTER(ctypes.c_int64),      # seq_off
+                ctypes.POINTER(ctypes.c_uint8),      # cigs
+                ctypes.POINTER(ctypes.c_int64),      # cig_off
+                ctypes.POINTER(ctypes.c_uint8),      # span_l
+                ctypes.POINTER(ctypes.c_uint8),      # span_r
+                ctypes.POINTER(ctypes.c_int64),      # task_off
+                ctypes.POINTER(ctypes.c_float),      # cvals
+                ctypes.c_float,                      # tval
+                ctypes.c_int64, ctypes.c_int32,      # n_tasks, n_threads
+                ctypes.POINTER(ctypes.c_uint8),      # out
+                ctypes.POINTER(ctypes.c_int64),      # out_off
+                ctypes.POINTER(ctypes.c_int32),      # out_len
+            ]
             _lib = lib
         return _lib
 
@@ -231,3 +249,77 @@ def affine_banded_cigar_batch(jobs, ks, n_threads: int = 0):
         s = int(cig_off[i])
         out.append(cigars.raw[s : s + int(cig_len[i])].decode("ascii"))
     return out, score
+
+
+def poa_consensus_batch(tasks, cvals, tval: float,
+                        n_threads: int = 0) -> List[str]:
+    """Batched native PPOA consensus (reference src/anppoa.hpp semantics;
+    byte-identical to ops/poa.py::Ppoa — the host parity oracle).
+
+    tasks: list of (backbone, members) where members is a list of
+    (sequence, cigar, span_l, span_r) with cigars already resolved (the
+    stale-cigar reuse applied by the caller). cvals: per-task prune
+    constant c; tval: prune fraction t.
+    """
+    lib = get_lib()
+    n_tasks = len(tasks)
+    bb_blobs: List[bytes] = []
+    seq_blobs: List[bytes] = []
+    cig_blobs: List[bytes] = []
+    span_l: List[int] = []
+    span_r: List[int] = []
+    bb_off = np.zeros(n_tasks + 1, dtype=np.int64)
+    task_off = np.zeros(n_tasks + 1, dtype=np.int64)
+    out_off = np.zeros(n_tasks + 1, dtype=np.int64)
+    n_members = sum(len(members) for _bb, members in tasks)
+    seq_off = np.zeros(n_members + 1, dtype=np.int64)
+    cig_off = np.zeros(n_members + 1, dtype=np.int64)
+    mi = 0
+    for t, (bb, members) in enumerate(tasks):
+        bbb = bb.encode("latin-1")
+        bb_blobs.append(bbb)
+        bb_off[t + 1] = bb_off[t] + len(bbb)
+        cap = len(bbb) + 1
+        for seq, cig, sl, sr in members:
+            sb = seq.encode("latin-1")
+            cb = cig.encode("latin-1")
+            seq_blobs.append(sb)
+            cig_blobs.append(cb)
+            seq_off[mi + 1] = seq_off[mi] + len(sb)
+            cig_off[mi + 1] = cig_off[mi] + len(cb)
+            span_l.append(1 if sl else 0)
+            span_r.append(1 if sr else 0)
+            cap += len(sb)
+            mi += 1
+        task_off[t + 1] = mi
+        out_off[t + 1] = out_off[t] + cap
+    bbs = np.frombuffer(b"".join(bb_blobs) + b"\x00", dtype=np.uint8).copy()
+    seqs = np.frombuffer(b"".join(seq_blobs) + b"\x00", dtype=np.uint8).copy()
+    cigs = np.frombuffer(b"".join(cig_blobs) + b"\x00", dtype=np.uint8).copy()
+    sl_arr = np.asarray(span_l, dtype=np.uint8)
+    sr_arr = np.asarray(span_r, dtype=np.uint8)
+    cv = np.asarray(cvals, dtype=np.float32)
+    out = np.zeros(int(out_off[-1]) + 1, dtype=np.uint8)
+    out_len = np.zeros(n_tasks, dtype=np.int32)
+    if n_threads <= 0:
+        n_threads = min(32, os.cpu_count() or 1)
+    n_threads = max(1, min(n_threads, n_tasks))
+
+    def p8(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    def p64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    lib.otter_poa_consensus_batch(
+        p8(bbs), p64(bb_off), p8(seqs), p64(seq_off), p8(cigs), p64(cig_off),
+        p8(sl_arr), p8(sr_arr), p64(task_off),
+        cv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_float(tval), n_tasks, n_threads,
+        p8(out), p64(out_off),
+        out_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    res = []
+    for t in range(n_tasks):
+        o = int(out_off[t])
+        res.append(out[o : o + int(out_len[t])].tobytes().decode("latin-1"))
+    return res

@@ -13,6 +13,7 @@ computes the same distances with the batched Pallas kernel
 from __future__ import annotations
 
 import math
+import os
 import sys
 from typing import Callable, List, Optional
 
@@ -231,21 +232,33 @@ class PoaTask:
     def flat_jobs(self) -> List[tuple]:
         return [(self.rep_read.seq,) + j for j in self.jobs if j is not None]
 
-    def apply(self, cigars: List[str]) -> None:
-        poa = Ppoa(self.rep_read.seq)
+    def resolved_members(self, cigars: List[str]) -> List[tuple]:
+        """Per-member (seq, cigar, span_l, span_r) with the reference's
+        stale-aligner cigar reuse applied (a None job keeps the previous
+        member's cigar, analignments.cpp:266-282)."""
+        out = []
         cigar = ""
         ci = 0
         for read, job in zip(self.member_reads, self.jobs):
             if job is not None:
                 cigar = cigars[ci]
                 ci += 1
-            poa.insert_alignment(read.seq, cigar, read.is_spanning_l,
-                                 read.is_spanning_r)
+            out.append((read.seq, cigar, read.is_spanning_l,
+                        read.is_spanning_r))
+        return out
+
+    def prune_c(self) -> float:
         n_members = len(self.member_reads) + 1
         c = np.float32(n_members * 0.4)
         if n_members < 4:
             c = np.float32(1.0)
-        poa.adjust_weights(float(c), float(np.float32(0.3)))
+        return float(c)
+
+    def apply(self, cigars: List[str]) -> None:
+        poa = Ppoa(self.rep_read.seq)
+        for seq, cigar, sl, sr in self.resolved_members(cigars):
+            poa.insert_alignment(seq, cigar, sl, sr)
+        poa.adjust_weights(self.prune_c(), float(np.float32(0.3)))
         self.allele.seq = poa.consensus()
         if not self.allele.seq:
             self.allele.seq = "N"
@@ -274,6 +287,24 @@ def consensus_apply_batched(tasks: List["PoaTask"], engine=None) -> None:
         except Exception:
             dist_hints = None
     cigars = affine_cigars_multi(flat, dist_hints=dist_hints)
+    # native C++ PPOA (byte-identical to the python Ppoa oracle) on the
+    # device paths; python remains the host-mode parity oracle
+    use_native = (engine is not None
+                  and os.environ.get("OTTER_TPU_NATIVE_POA", "1") == "1")
+    if use_native and tasks:
+        try:
+            from ..native import poa_consensus_batch
+
+            ndata = [(t.rep_read.seq,
+                      t.resolved_members(cigars[s : s + n]))
+                     for t, s, n in spans]
+            cvals = [t.prune_c() for t, _s, _n in spans]
+            seqs = poa_consensus_batch(ndata, cvals, float(np.float32(0.3)))
+            for (task, _s, _n), seq in zip(spans, seqs):
+                task.allele.seq = seq if seq else "N"
+            return
+        except Exception:
+            pass  # native unavailable: python path below
     for task, start, count in spans:
         task.apply(cigars[start : start + count])
 

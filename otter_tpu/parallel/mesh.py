@@ -73,6 +73,58 @@ def region_batch_step(a: jnp.ndarray, bpad: jnp.ndarray, m: jnp.ndarray,
     return dists, dens
 
 
+@functools.partial(jax.jit, static_argnames=("n_regions", "grid_pts"))
+def kde_batch_step(norm: jnp.ndarray, region_id: jnp.ndarray,
+                   pair_valid: jnp.ndarray, bandwidth: jnp.ndarray,
+                   n_regions: int, grid_pts: int) -> jnp.ndarray:
+    """Per-region KDE densities from a pooled, pre-normalized distance batch
+    (the KDE tail of region_batch_step; distances come from the exact Myers
+    engine). Pair axis shardable over the dp mesh — the segment-sum becomes
+    a psum across chips. float32 (device) vs the host oracle's float64: an
+    opt-in fast path (OTTER_TPU_MESH_KDE=1), see PARITY.md divergences."""
+    xs = jnp.linspace(0.0, 1.0, grid_pts, dtype=jnp.float32)
+    h = bandwidth[region_id][:, None]
+    z = (xs[None, :] - norm[:, None]) / h
+    kern = (_INV_SQRT_2PI / h) * jnp.exp(-(z * z) / 2.0)
+    kern = jnp.where(pair_valid[:, None], kern, 0.0)
+    dens = jax.ops.segment_sum(kern, region_id, num_segments=n_regions)
+    counts = jax.ops.segment_sum(pair_valid.astype(jnp.float32), region_id,
+                                 num_segments=n_regions)
+    dens = dens / jnp.maximum(counts, 1.0)[:, None]
+    total = jnp.sum(dens, axis=1, keepdims=True)
+    return dens / jnp.maximum(total, 1e-30)
+
+
+def pooled_kde_densities(norm: np.ndarray, region_id: np.ndarray,
+                         bandwidth: np.ndarray, n_regions: int,
+                         grid_pts: int = 401) -> np.ndarray:
+    """Run kde_batch_step over all available devices (mesh of 1 on a single
+    chip; dp-sharded when more are attached). Pads the pair axis to the
+    device count. Returns (n_regions, grid_pts) float32 densities."""
+    devs = jax.devices()
+    B = len(norm)
+    Bp = ((B + len(devs) - 1) // len(devs)) * len(devs)
+    npad = np.zeros(Bp, dtype=np.float32)
+    npad[:B] = norm
+    rid = np.zeros(Bp, dtype=np.int32)
+    rid[:B] = region_id
+    pv = np.zeros(Bp, dtype=bool)
+    pv[:B] = True
+    if len(devs) > 1:
+        mesh = make_mesh()
+        n_s, rid_s, pv_s = shard_pair_batch(mesh, [npad, rid, pv])
+        bw = jax.device_put(jnp.asarray(bandwidth, jnp.float32),
+                            NamedSharding(mesh, P()))
+        with mesh:
+            dens = kde_batch_step(n_s, rid_s, pv_s, bw, n_regions, grid_pts)
+    else:
+        dens = kde_batch_step(jnp.asarray(npad), jnp.asarray(rid),
+                              jnp.asarray(pv),
+                              jnp.asarray(bandwidth, jnp.float32),
+                              n_regions, grid_pts)
+    return np.asarray(dens)
+
+
 def shard_pair_batch(mesh: Mesh, arrays, axis: str = "dp"):
     """Place pair-batch arrays with the batch dim sharded over the mesh."""
     sharding = NamedSharding(mesh, P(axis))

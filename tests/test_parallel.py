@@ -42,3 +42,45 @@ def test_sharded_matches_single_device():
     np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out8[0]))
     np.testing.assert_allclose(np.asarray(out1[1]), np.asarray(out8[1]),
                                rtol=1e-5)
+
+
+def test_mesh_kde_assemble_identical(tmp_path, monkeypatch):
+    """OTTER_TPU_MESH_KDE=1 pools per-region KDE into one device call
+    (dp-sharded over the 8-device CPU mesh); outputs match the host oracle
+    on this fixture (float32 densities — a documented opt-in divergence,
+    but no peak flips on clean data)."""
+    import io
+    import random
+
+    from fixtures import make_reference, simulate_region_bam
+    from otter_tpu.config import OtterOpts
+    from otter_tpu.models.assemble import assemble
+
+    rng = random.Random(5)
+    ref = make_reference(rng, length=4000, repeat="CAG", repeat_at=2000,
+                         repeat_units=30)
+    start, end = 2000, 2090
+    short = ref[start:end]
+    long_a = "CAG" * 45
+    bam = str(tmp_path / "m.bam")
+    simulate_region_bam(bam, "chr1", ref, (start, end), [short, long_a],
+                        per_allele_cov=8, error_rate=0.01, seed=7)
+    bed = str(tmp_path / "r.bed")
+    with open(bed, "w") as fh:
+        fh.write(f"chr1\t{start}\t{end}\n")
+
+    def run(device, mesh):
+        if mesh:
+            monkeypatch.setenv("OTTER_TPU_MESH_KDE", "1")
+        else:
+            monkeypatch.delenv("OTTER_TPU_MESH_KDE", raising=False)
+        p = OtterOpts()
+        p.read_group = "S1"
+        p.device = device
+        out = io.StringIO()
+        assemble(bam, bed, "", False, p, out=out)
+        return out.getvalue()
+
+    host = run("host", False)
+    mesh = run("cpu", True)
+    assert host == mesh
