@@ -771,3 +771,335 @@ void otter_poa_consensus_batch(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Region read extraction: BAM record stream -> filtered AnRead columns.
+// Ports src/anseqs.cpp get_breakpoints (:286-408) + parse_alignment
+// (:412-435) + parse_anreads filters (:439-460) exactly as the python
+// oracle (otter_tpu/seqs/breakpoints.py, seqs/extract.py). The nibble
+// sequence is expanded ONLY for the extracted window.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct AnreadBatch {
+  std::vector<char> names, seqs;
+  std::vector<int64_t> name_off{0}, seq_off{0};
+  std::vector<uint8_t> span_l, span_r;
+  std::vector<int32_t> cc0, cc1, hp, ps;
+  std::vector<double> rq;
+  int32_t error = 0;  // 1 = inconsistent query coords (python raises)
+};
+
+constexpr int32_t kAuxAbsent = INT32_MIN;
+
+// first numeric value of a 2-char tag, or fallback
+bool aux_numeric(const uint8_t* p, const uint8_t* end, char t0, char t1,
+                 double* out) {
+  while (p + 3 <= end) {
+    const char a = char(p[0]), b = char(p[1]), type = char(p[2]);
+    const uint8_t* v = p + 3;
+    int64_t vsize = aux_value_size(v, end, type);
+    if (vsize < 0) return false;
+    if (a == t0 && b == t1) {
+      switch (type) {
+        case 'c': { int8_t x; std::memcpy(&x, v, 1); *out = x; return true; }
+        case 'C': { *out = v[0]; return true; }
+        case 's': { int16_t x; std::memcpy(&x, v, 2); *out = x; return true; }
+        case 'S': { uint16_t x; std::memcpy(&x, v, 2); *out = x; return true; }
+        case 'i': { int32_t x; std::memcpy(&x, v, 4); *out = x; return true; }
+        case 'I': { uint32_t x; std::memcpy(&x, v, 4); *out = x; return true; }
+        case 'f': { float x; std::memcpy(&x, v, 4); *out = x; return true; }
+        default: return false;  // non-numeric type: python returns None
+      }
+    }
+    p = v + vsize;
+  }
+  return false;
+}
+
+struct BpMsg {
+  bool successful = true;
+  bool spanning_l = true;
+  bool spanning_r = true;
+  int64_t cc0 = -1, cc1 = -1;
+};
+
+// exact port of breakpoints.py::get_breakpoints; cigar = packed uint32 ops
+bool get_breakpoints_c(int64_t start, int64_t end, int64_t pos,
+                       int64_t l_qseq, const uint32_t* cigar, int64_t n_cigar,
+                       BpMsg* msg, int64_t* qlo_out, int64_t* qhi_out) {
+  bool clipped_l = false, clipped_r = false;
+  int64_t qstart_dist = -1, qend_dist = -1;
+  int64_t leftmost_q = -1, rightmost_q = -1;
+  int64_t leftmost_r = -1, rightmost_r = -1;
+  int64_t qstart_q = -1, qend_q = -1;
+  int64_t qstart_cigar_i = 0, qend_cigar_i = 0;
+  int64_t rpos = pos, qpos = 0;
+  for (int64_t i = 0; i < n_cigar; ++i) {
+    const int64_t ol = cigar[i] >> 4;
+    const uint32_t op = cigar[i] & 0xF;
+    if (op == 5 /*H*/ || op == 4 /*S*/) {
+      if (i == 0) clipped_l = true;
+      if (i == n_cigar - 1) clipped_r = true;
+      if (op == 4) qpos += ol;
+    } else if (op == 0 /*M*/ || op == 7 /*=*/ || op == 8 /*X*/) {
+      if (leftmost_q == -1) {
+        leftmost_q = qpos;
+        leftmost_r = rpos;
+      }
+      const int64_t last_r = rpos + ol - 1;
+      if (rightmost_q == -1 || last_r > rightmost_r) {
+        rightmost_q = qpos + (last_r - rpos);
+        rightmost_r = last_r;
+      }
+      if (last_r >= start) {
+        const int64_t cand_r = rpos >= start ? rpos : start;
+        const int64_t cstart_dist = cand_r - start;
+        if (cstart_dist >= 0 && (qstart_dist < 0 || cstart_dist < qstart_dist)) {
+          qstart_dist = cstart_dist;
+          qstart_q = qpos + (cand_r - rpos);
+          qstart_cigar_i = i;
+        }
+      }
+      if (rpos <= end) {
+        const int64_t cand_r = last_r <= end ? last_r : end;
+        const int64_t cend_dist = end - cand_r;
+        if (cend_dist >= 0 && (qend_dist < 0 || cend_dist < qend_dist)) {
+          qend_dist = cend_dist;
+          qend_q = qpos + (cand_r - rpos);
+          qend_cigar_i = i;
+        }
+      }
+      rpos += ol;
+      qpos += ol;
+    } else if (op == 1 /*I*/) {
+      qpos += ol;
+    } else if (op == 2 /*D*/) {
+      rpos += ol;
+    }
+  }
+  if (rightmost_r < start || leftmost_r > end) {
+    msg->successful = false;
+    msg->spanning_l = false;
+    msg->spanning_r = false;
+    return false;
+  }
+  if (qstart_q > -1 && qend_q > -1 && qstart_q > qend_q) {
+    qstart_q = -1;
+    qend_q = -1;
+    msg->successful = true;
+    msg->spanning_l = true;
+    msg->spanning_r = true;
+  } else {
+    msg->cc0 = qstart_q;
+    msg->cc1 = qend_q;
+    if (leftmost_r > start && clipped_l && qstart_cigar_i == 1) {
+      while (qstart_q > 0 && qstart_cigar_i > 0) {
+        const int64_t ol = cigar[qstart_cigar_i - 1] >> 4;
+        const uint32_t op = cigar[qstart_cigar_i - 1] & 0xF;
+        if (op == 2) {
+          --qstart_cigar_i;
+        } else if (op == 5 || op == 4 || op == 1) {
+          qstart_q -= ol;
+          --qstart_cigar_i;
+        } else {
+          break;
+        }
+      }
+    }
+    // NOTE: the reference reads cigar[qend_cigar_i - 1] here (as written)
+    if (rightmost_r < end && clipped_r && qend_cigar_i == n_cigar - 1) {
+      while (qend_q < l_qseq - 1 && qend_cigar_i < n_cigar) {
+        const int64_t ol = cigar[qend_cigar_i - 1] >> 4;
+        const uint32_t op = cigar[qend_cigar_i - 1] & 0xF;
+        if (op == 2) {
+          ++qend_cigar_i;
+        } else if (op == 5 || op == 4 || op == 1) {
+          qend_q += ol;
+          ++qend_cigar_i;
+        } else {
+          break;
+        }
+      }
+    }
+    msg->spanning_l = leftmost_q >= 0 && leftmost_r <= start;
+    msg->spanning_r = rightmost_q >= 0 && rightmost_r >= end;
+    msg->successful = true;
+  }
+  if (msg->spanning_l && msg->spanning_r) {
+    *qlo_out = qstart_q;
+    *qhi_out = qend_q;
+  } else if (msg->spanning_l) {
+    *qlo_out = qstart_q;
+    *qhi_out = l_qseq;
+  } else if (msg->spanning_r) {
+    *qlo_out = 0;
+    *qhi_out = qend_q;
+  } else {
+    *qlo_out = 0;
+    *qhi_out = l_qseq;
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse + filter + extract AnReads for one region from a raw record stream.
+// Returns an opaque handle (query/free with the accessors below).
+void* otter_anreads_parse(const uint8_t* buf, int64_t size, int32_t tid,
+                          int64_t qstart, int64_t qend, int64_t bstart,
+                          int64_t bend, int32_t mapq_min, int32_t nonprimary,
+                          int32_t omitnonspanning, double read_quality) {
+  auto* out = new AnreadBatch();
+  std::vector<uint32_t> cig_exp;
+  std::vector<char> seqbuf;
+  int64_t off = 0;
+  while (off + 4 <= size) {
+    uint32_t block_size;
+    std::memcpy(&block_size, buf + off, 4);
+    off += 4;
+    if (off + block_size > size || block_size < 32) break;
+    const uint8_t* r = buf + off;
+    off += block_size;
+    int32_t ref_id, pos, l_seq;
+    std::memcpy(&ref_id, r, 4);
+    std::memcpy(&pos, r + 4, 4);
+    const uint8_t l_read_name = r[8];
+    const int32_t mapq = r[9];
+    uint16_t n_cigar_op, flag16;
+    std::memcpy(&n_cigar_op, r + 12, 2);
+    std::memcpy(&flag16, r + 14, 2);
+    std::memcpy(&l_seq, r + 16, 4);
+    if (ref_id != tid) continue;
+    if (flag16 & 0x4 /*unmapped*/) continue;
+    if (mapq < mapq_min) continue;
+    if (!nonprimary && (flag16 & 0x900)) continue;
+    const uint8_t* p = r + 32;
+    const char* name = reinterpret_cast<const char*>(p);
+    const int64_t name_len = l_read_name - 1;
+    p += l_read_name;
+    const uint32_t* cig = reinterpret_cast<const uint32_t*>(p);
+    int64_t n_cig = n_cigar_op;
+    p += 4 * n_cigar_op;
+    const uint8_t* nyb = p;
+    p += (l_seq + 1) / 2 + l_seq;  // + qual
+    const uint8_t* aux_end = r + block_size;
+    // CG long-cigar expansion (same rule as the feeder)
+    bool placeholder = n_cig == 2 && (cig[0] & 0xF) == 4 &&
+                       int32_t(cig[0] >> 4) == l_seq && (cig[1] & 0xF) == 3;
+    if (placeholder) {
+      CgTag cg = find_cg_tag(p, aux_end);
+      if (cg.ops) {
+        cig_exp.assign(reinterpret_cast<const uint32_t*>(cg.ops),
+                       reinterpret_cast<const uint32_t*>(cg.ops) + cg.count);
+        cig = cig_exp.data();
+        n_cig = cg.count;
+      }
+    }
+    // region overlap on ref span (the fetch filter, io/bam.py)
+    int64_t refspan = 0;
+    for (int64_t i = 0; i < n_cig; ++i) {
+      const uint32_t op = cig[i] & 0xF;
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+        refspan += cig[i] >> 4;
+    }
+    if (!(pos < qend && pos + refspan > qstart)) continue;
+    // breakpoints + extraction (parse_alignment semantics)
+    BpMsg msg;
+    int64_t qlo = 0, qhi = 0;
+    get_breakpoints_c(bstart, bend, pos, l_seq, cig, n_cig, &msg, &qlo, &qhi);
+    if (!msg.successful) continue;
+    if ((qlo == -1) != (qhi == -1)) {
+      out->error = 1;
+      // record the offending name for the python-side error message
+      out->names.assign(name, name + name_len);
+      return out;
+    }
+    const bool spanning = msg.spanning_l && msg.spanning_r;
+    if (omitnonspanning && !spanning) continue;
+    double rqv = 0.0;
+    const bool has_rq = aux_numeric(p, aux_end, 'r', 'q', &rqv);
+    if ((has_rq ? rqv : 0.0) < read_quality) continue;
+    // transfer_status (breakpoints.py): final flags equal (sl, sr)
+    // coords adjustment (parse_alignment)
+    int64_t cc0 = msg.cc0, cc1 = msg.cc1;
+    if (qlo == -1 || l_seq < (qhi - qlo)) {
+      out->seqs.push_back('N');
+    } else {
+      const int64_t l_og = cc1 - cc0;
+      cc0 = cc0 - qlo;
+      cc1 = cc0 + l_og;
+      if (qhi > qlo) {
+        const size_t s0 = out->seqs.size();
+        out->seqs.resize(s0 + (qhi - qlo));
+        for (int64_t i = qlo; i < qhi; ++i) {
+          const uint8_t byte = nyb[i >> 1];
+          out->seqs[s0 + (i - qlo)] =
+              kNt16[(i & 1) ? (byte & 0xF) : (byte >> 4)];
+        }
+      } else {
+        out->seqs.push_back('N');
+      }
+    }
+    out->seq_off.push_back(int64_t(out->seqs.size()));
+    out->names.insert(out->names.end(), name, name + name_len);
+    out->name_off.push_back(int64_t(out->names.size()));
+    out->span_l.push_back(msg.spanning_l ? 1 : 0);
+    out->span_r.push_back(msg.spanning_r ? 1 : 0);
+    out->cc0.push_back(int32_t(cc0));
+    out->cc1.push_back(int32_t(cc1));
+    out->rq.push_back(has_rq ? rqv : -1e300);  // sentinel: tag absent
+    double v;
+    out->hp.push_back(aux_numeric(p, aux_end, 'H', 'P', &v) ? int32_t(v)
+                                                            : kAuxAbsent);
+    out->ps.push_back(aux_numeric(p, aux_end, 'P', 'S', &v) ? int32_t(v)
+                                                            : kAuxAbsent);
+  }
+  return out;
+}
+
+int64_t otter_anreads_count(void* h) {
+  auto* b = static_cast<AnreadBatch*>(h);
+  if (b->error) return -1;
+  return int64_t(b->span_l.size());
+}
+
+int64_t otter_anreads_blob_sizes(void* h, int64_t* names, int64_t* seqs) {
+  auto* b = static_cast<AnreadBatch*>(h);
+  *names = int64_t(b->names.size());
+  *seqs = int64_t(b->seqs.size());
+  return 0;
+}
+
+void otter_anreads_export(void* h, char* names, int64_t* name_off, char* seqs,
+                          int64_t* seq_off, uint8_t* span_l, uint8_t* span_r,
+                          int32_t* cc0, int32_t* cc1, double* rq, int32_t* hp,
+                          int32_t* ps) {
+  auto* b = static_cast<AnreadBatch*>(h);
+  const size_t n = b->span_l.size();
+  std::memcpy(names, b->names.data(), b->names.size());
+  std::memcpy(name_off, b->name_off.data(), (n + 1) * 8);
+  std::memcpy(seqs, b->seqs.data(), b->seqs.size());
+  std::memcpy(seq_off, b->seq_off.data(), (n + 1) * 8);
+  std::memcpy(span_l, b->span_l.data(), n);
+  std::memcpy(span_r, b->span_r.data(), n);
+  std::memcpy(cc0, b->cc0.data(), n * 4);
+  std::memcpy(cc1, b->cc1.data(), n * 4);
+  std::memcpy(rq, b->rq.data(), n * 8);
+  std::memcpy(hp, b->hp.data(), n * 4);
+  std::memcpy(ps, b->ps.data(), n * 4);
+}
+
+void otter_anreads_error_name(void* h, char* name, int64_t cap) {
+  auto* b = static_cast<AnreadBatch*>(h);
+  const int64_t n = std::min<int64_t>(cap - 1, int64_t(b->names.size()));
+  std::memcpy(name, b->names.data(), n);
+  name[n] = 0;
+}
+
+void otter_anreads_free(void* h) { delete static_cast<AnreadBatch*>(h); }
+
+}  // extern "C"

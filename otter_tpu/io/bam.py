@@ -363,6 +363,27 @@ class BamReader:
                 return
             yield rec
 
+    def fetch_raw(self, chrom: str, start: int, end: int):
+        """(tid, raw record stream) for the BAI chunks overlapping the
+        region, or None when unindexed / unknown chrom (callers fall back to
+        fetch()). Record order matches fetch()."""
+        tid = self.tid(chrom)
+        if tid < 0 or self.index is None:
+            return None
+        parts = []
+        for cbeg, cend in self.index.query(tid, start, end):
+            self._bgzf.seek_virtual(cbeg)
+            while self._bgzf.tell_virtual() < cend:
+                hdr4 = self._bgzf.read(4)
+                if len(hdr4) < 4:
+                    break
+                bs = struct.unpack("<I", hdr4)[0]
+                blob = self._bgzf.read(bs)
+                if len(blob) < bs:
+                    break
+                parts.append(hdr4 + blob)
+        return tid, b"".join(parts)
+
     def fetch(self, chrom: str, start: int, end: int) -> Iterator[BamRecord]:
         """Yield records overlapping [start, end) on chrom (0-based half-open)."""
         tid = self.tid(chrom)

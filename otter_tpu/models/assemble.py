@@ -378,7 +378,11 @@ def assemble_process(params: OtterOpts, bam_path: str, bed_regions: List[BED],
     faidx = Faidx(reference) if reference else None
     dist_backend = _make_dist_backend(params)
     pool = None
-    if params.threads > 1 and dist_backend is not None:
+    if (params.threads > 1 and dist_backend is not None
+            and os.environ.get("OTTER_TPU_FINISH_POOL") == "1"):
+        # jax-free worker processes for the whole finish phase (cluster +
+        # host-DP reassignment + consensus). Loses to the pooled device
+        # batch path on accelerator backends, so opt-in only.
         import multiprocessing as mp
         pool = mp.get_context("spawn").Pool(params.threads)
     try:
@@ -388,21 +392,9 @@ def assemble_process(params: OtterOpts, bam_path: str, bed_regions: List[BED],
                     assemble_region(params, local_bed, bam, faidx, reads_only, out)
                     metrics.add("regions")
             else:
-                pending: List[RegionWork] = []
-                for local_bed in bed_regions:
-                    with metrics.phase("host_io"):
-                        work = prepare_region(params, local_bed, bam, faidx,
-                                              reads_only, out)
-                    metrics.add("regions")
-                    if work is not None:
-                        pending.append(work)
-                    if len(pending) >= DEFAULT_REGION_BATCH:
-                        process_region_batch(params, pending, dist_backend, out,
-                                             pool=pool)
-                        pending = []
-                if pending:
-                    process_region_batch(params, pending, dist_backend, out,
-                                         pool=pool)
+                _assemble_batched(params, bam_path, bed_regions, bam, faidx,
+                                  reference, reads_only, dist_backend, pool,
+                                  out)
     finally:
         if pool is not None:
             pool.close()
@@ -410,6 +402,78 @@ def assemble_process(params: OtterOpts, bam_path: str, bed_regions: List[BED],
     bam.close()
     if faidx is not None:
         faidx.close()
+
+
+def _assemble_batched(params: OtterOpts, bam_path: str,
+                      bed_regions: List[BED], bam: BamReader,
+                      faidx: Optional[Faidx], reference: str,
+                      reads_only: bool, dist_backend, pool,
+                      out: TextIO) -> None:
+    """Batched device pipeline. With -t > 1, region preparation (BAM fetch,
+    breakpoint projection, realignment) fans out over a thread pool with
+    per-thread BamReader/Faidx instances (the reference's per-thread
+    BamInstance, assemble.cpp:45-50); BGZF inflate and the native record
+    feeder release the GIL. Output order stays the BED order (reads-only
+    text is buffered per region)."""
+    import io as _io
+
+    n_prep = min(params.threads, 8) if params.threads > 1 else 1
+    executor = None
+    thread_handles: List = []
+    if n_prep > 1:
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        tls = threading.local()
+        hlock = threading.Lock()
+
+        def prep(local_bed: BED):
+            r = getattr(tls, "bam", None)
+            if r is None:
+                tls.bam = BamReader(bam_path, load_index=True)
+                tls.faidx = Faidx(reference) if reference else None
+                with hlock:
+                    thread_handles.append((tls.bam, tls.faidx))
+            buf = _io.StringIO()
+            work = prepare_region(params, local_bed, tls.bam, tls.faidx,
+                                  reads_only, buf)
+            return work, buf.getvalue()
+
+        executor = ThreadPoolExecutor(max_workers=n_prep)
+    try:
+        pending: List[RegionWork] = []
+        for c0 in range(0, len(bed_regions), DEFAULT_REGION_BATCH):
+            chunk = bed_regions[c0 : c0 + DEFAULT_REGION_BATCH]
+            with metrics.phase("host_io"):
+                if executor is not None:
+                    results = list(executor.map(prep, chunk))
+                else:
+                    results = []
+                    for local_bed in chunk:
+                        buf = _io.StringIO()
+                        results.append((prepare_region(params, local_bed, bam,
+                                                       faidx, reads_only, buf),
+                                        buf.getvalue()))
+            for work, text in results:
+                if text:
+                    out.write(text)
+                metrics.add("regions")
+                if work is not None:
+                    pending.append(work)
+            if len(pending) >= DEFAULT_REGION_BATCH:
+                process_region_batch(params, pending, dist_backend, out,
+                                     pool=pool)
+                pending = []
+        if pending:
+            process_region_batch(params, pending, dist_backend, out,
+                                 pool=pool)
+    finally:
+        if executor is not None:
+            executor.shutdown(wait=True)
+            for rdr, fx in thread_handles:
+                rdr.close()
+                if fx is not None:
+                    fx.close()
 
 
 def _make_dist_backend(params: OtterOpts):

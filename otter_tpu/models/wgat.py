@@ -176,3 +176,13 @@ def wgat(params: OtterOpts, input_path: str, bed_file: str,
             out.write(f"@PG\tID:otter\tOF:{params.offset_l},{params.offset_r}\n")
             hdr.close()
         wga_bam_genotyper(params, input_path, bed_regions, out)
+    else:
+        # the reference silently ignores non-.bam inputs (wgat.cpp:164-177
+        # has no else-branch); we keep the no-op but say so — wgat needs an
+        # ALIGNED assembly (CIGARs project ROIs onto contigs), so a FASTA
+        # has nothing to genotype until it is aligned to the reference
+        sys.stderr.write(
+            f"({antimestamp()}): [WARNING] unsupported input (expected .bam "
+            f"of aligned assembly contigs): {input_path}; nothing emitted. "
+            f"Align the assembly first (e.g. minimap2 -a) and pass the "
+            f"indexed BAM.\n")

@@ -323,3 +323,91 @@ def poa_consensus_batch(tasks, cvals, tval: float,
         o = int(out_off[t])
         res.append(out[o : o + int(out_len[t])].tobytes().decode("latin-1"))
     return res
+
+
+_ANREAD_RQ_ABSENT = -1e300
+_ANREAD_AUX_ABSENT = -(2 ** 31)
+
+
+def anreads_parse(raw: bytes, tid: int, qstart: int, qend: int,
+                  bstart: int, bend: int, mapq_min: int, nonprimary: bool,
+                  omitnonspanning: bool, read_quality: float):
+    """Native region read extraction (anseqs.cpp:286-460 semantics; the
+    python oracle is seqs/breakpoints.py + seqs/extract.py). Returns a dict
+    of columns, or raises SystemExit on the reference's inconsistent-coords
+    error."""
+    lib = get_lib()
+    if not hasattr(lib, "_anreads_ready"):
+        lib.otter_anreads_parse.restype = ctypes.c_void_p
+        lib.otter_anreads_parse.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_double]
+        lib.otter_anreads_count.restype = ctypes.c_int64
+        lib.otter_anreads_count.argtypes = [ctypes.c_void_p]
+        lib.otter_anreads_blob_sizes.restype = ctypes.c_int64
+        lib.otter_anreads_blob_sizes.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.otter_anreads_export.restype = None
+        lib.otter_anreads_export.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.otter_anreads_error_name.restype = None
+        lib.otter_anreads_error_name.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
+        lib.otter_anreads_free.restype = None
+        lib.otter_anreads_free.argtypes = [ctypes.c_void_p]
+        lib._anreads_ready = True
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    h = lib.otter_anreads_parse(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(raw),
+        tid, qstart, qend, bstart, bend, mapq_min,
+        1 if nonprimary else 0, 1 if omitnonspanning else 0, read_quality)
+    try:
+        n = lib.otter_anreads_count(h)
+        if n < 0:
+            name = ctypes.create_string_buffer(512)
+            lib.otter_anreads_error_name(h, name, 512)
+            import sys as _sys
+
+            from .utils.timestamp import antimestamp
+            _sys.stderr.write(
+                f"({antimestamp()}): ERROR: unexpected querty start/end "
+                f"coords found for read {name.value.decode()}\n")
+            raise SystemExit(1)
+        sizes = [ctypes.c_int64(0), ctypes.c_int64(0)]
+        lib.otter_anreads_blob_sizes(h, *[ctypes.byref(s) for s in sizes])
+        names = ctypes.create_string_buffer(max(1, sizes[0].value))
+        seqs = ctypes.create_string_buffer(max(1, sizes[1].value))
+        name_off = np.zeros(n + 1, dtype=np.int64)
+        seq_off = np.zeros(n + 1, dtype=np.int64)
+        span_l = np.zeros(n, dtype=np.uint8)
+        span_r = np.zeros(n, dtype=np.uint8)
+        cc0 = np.zeros(n, dtype=np.int32)
+        cc1 = np.zeros(n, dtype=np.int32)
+        rq = np.zeros(n, dtype=np.float64)
+        hp = np.zeros(n, dtype=np.int32)
+        ps = np.zeros(n, dtype=np.int32)
+
+        def p(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        lib.otter_anreads_export(
+            h, names, p(name_off, ctypes.c_int64), seqs,
+            p(seq_off, ctypes.c_int64), p(span_l, ctypes.c_uint8),
+            p(span_r, ctypes.c_uint8), p(cc0, ctypes.c_int32),
+            p(cc1, ctypes.c_int32), p(rq, ctypes.c_double),
+            p(hp, ctypes.c_int32), p(ps, ctypes.c_int32))
+        return {
+            "n": int(n), "names": names.raw[: sizes[0].value],
+            "name_off": name_off, "seqs": seqs.raw[: sizes[1].value],
+            "seq_off": seq_off, "span_l": span_l, "span_r": span_r,
+            "cc0": cc0, "cc1": cc1, "rq": rq, "hp": hp, "ps": ps,
+        }
+    finally:
+        lib.otter_anreads_free(h)

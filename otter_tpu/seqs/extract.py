@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Dict, List, Tuple
 
@@ -31,7 +32,17 @@ def parse_anreads(params: OtterOpts, bed: BED, bam: BamReader) -> List[AnRead]:
 
     Filters: mapq (:445), primary-only unless --non-primary (:445),
     parse success + optional omit-nonspanning (:451), read quality (:454).
+
+    Device pipelines route through the native C++ extractor
+    (otter_native.cpp::otter_anreads_parse — same breakpoints/filters,
+    nibble expansion only for the extracted window); host mode keeps this
+    python oracle. OTTER_TPU_NATIVE_ANREADS=0 disables the native path.
     """
+    if (params.device != "host"
+            and os.environ.get("OTTER_TPU_NATIVE_ANREADS", "1") == "1"):
+        got = _parse_anreads_native(params, bed, bam)
+        if got is not None:
+            return got
     out: List[AnRead] = []
     for rec in bam.fetch(bed.chr, bed.start, bed.end):
         if rec.mapq >= params.mapq and (
@@ -46,6 +57,50 @@ def parse_anreads(params: OtterOpts, bed: BED, bam: BamReader) -> List[AnRead]:
                 _parse_standard_auxs(rec, anread)
                 if anread.rq >= params.read_quality:
                     out.append(anread)
+    return out
+
+
+def _parse_anreads_native(params: OtterOpts, bed: BED,
+                          bam: BamReader) -> "List[AnRead] | None":
+    """Native extraction path; None -> caller falls back to the oracle."""
+    try:
+        from ..native import _ANREAD_AUX_ABSENT, _ANREAD_RQ_ABSENT, \
+            anreads_parse
+    except Exception:
+        return None
+    try:
+        got = bam.fetch_raw(bed.chr, bed.start, bed.end)
+    except Exception:
+        return None
+    if got is None:
+        if bam.tid(bed.chr) < 0:
+            # fetch() prints this warning and yields nothing; replicate
+            sys.stderr.write(
+                f"({antimestamp()}): WARNING: query failed at region "
+                f"{bed.chr}:{bed.start}-{bed.end}\n")
+            return []
+        return None
+    tid, raw = got
+    d = anreads_parse(raw, tid, bed.start, bed.end, bed.start, bed.end,
+                      params.mapq, params.nonprimary,
+                      params.omitnonspanning, params.read_quality)
+    out: List[AnRead] = []
+    no, so = d["name_off"], d["seq_off"]
+    for i in range(d["n"]):
+        r = AnRead(
+            seq=d["seqs"][so[i] : so[i + 1]].decode("latin-1"),
+            name=d["names"][no[i] : no[i + 1]].decode(),
+            is_spanning_l=bool(d["span_l"][i]),
+            is_spanning_r=bool(d["span_r"][i]),
+        )
+        r.ccoords = (int(d["cc0"][i]), int(d["cc1"][i]))
+        if d["rq"][i] != _ANREAD_RQ_ABSENT:
+            r.rq = float(d["rq"][i])
+        if d["hp"][i] != _ANREAD_AUX_ABSENT:
+            r.hpt.hp = int(d["hp"][i])
+        if d["ps"][i] != _ANREAD_AUX_ABSENT:
+            r.hpt.ps = int(d["ps"][i])
+        out.append(r)
     return out
 
 

@@ -112,3 +112,89 @@ def test_transfer_status_elif_chain():
     msg.transfer_status(read)
     assert not read.is_spanning_l and read.is_spanning_r
     assert read.ccoords == (3, 9)
+
+
+def test_native_anreads_matches_python_oracle(tmp_path):
+    """The C++ extractor (otter_anreads_parse) reproduces the python oracle
+    field-for-field across clips, region-spanning deletions, non-spanning
+    reads, secondary flags, mapq cuts, HP/PS/rq tags, and both
+    omit-nonspanning settings."""
+    import random
+
+    from fixtures import make_bam, read_record
+    from otter_tpu.config import OtterOpts
+    from otter_tpu.io.bam import BamReader
+    from otter_tpu.io.bed import BED
+    from otter_tpu.seqs.extract import _parse_anreads_native, parse_anreads
+
+    rng = random.Random(44)
+
+    def rand_seq(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    start, end = 1000, 1100
+    recs = []
+    # spanning M-only
+    recs.append(read_record("m0", 0, 950, rand_seq(200), [(200, BAM_CMATCH)],
+                            tags=[("rq", "f", 0.99), ("HP", "i", 1),
+                                  ("PS", "i", 1000)]))
+    # insertion inside region
+    recs.append(read_record("ins", 0, 940, rand_seq(230),
+                            [(100, BAM_CMATCH), (30, BAM_CINS),
+                             (100, BAM_CMATCH)]))
+    # deletion covering the whole region
+    recs.append(read_record("delspan", 0, 900, rand_seq(160),
+                            [(80, BAM_CMATCH), (250, BAM_CDEL),
+                             (80, BAM_CMATCH)]))
+    # left soft-clip with readjustment shape
+    recs.append(read_record("clipL", 0, 1010, rand_seq(220),
+                            [(60, BAM_CSOFT_CLIP), (160, BAM_CMATCH)]))
+    # right clip
+    recs.append(read_record("clipR", 0, 920, rand_seq(220),
+                            [(170, BAM_CMATCH), (50, BAM_CSOFT_CLIP)]))
+    # hard clips both sides
+    recs.append(read_record("hard", 0, 930, rand_seq(200),
+                            [(10, BAM_CHARD_CLIP), (200, BAM_CMATCH),
+                             (5, BAM_CHARD_CLIP)]))
+    # non-spanning left / right
+    recs.append(read_record("nsl", 0, 1050, rand_seq(120),
+                            [(120, BAM_CMATCH)]))
+    recs.append(read_record("nsr", 0, 900, rand_seq(120),
+                            [(120, BAM_CMATCH)]))
+    # no overlap at all
+    recs.append(read_record("far", 0, 5000, rand_seq(50), [(50, BAM_CMATCH)]))
+    # secondary + low mapq
+    recs.append(read_record("sec", 0, 950, rand_seq(200), [(200, BAM_CMATCH)],
+                            flag=0x100))
+    recs.append(read_record("lowq", 0, 950, rand_seq(200),
+                            [(200, BAM_CMATCH)], mapq=3))
+    # low rq tag
+    recs.append(read_record("lowrq", 0, 950, rand_seq(200),
+                            [(200, BAM_CMATCH)], tags=[("rq", "f", 0.2)]))
+    recs.sort(key=lambda r: r.pos)
+    bam_path = str(tmp_path / "x.bam")
+    make_bam(bam_path, [("chr1", 10000)], recs)
+
+    for omit, mapq, rqmin in [(False, 0, 0.0), (True, 0, 0.0),
+                              (False, 10, 0.0), (False, 0, 0.5)]:
+        params = OtterOpts()
+        params.omitnonspanning = omit
+        params.mapq = mapq
+        params.read_quality = rqmin
+        params.device = "cpu"
+        bed = BED("chr1", start, end)
+        bam = BamReader(bam_path)
+        native = _parse_anreads_native(params, bed, bam)
+        params.device = "host"
+        oracle = parse_anreads(params, bed, bam)
+        bam.close()
+        assert native is not None
+        assert len(native) == len(oracle), (omit, mapq, rqmin)
+        for a, b in zip(native, oracle):
+            assert a.name == b.name
+            assert a.seq == b.seq, a.name
+            assert a.is_spanning_l == b.is_spanning_l, a.name
+            assert a.is_spanning_r == b.is_spanning_r, a.name
+            assert a.ccoords == b.ccoords, a.name
+            assert a.rq == b.rq, a.name
+            assert a.hpt.hp == b.hpt.hp and a.hpt.ps == b.hpt.ps, a.name

@@ -127,8 +127,9 @@ def test_assemble_max_cov_skip(het_fixture, capsys):
     assert body == []
 
 
-def test_assemble_threads_pool_identical(het_fixture):
-    """-t worker-pool path produces byte-identical output."""
+def test_assemble_threads_pool_identical(het_fixture, monkeypatch):
+    """-t paths produce byte-identical output: threaded prepare (default)
+    and the opt-in jax-free finish process pool (OTTER_TPU_FINISH_POOL=1)."""
     base_params = _params()
     out1 = io.StringIO()
     assemble(het_fixture["bam"], het_fixture["bed"], "", False, base_params,
@@ -138,3 +139,8 @@ def test_assemble_threads_pool_identical(het_fixture):
     assemble(het_fixture["bam"], het_fixture["bed"], "", False, params,
              out=out2)
     assert out1.getvalue() == out2.getvalue()
+    monkeypatch.setenv("OTTER_TPU_FINISH_POOL", "1")
+    out3 = io.StringIO()
+    assemble(het_fixture["bam"], het_fixture["bed"], "", False, params,
+             out=out3)
+    assert out1.getvalue() == out3.getvalue()

@@ -121,3 +121,24 @@ def test_compare(tmp_path):
     assert r0[4] == "0"  # exact match edge first
     r1 = rows[1].split("\t")
     assert r1[4] == "1"  # second allele differs by 1 edit
+
+
+def test_wgat_non_bam_warns_and_emits_nothing(tmp_path, capsys):
+    """Reference behavior: non-.bam wgat input is a no-op (wgat.cpp:164-177);
+    we add a stderr warning (PARITY.md divergence)."""
+    import io
+
+    from otter_tpu.config import OtterOpts
+    from otter_tpu.models.wgat import wgat
+
+    fa = tmp_path / "asm.fa"
+    fa.write_text(">ctg1\nACGTACGT\n")
+    bed = tmp_path / "r.bed"
+    bed.write_text("chr1\t10\t20\n")
+    p = OtterOpts()
+    p.read_group = "S1"
+    out = io.StringIO()
+    wgat(p, str(fa), str(bed), out=out)
+    assert out.getvalue() == ""
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "unsupported input" in err
