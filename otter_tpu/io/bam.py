@@ -370,18 +370,8 @@ class BamReader:
         tid = self.tid(chrom)
         if tid < 0 or self.index is None:
             return None
-        parts = []
-        for cbeg, cend in self.index.query(tid, start, end):
-            self._bgzf.seek_virtual(cbeg)
-            while self._bgzf.tell_virtual() < cend:
-                hdr4 = self._bgzf.read(4)
-                if len(hdr4) < 4:
-                    break
-                bs = struct.unpack("<I", hdr4)[0]
-                blob = self._bgzf.read(bs)
-                if len(blob) < bs:
-                    break
-                parts.append(hdr4 + blob)
+        parts = [self._bgzf.read_span(cbeg, cend)
+                 for cbeg, cend in self.index.query(tid, start, end)]
         return tid, b"".join(parts)
 
     def fetch(self, chrom: str, start: int, end: int) -> Iterator[BamRecord]:

@@ -98,6 +98,30 @@ class BgzfReader:
             return self._next_coffset << 16
         return (self._block_coffset << 16) | self._uoffset
 
+    def read_span(self, vbeg: int, vend: int) -> bytes:
+        """All uncompressed bytes between two virtual offsets (one python
+        call per 64 KiB block instead of per caller read). BAI chunk
+        boundaries are record-aligned, so [vbeg, vend) is exactly the
+        chunk's record stream."""
+        cbeg, ubeg = vbeg >> 16, vbeg & 0xFFFF
+        cend, uend = vend >> 16, vend & 0xFFFF
+        parts = []
+        coffset = cbeg
+        while True:
+            data, bsize = self._read_block_at(coffset)
+            if bsize == 0:
+                break  # EOF
+            lo = ubeg if coffset == cbeg else 0
+            hi = uend if coffset == cend else len(data)
+            if hi > lo:
+                parts.append(data[lo:hi])
+            if coffset >= cend:
+                break
+            coffset += bsize
+        # leave the stream positioned at vend (matches the read() loop)
+        self.seek_virtual(vend)
+        return b"".join(parts)
+
     def read(self, n: int) -> bytes:
         out = bytearray()
         while n > 0:

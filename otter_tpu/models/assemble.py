@@ -268,39 +268,44 @@ def process_region_batch(params: OtterOpts, batch: List[RegionWork],
             emit_region(params, work, clustmsg, alleles, out)
         return
 
-    # opt-in device KDE (OTTER_TPU_MESH_KDE=1): every KDE-eligible region's
-    # normalized distances pool into ONE kde_batch_step call, dp-sharded
-    # over the attached mesh when >1 chip (parallel/mesh.py). float32 vs
-    # the host oracle's float64 — see PARITY.md divergences.
+    # Per-region KDE densities, pooled across the batch. Default: bucketed
+    # host float64 (byte-identical to the per-region oracle). Opt-in
+    # OTTER_TPU_MESH_KDE=1: one device kde_batch_step call, dp-sharded over
+    # the attached mesh when >1 chip (float32 — see PARITY.md divergences).
     region_dens: dict = {}
-    if os.environ.get("OTTER_TPU_MESH_KDE") == "1":
-        norm_pool: list = []
-        rid_pool: list = []
-        bw_pool: list = []
-        ridx = 0
-        ridx_of: dict = {}
-        for si, ((work, _c, _s), dm) in enumerate(zip(spans, matrices)):
-            if params.max_alleles == 1 or len(work.valid_indeces) <= 2:
-                continue  # otter_hclust never reaches the KDE for these
-            bw = params.bandwidth_short
-            for i in work.valid_indeces:
-                if len(work.reads[i].seq) >= params.bandwidth_length:
-                    bw = params.bandwidth_long
-                    break
-            vals = np.asarray(dm.values, dtype=np.float32)
-            norm_pool.append(vals)
-            rid_pool.append(np.full(len(vals), ridx, dtype=np.int32))
-            bw_pool.append(bw)
-            ridx_of[si] = ridx
-            ridx += 1
-        if ridx:
-            with metrics.phase("device_dispatch"):
-                from ..parallel.mesh import pooled_kde_densities
+    kde_regions = []  # (span_index, values, bandwidth)
+    for si, ((work, _c, _s), dm) in enumerate(zip(spans, matrices)):
+        if params.max_alleles == 1 or len(work.valid_indeces) <= 2:
+            continue  # otter_hclust never reaches the KDE for these
+        bw = params.bandwidth_short
+        for i in work.valid_indeces:
+            if len(work.reads[i].seq) >= params.bandwidth_length:
+                bw = params.bandwidth_long
+                break
+        kde_regions.append((si, dm.values, bw))
+    if kde_regions and os.environ.get("OTTER_TPU_MESH_KDE") == "1":
+        with metrics.phase("device_dispatch"):
+            from ..parallel.mesh import pooled_kde_densities
 
-                dens = pooled_kde_densities(
-                    np.concatenate(norm_pool), np.concatenate(rid_pool),
-                    np.asarray(bw_pool, dtype=np.float32), ridx)
-            region_dens = {si: dens[r] for si, r in ridx_of.items()}
+            norm_pool = [np.asarray(v, dtype=np.float32)
+                         for _si, v, _b in kde_regions]
+            rid_pool = [np.full(len(v), r, dtype=np.int32)
+                        for r, v in enumerate(norm_pool)]
+            dens = pooled_kde_densities(
+                np.concatenate(norm_pool), np.concatenate(rid_pool),
+                np.asarray([b for _si, _v, b in kde_regions],
+                           dtype=np.float32), len(kde_regions))
+        region_dens = {si: dens[r]
+                       for r, (si, _v, _b) in enumerate(kde_regions)}
+    elif kde_regions:
+        with metrics.phase("cluster_consensus"):
+            from ..ops.kde import kde_densities_batched, kde_grid
+
+            dens_list = kde_densities_batched(
+                [v for _si, v, _b in kde_regions],
+                [b for _si, _v, b in kde_regions], kde_grid(0.0025))
+        region_dens = {si: d
+                       for (si, _v, _b), d in zip(kde_regions, dens_list)}
 
     # phase 1: cluster every region on host, pooling reassignment jobs so
     # the whole batch costs two more device round trips (e2e + ends-free)

@@ -41,6 +41,33 @@ def kde_densities(values: np.ndarray, bandwidth: float, xs: np.ndarray) -> np.nd
     return dens / total
 
 
+def kde_densities_batched(value_lists, bandwidths, xs: np.ndarray):
+    """Many regions' kde_densities in bucketed numpy calls — byte-identical
+    to per-region kde_densities: regions are grouped by value count so every
+    np.sum reduces rows of the same length (same pairwise-summation
+    grouping), and all elementwise ops are the same float64 ops."""
+    out = [None] * len(value_lists)
+    by_n: dict = {}
+    for i, v in enumerate(value_lists):
+        by_n.setdefault(len(v), []).append(i)
+    for n, idxs in by_n.items():
+        # cap transient z/exp memory at ~4e7 doubles per slice
+        step = max(1, int(4e7 / max(1, 401 * n)))
+        for c0 in range(0, len(idxs), step):
+            sl = idxs[c0 : c0 + step]
+            V = np.asarray([value_lists[i] for i in sl], dtype=np.float64)
+            H = np.asarray([bandwidths[i] for i in sl],
+                           dtype=np.float64)[:, None, None]
+            z = (xs[None, :, None] - V[:, None, :]) / H
+            dens = np.sum(_INV_SQRT_2PI * np.exp(-(z * z) / 2.0), axis=2) \
+                / (H[:, :, 0] * n)
+            total = np.sum(dens, axis=1, keepdims=True)
+            dens = dens / total
+            for r, i in enumerate(sl):
+                out[i] = dens[r]
+    return out
+
+
 def kde_maximas(radius: int, densities: np.ndarray
                 ) -> Tuple[List[Tuple[int, float]], List[Tuple[int, float]]]:
     """Alternating maxima/minima of windowed density sums (ankde.cpp:25-62).

@@ -192,3 +192,26 @@ def test_rq_filter(tmp_path):
     assemble(bam, bed, "", True, params, out=out)
     names = [l for l in out.getvalue().split("\n") if l.startswith(">")]
     assert len(names) == 1 and names[0].startswith(">good#")
+
+
+def test_kde_densities_batched_byte_identical():
+    """Bucketed batched KDE == per-region kde_densities bit-for-bit."""
+    import random
+
+    import numpy as np
+
+    from otter_tpu.ops.kde import (kde_densities, kde_densities_batched,
+                                   kde_grid)
+
+    rng = random.Random(8)
+    xs = kde_grid(0.0025)
+    value_lists = []
+    bws = []
+    for _ in range(25):
+        n = rng.choice([3, 6, 66, 190])
+        value_lists.append([rng.random() * 0.4 for _ in range(n)])
+        bws.append(rng.choice([0.01, 0.015]))
+    batched = kde_densities_batched(value_lists, bws, xs)
+    for v, b, got in zip(value_lists, bws, batched):
+        want = kde_densities(np.asarray(v), b, xs)
+        assert np.array_equal(want, got)

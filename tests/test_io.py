@@ -170,3 +170,34 @@ def test_bai_long_reads_bin_levels(tmp_path):
     got3 = [r.name for r in rd.fetch("chr1", 400000, 400010)]
     assert got3 == []
     rd.close()
+
+
+def test_bgzf_read_span_matches_read(tmp_path):
+    """read_span(vbeg, vend) == seek+read loop across block boundaries."""
+    import random
+
+    from otter_tpu.io.bgzf import BgzfReader, BgzfWriter
+
+    rng = random.Random(3)
+    payload = bytes(rng.randrange(256) for _ in range(300_000))
+    p = str(tmp_path / "x.bgzf")
+    w = BgzfWriter(p, level=1)
+    # small writes to get multiple blocks
+    for c0 in range(0, len(payload), 70_000):
+        w.write(payload[c0 : c0 + 70_000])
+    w.close()
+    rd = BgzfReader(p)
+    # collect virtual offsets at some byte positions by streaming
+    rd.seek_virtual(0)
+    offsets = [rd.tell_virtual()]
+    for _ in range(10):
+        rd.read(29_999)
+        offsets.append(rd.tell_virtual())
+    for a in range(0, len(offsets), 3):
+        for b in range(a + 1, len(offsets), 2):
+            va, vb = offsets[a], offsets[b]
+            rd.seek_virtual(va)
+            want = rd.read(29_999 * (b - a))
+            got = rd.seek_virtual(va) or rd.read_span(va, vb)
+            assert got == want[: len(got)] and len(got) == 29_999 * (b - a)
+            assert rd.tell_virtual() == vb
