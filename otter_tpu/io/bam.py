@@ -97,6 +97,21 @@ class BamRecord:
         v = self.get_aux(tag)
         return v if isinstance(v, str) else None
 
+    def get_aux_map(self) -> dict:
+        """Decode every aux tag in one pass (first occurrence wins, matching
+        get_aux). Cheaper than one walk per tag for multi-tag consumers."""
+        data = self.aux
+        i = 0
+        n = len(data)
+        out: dict = {}
+        while i + 3 <= n:
+            t = data[i : i + 2].decode("latin-1")
+            typ = chr(data[i + 2])
+            val, i = _decode_aux_value(data, i + 3, typ)
+            if t not in out:
+                out[t] = val
+        return out
+
     def strip_aux(self, tag: str) -> None:
         """Remove a two-char aux tag in place (no-op if absent)."""
         data = self.aux

@@ -318,13 +318,17 @@ def remap_cluster_indeces(distmatrix: DistMatrix, indeces: List[int],
 def anallele_cluster_length(max_error: float, alleles: List[AnAllele],
                             indeces: List[int], distmatrix: DistMatrix
                             ) -> Tuple[List[List[int]], List[int]]:
-    """Length-based allele clustering (:367-382)."""
-    for i in range(len(indeces)):
-        i_l = len(alleles[indeces[i]].seq)
-        for j in range(i + 1, len(indeces)):
-            j_l = len(alleles[indeces[j]].seq)
-            distmatrix.set_dist(i, j, length_dist(i_l, j_l))
-    clusters = cluter_to_e(max_error, len(indeces), distmatrix)
+    """Length-based allele clustering (:367-382). The pairwise fill is
+    vectorized — |x-y|/max(x,y) elementwise float64, the same two ops as
+    the scalar length_dist per pair."""
+    n = len(indeces)
+    lens = np.asarray([len(alleles[i].seq) for i in indeces],
+                      dtype=np.float64)
+    iu, ju = np.triu_indices(n, k=1)
+    li, lj = lens[iu], lens[ju]
+    mx = np.maximum(li, lj)
+    distmatrix.values = np.abs(li - lj) / np.maximum(mx, 1.0)
+    clusters = cluter_to_e(max_error, n, distmatrix)
     return remap_cluster_indeces(distmatrix, indeces, clusters)
 
 
@@ -339,16 +343,23 @@ def anallele_cluster_kusage(max_error: float, k: int, alleles: List[AnAllele],
     """3-mer-usage cosine-dissimilarity clustering (:402-420), with the
     reference's round-to-3-decimals and NaN->dist-1.0 handling."""
     kusages = generate_kusage(k, alleles, indeces)
-    import math
-    for i in range(len(kusages)):
-        i_k = kusages[i]
-        for j in range(i + 1, len(kusages)):
-            j_k = kusages[j]
-            if math.isnan(i_k.vnorm) or math.isnan(j_k.vnorm):
-                sim = 0.0
-            else:
-                sim = _cpp_round(i_k.cosine_sim(j_k) * 1000.0) / 1000.0
-            distmatrix.set_dist(i, j, 1.0 - sim)
+    # vectorized cosine-dissimilarity matrix: one GEMM over the usage
+    # vectors instead of n^2/2 python dot calls. GEMM accumulation order
+    # can differ from per-pair np.dot by ~1 ulp pre-rounding; the
+    # round-to-3-decimals makes a flip require a value within ~1e-13 of a
+    # .0005 boundary (PARITY.md float-summation note applies).
+    n = len(kusages)
+    V = np.stack([ku.vec for ku in kusages])  # (n, 4^k + 1)
+    norms = np.asarray([ku.vnorm for ku in kusages])
+    dots = V @ V.T
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sims = dots / np.outer(norms, norms)
+    sims = sims * 1000.0
+    sims = np.where(sims >= 0, np.floor(sims + 0.5),
+                    np.ceil(sims - 0.5)) / 1000.0  # C++ std::round
+    sims = np.where(np.isnan(np.outer(norms, norms)), 0.0, sims)
+    iu, ju = np.triu_indices(n, k=1)
+    distmatrix.values = 1.0 - sims[iu, ju]
     clusters = cluter_to_e(max_error, len(kusages), distmatrix)
     out_clusters, reps = remap_cluster_indeces(distmatrix, indeces, clusters)
     return kusages, out_clusters, reps

@@ -35,18 +35,19 @@ class DistMatrix:
         return float(self.values[self._index(i, j)])
 
     def get_medoid(self, indeces: Iterable[int]) -> int:
+        """Min-row-sum medoid (andistmat.cpp:36-50). Vectorized with the
+        scalar loop's exact float64 accumulation: sums advance one j at a
+        time across all rows (the i==j skip is an exact +0.0), and
+        np.argmin keeps the scalar loop's first-strict-min winner."""
         idx = list(indeces)
-        min_i = idx[0]
-        min_dist_sum = 100000000.0
-        for i in idx:
-            dist_sum = 0.0
-            for j in idx:
-                if i != j:
-                    dist_sum += self.get_dist(i, j)
-            if dist_sum < min_dist_sum:
-                min_i = i
-                min_dist_sum = dist_sum
-        return min_i
+        if len(idx) <= 2:
+            return idx[0]
+        ia = np.asarray(idx, dtype=np.int64)
+        sub = self.to_square()[np.ix_(ia, ia)]  # 0.0 diagonal
+        sums = np.zeros(len(idx), dtype=np.float64)
+        for j in range(len(idx)):
+            sums = sums + sub[:, j]
+        return idx[int(np.argmin(sums))]
 
     @classmethod
     def from_square(cls, sq: np.ndarray) -> "DistMatrix":

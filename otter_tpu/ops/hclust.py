@@ -29,7 +29,74 @@ import numpy as np
 
 def nn_chain_average(n: int, condensed: np.ndarray
                      ) -> List[Tuple[int, int, float]]:
-    """NN-chain average linkage over a condensed distance matrix.
+    """NN-chain average linkage (vectorized over a square matrix; identical
+    merges/ties to nn_chain_average_ref — the scan-order semantics map to
+    numpy first-of-min argmin, and the Lance-Williams update is the same
+    per-element float64 expression)."""
+    S = np.zeros((n, n), dtype=np.float64)
+    iu = np.triu_indices(n, k=1)
+    S[iu] = condensed
+    S.T[iu] = condensed
+    members = np.ones(n, dtype=np.float64)
+    active = np.ones(n, dtype=bool)
+    merges: List[Tuple[int, int, float]] = []
+    chain = [0] * n
+    tip = 0
+    idx1 = idx2 = 0
+    mind = 0.0
+    for _ in range(n - 1):
+        if tip <= 3:
+            # restart: idx1 = smallest active; idx2 = first-of-min among the
+            # remaining actives in ascending order (strict-< scan semantics)
+            cands = np.nonzero(active)[0]
+            idx1 = int(cands[0])
+            rest = cands[1:]
+            vals = S[idx1, rest]
+            idx2 = int(rest[int(np.argmin(vals))])
+            mind = float(S[idx1, idx2])
+            chain[0] = idx1
+            tip = 1
+        else:
+            tip -= 3
+            idx1 = chain[tip - 1]
+            idx2 = chain[tip]
+            mind = float(S[idx1, idx2])
+        while True:
+            chain[tip] = idx2
+            # strict-< scan over actives != idx2 ascending: a new winner
+            # needs a strictly smaller distance; equal keeps idx1
+            cands = np.nonzero(active)[0]
+            cands = cands[cands != idx2]
+            vals = S[cands, idx2]
+            ai = int(np.argmin(vals))
+            if float(vals[ai]) < mind:
+                mind = float(vals[ai])
+                idx1 = int(cands[ai])
+            idx2 = idx1
+            idx1 = chain[tip]
+            tip += 1
+            if idx2 == chain[tip - 2]:
+                break
+        merges.append((idx1, idx2, float(mind)))
+        if idx1 > idx2:
+            idx1, idx2 = idx2, idx1
+        size1 = members[idx1]
+        size2 = members[idx2]
+        members[idx2] += members[idx1]
+        active[idx1] = False
+        s = size1 / (size1 + size2)
+        t = size2 / (size1 + size2)
+        upd = s * S[idx1] + t * S[idx2]  # f_average, same expression
+        S[idx2, active] = upd[active]
+        S[active, idx2] = upd[active]
+        S[idx2, idx2] = 0.0
+    return merges
+
+
+def nn_chain_average_ref(n: int, condensed: np.ndarray
+                         ) -> List[Tuple[int, int, float]]:
+    """Scalar NN-chain average linkage over a condensed distance matrix
+    (tie-semantics oracle for the vectorized version above).
 
     Returns merges [(node1, node2, dist)] in discovery order, where node ids
     are original point indices standing for their current clusters (the

@@ -109,23 +109,30 @@ def parse_anallele(target_region: str, sample2index: Dict[str, int],
                    allele_sample_indeces: List[int]) -> None:
     """Re-parse an assembled allele's ta/RG/tc/ac/sc/PS/HP/se/ic tags
     (anseqs.cpp:462-511)."""
-    parsed_region = rec.get_aux_str("ta") or ""
+    aux = rec.get_aux_map()  # one walk for all 9 tags
+
+    def _i(tag):
+        v = aux.get(tag)
+        return int(v) if isinstance(v, (int, float)) else None
+
+    parsed_region = aux.get("ta") if isinstance(aux.get("ta"), str) else ""
     if target_region != parsed_region:
         return
-    sample = rec.get_aux_str("RG") or ""
+    sample = aux.get("RG") if isinstance(aux.get("RG"), str) else ""
     idx = sample2index.get(sample)
     if idx is None:
         sys.stderr.write(
             f"({antimestamp()}): ERROR unrecognized sample-name (read-group): {sample}\n"
         )
         raise SystemExit(1)
-    tc = rec.get_aux_int("tc")
-    ac = rec.get_aux_int("ac")
-    sc = rec.get_aux_int("sc")
-    ps = rec.get_aux_int("PS")
-    hp = rec.get_aux_int("HP")
-    se = rec.get_aux_float("se")
-    ic = rec.get_aux_int("ic")
+    tc = _i("tc")
+    ac = _i("ac")
+    sc = _i("sc")
+    ps = _i("PS")
+    hp = _i("HP")
+    sev = aux.get("se")
+    se = float(sev) if isinstance(sev, (int, float)) else None
+    ic = _i("ic")
     seq = rec.seq if rec.seq else "N"
     allele_sample_indeces.append(idx)
     anallele_block.append(

@@ -114,3 +114,26 @@ def test_cutree_k_edge_cases():
     # cut below all heights -> all singletons
     labels = cutree_cdist(n, merge, height, 0.05)
     assert labels.tolist() == [0, 1, 2]
+
+
+def test_nn_chain_vectorized_matches_scalar_ref():
+    """Vectorized NN-chain == scalar oracle, incl. engineered ties."""
+    import random
+
+    import numpy as np
+
+    from otter_tpu.ops.hclust import nn_chain_average, nn_chain_average_ref
+
+    rng = random.Random(17)
+    for trial in range(30):
+        n = rng.choice([3, 5, 17, 40])
+        m = n * (n - 1) // 2
+        if trial % 3 == 0:
+            # heavy ties: quantized distances
+            cond = np.asarray([rng.choice([0.1, 0.2, 0.3])
+                               for _ in range(m)])
+        else:
+            cond = np.asarray([rng.random() for _ in range(m)])
+        a = nn_chain_average(n, cond.copy())
+        b = nn_chain_average_ref(n, cond.copy())
+        assert a == b, (trial, n)
