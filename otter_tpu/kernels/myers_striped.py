@@ -41,104 +41,133 @@ def _msb1(x):
     return jax.lax.shift_right_logical(x, jnp.int32(31))
 
 
+CSTRIP = 4  # text chars per pattern-word visit (divides 32)
+
+
 def _myers_stripe_kernel(peq_ref, tpack_ref, nlen_ref, sel_ref, minit_ref,
                          tb_ref, te_ref,
                          cin_a_ref, cin_p_ref, cin_m_ref,
                          out_ref, cout_a_ref, cout_p_ref, cout_m_ref,
+                         pv_ref, mv_ref,
                          *, n_words: int, text_len: int, first_stripe: bool):
+    """Pv/Mv live in VMEM scratch and the text is strip-mined CSTRIP chars
+    per word visit (same layout rationale as myers_pallas._myers_kernel);
+    the per-char boundary carries in/out pack as bit j%32 of word j//32."""
     neg1 = jnp.int32(-1)
     zero = jnp.int32(0)
     one = jnp.int32(1)
+    C = CSTRIP
     nlen = nlen_ref[:, :]
     tbv = tb_ref[:, :]
     tev = te_ref[:, :]
     score0 = minit_ref[:, :]
-    Pv0 = [jnp.full((TB, LANES), neg1, dtype=jnp.int32) for _ in range(n_words)]
-    Mv0 = [jnp.zeros((TB, LANES), dtype=jnp.int32) for _ in range(n_words)]
-    acc0 = (jnp.zeros((TB, LANES), jnp.int32),) * 3
+    zeros = jnp.zeros((TB, LANES), dtype=jnp.int32)
+    ones = jnp.full((TB, LANES), 1, jnp.int32)
 
-    def body(j, carry):
-        Pv, Mv, score, captured, acc_a, acc_p, acc_m = carry
-        Pv = list(Pv)
-        Mv = list(Mv)
-        trow = tpack_ref[pl.ds((j // 16) * TB, TB), :]
-        shift = jnp.broadcast_to((j % 16) * 2, trow.shape).astype(jnp.int32)
-        c = jax.lax.shift_right_logical(trow, shift) & jnp.int32(3)
-        is0 = c == 0
-        is1 = c == 1
-        is2 = c == 2
-        # carry-ins for this char from the previous stripe (bit j%32 of
-        # word j//32); the first stripe uses the DP boundary: ph=1 for
-        # D[0][j] = j, except free leading text (j < tb) where ph=0 so
-        # D[0][j] = max(0, j - tb)
-        if first_stripe:
-            carry_add = jnp.zeros((TB, LANES), dtype=jnp.int32)
-            carry_ph = jnp.where(j >= tbv, 1, 0).astype(jnp.int32)
-            carry_mh = jnp.zeros((TB, LANES), dtype=jnp.int32)
-        else:
-            bshift = jnp.broadcast_to(j % 32, (TB, LANES)).astype(jnp.int32)
-            arow = cin_a_ref[pl.ds((j // 32) * TB, TB), :]
-            prow = cin_p_ref[pl.ds((j // 32) * TB, TB), :]
-            mrow = cin_m_ref[pl.ds((j // 32) * TB, TB), :]
-            carry_add = jax.lax.shift_right_logical(arow, bshift) & one
-            carry_ph = jax.lax.shift_right_logical(prow, bshift) & one
-            carry_mh = jax.lax.shift_right_logical(mrow, bshift) & one
-        ones_sh = jnp.full((TB, LANES), 1, jnp.int32)
-        for w in range(n_words):
-            pA = peq_ref[(0 * n_words + w) * TB : (0 * n_words + w + 1) * TB, :]
-            pC = peq_ref[(1 * n_words + w) * TB : (1 * n_words + w + 1) * TB, :]
-            pG = peq_ref[(2 * n_words + w) * TB : (2 * n_words + w + 1) * TB, :]
-            pT = peq_ref[(3 * n_words + w) * TB : (3 * n_words + w + 1) * TB, :]
-            Eq = jnp.where(is0, pA, jnp.where(is1, pC, jnp.where(is2, pG, pT)))
-            sel = sel_ref[w * TB : (w + 1) * TB, :]
-            Pv_w = Pv[w]
-            Mv_w = Mv[w]
-            Xv = Eq | Mv_w
-            t = Eq & Pv_w
-            s0 = t + Pv_w
-            s = s0 + carry_add
-            carry_next = (_msb1((t & Pv_w) | ((t | Pv_w) & ~s0))
-                          | _msb1((s0 & carry_add) | ((s0 | carry_add) & ~s)))
-            Xh = (s ^ Pv_w) | Eq
-            Ph = Mv_w | ~(Xh | Pv_w)
-            Mh = Pv_w & Xh
-            score = score + jnp.where((Ph & sel) != 0, one, zero)
-            score = score - jnp.where((Mh & sel) != 0, one, zero)
-            ph_out = _msb1(Ph)
-            mh_out = _msb1(Mh)
-            Ph = jax.lax.shift_left(Ph, ones_sh) | carry_ph
-            Mh = jax.lax.shift_left(Mh, ones_sh) | carry_mh
-            carry_ph = ph_out
-            carry_mh = mh_out
-            carry_add = carry_next
-            Pv[w] = Mh | ~(Xv | Ph)
-            Mv[w] = Ph & Xv
-        # free trailing text: capture the running min of D[m][j'] over
-        # j' in [n - te, n] (te = 0 degenerates to the plain j' == n capture)
-        in_window = ((j + 1) >= (nlen - tev)) & ((j + 1) <= nlen)
-        captured = jnp.where(in_window, jnp.minimum(captured, score), captured)
-        # pack this char's carry-outs into the accumulators (bit j%32)
-        bpos = jnp.broadcast_to(j % 32, (TB, LANES)).astype(jnp.int32)
-        acc_a = acc_a | jax.lax.shift_left(carry_add, bpos)
-        acc_p = acc_p | jax.lax.shift_left(carry_ph, bpos)
-        acc_m = acc_m | jax.lax.shift_left(carry_mh, bpos)
-        # flush every 32 chars
-        flush = (j % 32) == 31
+    def init_word(w, _):
+        pv_ref[pl.ds(w * TB, TB), :] = jnp.full((TB, LANES), neg1, jnp.int32)
+        mv_ref[pl.ds(w * TB, TB), :] = zeros
+        return 0
+
+    jax.lax.fori_loop(0, n_words, init_word, 0)
+
+    n_strips = (text_len + C - 1) // C
+
+    def strip(sidx, carry):
+        score, captured, acc_a, acc_p, acc_m = carry
+        j0 = sidx * C
+        trow = tpack_ref[pl.ds((j0 // 16) * TB, TB), :]
+        isel = []
+        ca0 = []
+        cp0 = []
+        cm0 = []
+        if not first_stripe:
+            arow = cin_a_ref[pl.ds((j0 // 32) * TB, TB), :]
+            prow = cin_p_ref[pl.ds((j0 // 32) * TB, TB), :]
+            mrow = cin_m_ref[pl.ds((j0 // 32) * TB, TB), :]
+        for c in range(C):
+            sh = jnp.broadcast_to((j0 + c) % 16 * 2, trow.shape)
+            ch = jax.lax.shift_right_logical(trow, sh.astype(jnp.int32)) & 3
+            isel.append((ch == 0, ch == 1, ch == 2))
+            if first_stripe:
+                ca0.append(zeros)
+                cp0.append(jnp.where(j0 + c >= tbv, 1, 0).astype(jnp.int32))
+                cm0.append(zeros)
+            else:
+                bsh = jnp.broadcast_to((j0 + c) % 32, (TB, LANES)
+                                       ).astype(jnp.int32)
+                ca0.append(jax.lax.shift_right_logical(arow, bsh) & one)
+                cp0.append(jax.lax.shift_right_logical(prow, bsh) & one)
+                cm0.append(jax.lax.shift_right_logical(mrow, bsh) & one)
+
+        def word(w, wc):
+            ca = list(wc[0:C])
+            cp = list(wc[C : 2 * C])
+            cm = list(wc[2 * C : 3 * C])
+            d = list(wc[3 * C : 4 * C])
+            base = w * TB
+            pA = peq_ref[pl.ds(0 * n_words * TB + base, TB), :]
+            pC = peq_ref[pl.ds(1 * n_words * TB + base, TB), :]
+            pG = peq_ref[pl.ds(2 * n_words * TB + base, TB), :]
+            pT = peq_ref[pl.ds(3 * n_words * TB + base, TB), :]
+            sel = sel_ref[pl.ds(base, TB), :]
+            Pv = pv_ref[pl.ds(base, TB), :]
+            Mv = mv_ref[pl.ds(base, TB), :]
+            for c in range(C):
+                is0, is1, is2 = isel[c]
+                Eq = jnp.where(is0, pA,
+                               jnp.where(is1, pC, jnp.where(is2, pG, pT)))
+                Xv = Eq | Mv
+                t = Eq & Pv
+                ssum = t + Pv + ca[c]
+                ca[c] = _msb1((t & Pv) | ((t | Pv) & ~ssum))
+                Xh = (ssum ^ Pv) | Eq
+                Ph = Mv | ~(Xh | Pv)
+                Mh = Pv & Xh
+                d[c] = d[c] + jnp.where((Ph & sel) != 0, one, zero) \
+                    - jnp.where((Mh & sel) != 0, one, zero)
+                ph_out = _msb1(Ph)
+                mh_out = _msb1(Mh)
+                Ph = jax.lax.shift_left(Ph, ones) | cp[c]
+                Mh = jax.lax.shift_left(Mh, ones) | cm[c]
+                cp[c] = ph_out
+                cm[c] = mh_out
+                Pv = Mh | ~(Xv | Ph)
+                Mv = Ph & Xv
+            pv_ref[pl.ds(base, TB), :] = Pv
+            mv_ref[pl.ds(base, TB), :] = Mv
+            return tuple(ca) + tuple(cp) + tuple(cm) + tuple(d)
+
+        init = tuple(ca0) + tuple(cp0) + tuple(cm0) + tuple([zeros] * C)
+        wc = jax.lax.fori_loop(0, n_words, word, init)
+        for c in range(C):
+            j = j0 + c
+            score = score + wc[3 * C + c]
+            # free trailing text: running min of D[m][j'] over
+            # j' in [n - te, n] (te = 0 degenerates to j' == n)
+            in_window = ((j + 1) >= (nlen - tev)) & ((j + 1) <= nlen)
+            captured = jnp.where(in_window, jnp.minimum(captured, score),
+                                 captured)
+            bpos = jnp.broadcast_to(j % 32, (TB, LANES)).astype(jnp.int32)
+            acc_a = acc_a | jax.lax.shift_left(wc[c], bpos)
+            acc_p = acc_p | jax.lax.shift_left(wc[C + c], bpos)
+            acc_m = acc_m | jax.lax.shift_left(wc[2 * C + c], bpos)
+        flush = (j0 + C - 1) % 32 == 31
 
         @pl.when(flush)
         def _():
-            cout_a_ref[pl.ds((j // 32) * TB, TB), :] = acc_a
-            cout_p_ref[pl.ds((j // 32) * TB, TB), :] = acc_p
-            cout_m_ref[pl.ds((j // 32) * TB, TB), :] = acc_m
+            cout_a_ref[pl.ds((j0 // 32) * TB, TB), :] = acc_a
+            cout_p_ref[pl.ds((j0 // 32) * TB, TB), :] = acc_p
+            cout_m_ref[pl.ds((j0 // 32) * TB, TB), :] = acc_m
 
         acc_a = jnp.where(flush, zero, acc_a)
         acc_p = jnp.where(flush, zero, acc_p)
         acc_m = jnp.where(flush, zero, acc_m)
-        return (tuple(Pv), tuple(Mv), score, captured, acc_a, acc_p, acc_m)
+        return score, captured, acc_a, acc_p, acc_m
 
     cap0 = jnp.full((TB, LANES), jnp.int32(2 ** 30))
-    init = (tuple(Pv0), tuple(Mv0), score0, cap0) + acc0
-    _, _, _, captured, _, _, _ = jax.lax.fori_loop(0, text_len, body, init)
+    _, captured, _, _, _ = jax.lax.fori_loop(
+        0, n_strips, strip, (score0, cap0, zeros, zeros, zeros))
     out_ref[:, :] = captured
 
 
@@ -194,6 +223,15 @@ def myers_stripe(peq, tpack, nlen, sel, minit, tb, te, cin_a, cin_p, cin_m,
             jax.ShapeDtypeStruct((n_cwords * nlen.shape[0], LANES), jnp.int32),
             jax.ShapeDtypeStruct((n_cwords * nlen.shape[0], LANES), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((n_words * TB, LANES), jnp.int32),
+            pltpu.VMEM((n_words * TB, LANES), jnp.int32),
+        ],
+        # the in/out carry planes alone are ~12 MB at 16k-char stripes; the
+        # default 16 MB scoped-vmem budget is a guardrail, not the physical
+        # limit — raise it for this kernel
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(peq, tpack, nlen, sel, minit, tb, te, cin_a, cin_p, cin_m)
 
