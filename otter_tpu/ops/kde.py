@@ -51,16 +51,27 @@ def kde_densities_batched(value_lists, bandwidths, xs: np.ndarray):
     for i, v in enumerate(value_lists):
         by_n.setdefault(len(v), []).append(i)
     for n, idxs in by_n.items():
-        # cap transient z/exp memory at ~4e7 doubles per slice
-        step = max(1, int(4e7 / max(1, 401 * n)))
+        # cap the transient z buffer at ~1e6 doubles per slice: the
+        # elementwise passes (sub/div/square/exp/scale) then stay
+        # cache-resident instead of streaming a hundreds-of-MB temp
+        # through HBM-of-the-CPU for every pass
+        step = max(1, int(1e6 / max(1, 401 * n)))
         for c0 in range(0, len(idxs), step):
             sl = idxs[c0 : c0 + step]
             V = np.asarray([value_lists[i] for i in sl], dtype=np.float64)
             H = np.asarray([bandwidths[i] for i in sl],
                            dtype=np.float64)[:, None, None]
-            z = (xs[None, :, None] - V[:, None, :]) / H
-            dens = np.sum(_INV_SQRT_2PI * np.exp(-(z * z) / 2.0), axis=2) \
-                / (H[:, :, 0] * n)
+            # in-place chain; every op is the same float64 op as the
+            # per-region oracle ((x-v)/h, square, halve+negate, exp,
+            # *1/sqrt(2pi), row-sum, /(h*n)) so results stay bit-identical
+            z = xs[None, :, None] - V[:, None, :]
+            z /= H
+            z *= z
+            z /= -2.0
+            np.exp(z, out=z)
+            z *= _INV_SQRT_2PI
+            dens = np.sum(z, axis=2)
+            dens /= H[:, :, 0] * n
             total = np.sum(dens, axis=1, keepdims=True)
             dens = dens / total
             for r, i in enumerate(sl):
