@@ -20,6 +20,7 @@ Host packing comes from kernels/myers.py::pack_myers_bucket.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Tuple
 
 import numpy as np
@@ -184,7 +185,19 @@ def _to_planes(arr_b: np.ndarray, n_prog: int) -> np.ndarray:
 
 def pack_for_pallas(pairs: List[Tuple[str, str]], n_words: int,
                     text_len: int, batch_pad: int = PAIRS_PER_PROG):
-    """Pack a pair bucket into the kernel's flattened plane layout."""
+    """Pack a pair bucket into the kernel's flattened plane layout.
+
+    Fast path: the threaded C++ packer writes the plane layout directly
+    (native.myers_pack_planes, bit-identical); numpy oracle on fallback.
+    """
+    if os.environ.get("OTTER_TPU_NATIVE_PACK", "1") == "1":
+        try:
+            from ..native import myers_pack_planes
+
+            return myers_pack_planes(pairs, n_words, text_len,
+                                     pad_to=max(batch_pad, PAIRS_PER_PROG))
+        except Exception:
+            pass
     from .myers import pack_myers_bucket
 
     peq, tpack, mlen, nlen, sel_word, sel_bit = pack_myers_bucket(

@@ -118,6 +118,18 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_int64),      # out_off
                 ctypes.POINTER(ctypes.c_int32),      # out_len
             ]
+            lib.otter_myers_pack_planes.restype = None
+            lib.otter_myers_pack_planes.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),      # buf
+                ctypes.POINTER(ctypes.c_int64),      # offs
+                ctypes.c_int32, ctypes.c_int32,      # n_pairs, n_words
+                ctypes.c_int32, ctypes.c_int32,      # n_twords, n_threads
+                ctypes.POINTER(ctypes.c_uint32),     # peq
+                ctypes.POINTER(ctypes.c_uint32),     # tpack
+                ctypes.POINTER(ctypes.c_int32),      # nlen
+                ctypes.POINTER(ctypes.c_uint32),     # sel
+                ctypes.POINTER(ctypes.c_int32),      # minit
+            ]
             _lib = lib
         return _lib
 
@@ -411,3 +423,53 @@ def anreads_parse(raw: bytes, tid: int, qstart: int, qend: int,
         }
     finally:
         lib.otter_anreads_free(h)
+
+
+def myers_pack_planes(pairs: List[Tuple[str, str]], n_words: int,
+                      text_len: int, pad_to: int = 1024,
+                      n_threads: int = 0):
+    """Pack a Myers pair bucket straight into the Pallas plane layout
+    (kernels/myers_pallas.py), bit-identical to the numpy oracle
+    (pack_for_pallas's pack_myers_bucket + _to_planes composition).
+
+    Returns (peq, tpack, nlen, sel, minit, n_prog) as int32 (..., 128)
+    arrays ready for jnp.asarray.
+    """
+    lib = get_lib()
+    B = len(pairs)
+    Bp = ((B + pad_to - 1) // pad_to) * pad_to
+    n_prog = max(1, Bp // 1024)
+    n_twords = (text_len + 15) // 16
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    blobs = []
+    offs = np.zeros(2 * B + 1, dtype=np.int64)
+    pos = 0
+    for i, (a, b) in enumerate(pairs):
+        ab = a.encode("latin-1")
+        bb = b.encode("latin-1")
+        blobs.append(ab)
+        blobs.append(bb)
+        offs[2 * i + 1] = pos + len(ab)
+        offs[2 * i + 2] = pos + len(ab) + len(bb)
+        pos += len(ab) + len(bb)
+    buf = np.frombuffer(b"".join(blobs) + b"\x00", dtype=np.uint8)
+    peq = np.zeros((n_prog * 4 * n_words * 8, 128), dtype=np.uint32)
+    tpack = np.zeros((n_prog * n_twords * 8, 128), dtype=np.uint32)
+    nlen = np.zeros((n_prog * 8, 128), dtype=np.int32)
+    sel = np.zeros((n_prog * n_words * 8, 128), dtype=np.uint32)
+    minit = np.zeros((n_prog * 8, 128), dtype=np.int32)
+
+    def pu32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+    def pi32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    lib.otter_myers_pack_planes(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        B, n_words, n_twords, n_threads,
+        pu32(peq), pu32(tpack), pi32(nlen), pu32(sel), pi32(minit))
+    return (peq.view(np.int32), tpack.view(np.int32), nlen,
+            sel.view(np.int32), minit, n_prog)

@@ -178,3 +178,40 @@ def test_engine_ends_free_interpret():
     got = eng.ends_free(jobs)
     want = np.array([edit_distance_ends_free(*j) for j in jobs])
     assert np.array_equal(got, want)
+
+
+def test_native_pack_planes_matches_numpy():
+    """The threaded C++ packer (native.myers_pack_planes) must reproduce the
+    numpy pack_for_pallas plane layout bit-for-bit (incl. tie-length pattern
+    choice, padding slots, sel one-hots)."""
+    import os
+
+    from otter_tpu.kernels import myers_pallas as mp
+    from otter_tpu.native import myers_pack_planes
+
+    rng = random.Random(99)
+
+    def acgt(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    pairs = []
+    for _ in range(700):
+        m = rng.randint(1, 500)
+        n = rng.randint(m, 512)
+        p = (acgt(m), acgt(n))
+        pairs.append(p if rng.random() < 0.5 else (p[1], p[0]))
+    pairs.append((acgt(7), acgt(7)))  # tie -> pattern = x
+    old = os.environ.get("OTTER_TPU_NATIVE_PACK")
+    os.environ["OTTER_TPU_NATIVE_PACK"] = "0"
+    try:
+        ref = mp.pack_for_pallas(pairs, 16, 512, batch_pad=1024)
+    finally:
+        if old is None:
+            del os.environ["OTTER_TPU_NATIVE_PACK"]
+        else:
+            os.environ["OTTER_TPU_NATIVE_PACK"] = old
+    nat = myers_pack_planes(pairs, 16, 512, pad_to=1024)
+    assert ref[5] == nat[5]
+    for i in range(5):
+        assert ref[i].shape == nat[i].shape
+        assert (ref[i] == nat[i]).all()
