@@ -349,6 +349,13 @@ class EditDistanceEngine:
         indices that still need the banded path."""
         if self.mode != "pallas":
             return todo
+        pending, rest = self._myers_dispatch(pairs, todo, out)
+        return rest + self._myers_collect(pending, out)
+
+    def _myers_dispatch(self, pairs, todo, out):
+        """Route + dispatch phase: every eligible bucket goes out
+        asynchronously (the device/tunnel executes in the background).
+        Returns (pending, rest); finish with _myers_collect."""
         from .myers import is_acgt
 
         eligible: dict = {}
@@ -421,6 +428,12 @@ class EditDistanceEngine:
                     rest.extend(chunk)
                     continue
                 pending.append((chunk, len(sub), nw, tl, dev))
+        return pending, rest
+
+    def _myers_collect(self, pending, out) -> List[int]:
+        """One host materialization of every pending Myers chunk; returns
+        the indices that must fall back to the banded path."""
+        rest: List[int] = []
         if pending:
             # one device-side concat + ONE host materialization: the
             # device->host sync has high fixed latency on tunneled TPUs,
@@ -445,6 +458,13 @@ class EditDistanceEngine:
 
     def distances(self, pairs: List[Tuple[str, str]]) -> np.ndarray:
         """Exact edit distance per pair (equal/empty shortcuts included)."""
+        return self.distances_collect(self.distances_async(pairs))
+
+    def distances_async(self, pairs: List[Tuple[str, str]]):
+        """Dispatch phase of distances(): shortcuts resolve immediately and
+        every Myers-eligible bucket is launched asynchronously, so the
+        device (and the tunnel's H2D/D2H traffic) executes while the caller
+        does host work. Finish with distances_collect(handle)."""
         out = np.zeros(len(pairs), dtype=np.int64)
         todo = []
         for idx, (x, y) in enumerate(pairs):
@@ -454,11 +474,24 @@ class EditDistanceEngine:
                 out[idx] = max(len(x), len(y))
             else:
                 todo.append(idx)
-        if not todo:
-            return out
-        if self.mode == "native" and self._native_distances(pairs, todo, out):
-            return out
-        todo = self._myers_route(pairs, todo, out)
+        if not todo or self.mode != "pallas":
+            return ("sync", pairs, todo, out)
+        pending, rest = self._myers_dispatch(pairs, todo, out)
+        return ("live", pairs, pending, rest, out)
+
+    def distances_collect(self, handle) -> np.ndarray:
+        """Materialize a distances_async handle into the (B,) result."""
+        if handle[0] == "sync":
+            _t, pairs, todo, out = handle
+            if not todo:
+                return out
+            if (self.mode == "native"
+                    and self._native_distances(pairs, todo, out)):
+                return out
+            todo = self._myers_route(pairs, todo, out)
+        else:
+            _t, pairs, pending, rest, out = handle
+            todo = rest + self._myers_collect(pending, out)
         if not todo:
             return out
         maxlen = max(max(len(pairs[i][0]), len(pairs[i][1])) for i in todo)

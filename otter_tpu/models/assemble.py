@@ -226,6 +226,16 @@ def process_region_batch(params: OtterOpts, batch: List[RegionWork],
                          dist_backend, out: TextIO, pool=None) -> None:
     """Merge many regions' pair workloads into one device dispatch, then
     finish each region in order."""
+    staged = _dispatch_batch(params, batch, dist_backend)
+    _finish_batch(params, staged, dist_backend, out, pool=pool)
+
+
+def _dispatch_batch(params: OtterOpts, batch: List[RegionWork],
+                    dist_backend):
+    """Pool every region's pair workload and launch it asynchronously;
+    returns a staged handle for _finish_batch. While the caller finishes a
+    previous batch on the host, the device (and tunnel traffic) runs this
+    one's distance matrices in the background."""
     all_pairs = []
     spans = []  # (work, coords, start_index)
     for work in batch:
@@ -236,8 +246,20 @@ def process_region_batch(params: OtterOpts, batch: List[RegionWork],
         spans.append((work, coords, len(all_pairs)))
         all_pairs.extend(pairs)
     with metrics.phase("device_dispatch"):
-        dists = dist_backend.engine.distances(all_pairs) if all_pairs else []
+        handle = (dist_backend.engine.distances_async(all_pairs)
+                  if all_pairs else None)
     metrics.add("pair_alignments", len(all_pairs))
+    return spans, all_pairs, handle
+
+
+def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
+                  pool=None) -> None:
+    """Collect a _dispatch_batch handle and run the host half (cluster,
+    reassignment, consensus, emission) for its regions in order."""
+    spans, all_pairs, handle = staged
+    with metrics.phase("device_dispatch"):
+        dists = (dist_backend.engine.distances_collect(handle)
+                 if handle is not None else [])
     from ..ops.consensus import consensus_apply_batched
 
     matrices = []
@@ -466,12 +488,23 @@ def _assemble_batched(params: OtterOpts, bam_path: str,
                 if work is not None:
                     pending.append(work)
             if len(pending) >= DEFAULT_REGION_BATCH:
-                process_region_batch(params, pending, dist_backend, out,
-                                     pool=pool)
+                # two-stage pipeline: launch this batch's pooled distance
+                # work, then finish the PREVIOUS batch on the host while
+                # the device/tunnel chews on this one. Emission stays in
+                # BED order (finish order == dispatch order).
+                staged = _dispatch_batch(params, pending, dist_backend)
+                if in_flight is not None:
+                    _finish_batch(params, in_flight, dist_backend, out,
+                                  pool=pool)
+                in_flight = staged
                 pending = []
         if pending:
-            process_region_batch(params, pending, dist_backend, out,
-                                 pool=pool)
+            staged = _dispatch_batch(params, pending, dist_backend)
+            if in_flight is not None:
+                _finish_batch(params, in_flight, dist_backend, out, pool=pool)
+            in_flight = staged
+        if in_flight is not None:
+            _finish_batch(params, in_flight, dist_backend, out, pool=pool)
     finally:
         if executor is not None:
             executor.shutdown(wait=True)

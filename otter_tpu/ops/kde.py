@@ -50,32 +50,49 @@ def kde_densities_batched(value_lists, bandwidths, xs: np.ndarray):
     by_n: dict = {}
     for i, v in enumerate(value_lists):
         by_n.setdefault(len(v), []).append(i)
+    # cap the transient z buffer at ~1e6 doubles per slice: the elementwise
+    # passes (sub/div/square/exp/scale) then stay cache-resident instead of
+    # streaming a hundreds-of-MB temp through memory for every pass
+    tasks = []
     for n, idxs in by_n.items():
-        # cap the transient z buffer at ~1e6 doubles per slice: the
-        # elementwise passes (sub/div/square/exp/scale) then stay
-        # cache-resident instead of streaming a hundreds-of-MB temp
-        # through HBM-of-the-CPU for every pass
         step = max(1, int(1e6 / max(1, 401 * n)))
         for c0 in range(0, len(idxs), step):
-            sl = idxs[c0 : c0 + step]
-            V = np.asarray([value_lists[i] for i in sl], dtype=np.float64)
-            H = np.asarray([bandwidths[i] for i in sl],
-                           dtype=np.float64)[:, None, None]
-            # in-place chain; every op is the same float64 op as the
-            # per-region oracle ((x-v)/h, square, halve+negate, exp,
-            # *1/sqrt(2pi), row-sum, /(h*n)) so results stay bit-identical
-            z = xs[None, :, None] - V[:, None, :]
-            z /= H
-            z *= z
-            z /= -2.0
-            np.exp(z, out=z)
-            z *= _INV_SQRT_2PI
-            dens = np.sum(z, axis=2)
-            dens /= H[:, :, 0] * n
-            total = np.sum(dens, axis=1, keepdims=True)
-            dens = dens / total
-            for r, i in enumerate(sl):
-                out[i] = dens[r]
+            tasks.append((n, idxs[c0 : c0 + step]))
+
+    def _run(task):
+        n, sl = task
+        V = np.asarray([value_lists[i] for i in sl], dtype=np.float64)
+        H = np.asarray([bandwidths[i] for i in sl],
+                       dtype=np.float64)[:, None, None]
+        # in-place chain; every op is the same float64 op as the
+        # per-region oracle ((x-v)/h, square, halve+negate, exp,
+        # *1/sqrt(2pi), row-sum, /(h*n)) so results stay bit-identical
+        z = xs[None, :, None] - V[:, None, :]
+        z /= H
+        z *= z
+        z /= -2.0
+        np.exp(z, out=z)
+        z *= _INV_SQRT_2PI
+        dens = np.sum(z, axis=2)
+        dens /= H[:, :, 0] * n
+        total = np.sum(dens, axis=1, keepdims=True)
+        dens = dens / total
+        for r, i in enumerate(sl):
+            out[i] = dens[r]
+
+    # slices are independent and write disjoint out slots; numpy's ufunc
+    # inner loops release the GIL, so a thread pool scales with cores
+    # while keeping results bit-identical to the sequential run
+    if len(tasks) > 1:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, os.cpu_count() or 1,
+                                    len(tasks))) as ex:
+            list(ex.map(_run, tasks))
+    else:
+        for t in tasks:
+            _run(t)
     return out
 
 
