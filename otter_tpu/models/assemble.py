@@ -469,6 +469,7 @@ def _assemble_batched(params: OtterOpts, bam_path: str,
         executor = ThreadPoolExecutor(max_workers=n_prep)
     try:
         pending: List[RegionWork] = []
+        in_flight = None
         for c0 in range(0, len(bed_regions), DEFAULT_REGION_BATCH):
             chunk = bed_regions[c0 : c0 + DEFAULT_REGION_BATCH]
             with metrics.phase("host_io"):
