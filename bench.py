@@ -88,6 +88,33 @@ def bench_cpu_single(pairs):
     return cells / dt, dists
 
 
+def bench_regions():
+    """North-star e2e metric (BASELINE.json): assemble regions/sec on a
+    synthetic multi-region workload, device path vs the host-python oracle
+    (byte-identical outputs asserted). Tunnel-tolerant: small workload,
+    soft-fails to None fields rather than hanging the driver bench."""
+    import tempfile
+
+    from bench_e2e import build_fixture, run
+
+    n_regions = int(os.environ.get("BENCH_REGIONS", "64"))
+    with tempfile.TemporaryDirectory() as tmp:
+        bam, bed = build_fixture(tmp, n_regions=n_regions)
+        run("auto", bam, bed)  # warmup (compiles every bucket shape)
+        best = None
+        for _ in range(2):
+            dt, out_text = run("auto", bam, bed)
+            if best is None or dt < best[0]:
+                best = (dt, out_text)
+        dt, out_text = best
+        dt_host, out_host = run("host", bam, bed)
+        return {
+            "regions_per_sec": round(n_regions / dt, 2),
+            "regions_vs_host_oracle": round(dt_host / dt, 2),
+            "regions_outputs_identical": out_text == out_host,
+        }
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from otter_tpu.utils.preflight import wait_for_device
@@ -98,14 +125,15 @@ def main():
         os.environ["PALLAS_AXON_POOL_IPS"] = ""
         os.environ["JAX_PLATFORMS"] = "cpu"
     rng = random.Random(20260817)
-    pairs = make_workload(rng, n_pairs=8192, length=1024)
+    n_pairs = int(os.environ.get("BENCH_PAIRS", "8192"))
+    pairs = make_workload(rng, n_pairs=n_pairs, length=1024)
     tpu_rate, tpu_d, plat, pairs_rate = bench_tpu(pairs)
     # CPU baseline on a subsample (same distribution), single core
     cpu_pairs = pairs[:256]
     cpu_rate, cpu_d = bench_cpu_single(cpu_pairs)
     assert np.array_equal(tpu_d[:256], cpu_d), "TPU/CPU distance mismatch"
     baseline = cpu_rate * 32.0  # reference's max-thread ceiling
-    print(json.dumps({
+    result = {
         "metric": "edit_dp_cell_updates_per_sec",
         "value": round(tpu_rate, 1),
         "unit": "cells/s",
@@ -113,7 +141,12 @@ def main():
         "platform": plat,
         "cpu_1core_cells_per_sec": round(cpu_rate, 1),
         "pair_alignments_per_sec": round(pairs_rate, 1),
-    }))
+    }
+    try:
+        result.update(bench_regions())
+    except Exception as e:  # never let the e2e leg kill the kernel bench
+        result["regions_error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -5,7 +5,8 @@ Parity with reference src/ankde.cpp: kernel (1/sqrt(2 pi)) exp(-x^2/2)
 ``maximas`` alternating peak/valley detection over windowed sums (:25-62).
 
 Host path runs in float64 for bit-parity with the C++ double math; the
-device path (kernels/kde_device.py) batches the grid evaluation on TPU.
+device path (parallel/mesh.py::kde_batch_step) batches the grid evaluation
+on TPU, pooled across a region batch and dp-sharded over the mesh.
 """
 
 from __future__ import annotations
