@@ -339,11 +339,12 @@ def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
 
     use_device routes eligible jobs through the Pallas on-device-traceback
     kernel (kernels/affine_pallas.py::affine_cigars_device_tb): the DP bits
-    stay in VMEM and only ~(m+n) op bytes per member cross device->host
-    (5x the backpointer-output variant through the dev tunnel). Still
-    opt-in (OTTER_TPU_AFFINE_DEVICE=1 or explicit flag): the multithreaded
-    native C++ engine wins on many-core hosts; the device path wins where
-    host cores are scarce or the TPU is directly attached.
+    stay in VMEM, the traceback walk runs member-parallel on device, and
+    only ~hundreds of packed op bytes per member cross device->host. The
+    kernel buckets jobs by band (k=63/127) and pattern rows itself; members
+    it reports failed (band/step budget insufficient) re-run on the host
+    ladder below, so exactness is unconditional. OTTER_TPU_AFFINE_DEVICE=0
+    force-disables, =1 force-enables regardless of caller.
 
     dist_hints: per-job exact (ends-free) edit distances e. The affine score
     of the e-edit path costs at most 8e (mismatch 4; a length-L gap 6+2L),
@@ -357,42 +358,23 @@ def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
 
     out: List[str] = [""] * len(jobs)
     remaining_idx = list(range(len(jobs)))
-    if use_device or os.environ.get("OTTER_TPU_AFFINE_DEVICE") == "1":
+    env_affine = os.environ.get("OTTER_TPU_AFFINE_DEVICE", "")
+    if (use_device and env_affine != "0") or env_affine == "1":
         try:
-            from ..kernels.affine_pallas import (
-                GAP_EXT as _GE,
-                GAP_OPEN as _GO,
-                K_DEV,
-                LP_MAX,
-                affine_cigars_device_tb,
-            )
-            eligible = []
-            for idx in remaining_idx:
-                p, t, pb, pe, tb, te = jobs[idx]
-                reach = max(abs(len(t) - len(p)), pb, pe, tb, te)
-                if not (reach + 16 <= K_DEV and 0 < len(p) <= LP_MAX
-                        and 0 < len(t) <= 4096):
-                    continue
-                if dist_hints is not None:
-                    # score >= 2e always (gap-extend 2/edit is the floor),
-                    # so 2e past the band-validity threshold is a certain
-                    # escalation: skip the device round-trip
-                    thr = _GO + _GE * (K_DEV + 1 - reach)
-                    if 2 * int(dist_hints[idx]) >= thr:
-                        continue
-                eligible.append(idx)
-            if eligible:
-                cigs, failed = affine_cigars_device_tb(
-                    [jobs[i] for i in eligible])
-                failed_set = set(failed)
-                done = set()
-                for bi, idx in enumerate(eligible):
-                    if bi not in failed_set:
-                        out[idx] = cigs[bi]
-                        done.add(idx)
-                remaining_idx = [i for i in remaining_idx if i not in done]
+            from ..kernels.affine_pallas import affine_cigars_device_tb
+
+            cigs, failed = affine_cigars_device_tb(jobs,
+                                                   dist_hints=dist_hints)
+            failed_set = set(failed)
+            remaining_idx = []
+            for idx in range(len(jobs)):
+                if idx in failed_set:
+                    remaining_idx.append(idx)
+                else:
+                    out[idx] = cigs[idx]
         except Exception:
-            pass  # device path unavailable: host handles everything
+            remaining_idx = list(range(len(jobs)))
+            out = [""] * len(jobs)
     use_native = os.environ.get("OTTER_TPU_NATIVE_AFFINE", "1") == "1"
     if use_native:
         try:

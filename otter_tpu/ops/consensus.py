@@ -264,6 +264,35 @@ class PoaTask:
             self.allele.seq = "N"
 
 
+_AFFINE_DEVICE_DECISION: Optional[bool] = None
+
+
+def _affine_device_default(engine) -> bool:
+    """Should consensus cigars go through the on-device-traceback kernel?
+
+    OTTER_TPU_AFFINE_DEVICE=1/0 forces. Otherwise: only with a live pallas
+    engine, and only when the device round-trip is direct-attach-fast
+    (<5 ms). Through a network tunnel (tens of ms per dispatch) the
+    multithreaded native C++ ladder wins (measured 2026-08-18: 512-job
+    consensus batch, device 264 ms vs native 170 ms at ~23 ms round-trip);
+    decided once per process."""
+    global _AFFINE_DEVICE_DECISION
+    env = os.environ.get("OTTER_TPU_AFFINE_DEVICE", "")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    if engine is None or getattr(engine, "mode", "") != "pallas":
+        return False
+    if _AFFINE_DEVICE_DECISION is None:
+        try:
+            from ..utils.preflight import device_roundtrip_ms
+            _AFFINE_DEVICE_DECISION = device_roundtrip_ms() < 5.0
+        except Exception:
+            _AFFINE_DEVICE_DECISION = False
+    return _AFFINE_DEVICE_DECISION
+
+
 def consensus_apply_batched(tasks: List["PoaTask"], engine=None) -> None:
     """Run every task's member alignments as one multi-pattern banded DP
     (ops/align_batch.py), then build each POA.
@@ -271,7 +300,10 @@ def consensus_apply_batched(tasks: List["PoaTask"], engine=None) -> None:
     With a device engine, the exact ends-free edit distance of every job is
     computed first (one cheap Myers dispatch) and used to seed each member's
     affine band near its final size, skipping most of the ladder climb on
-    high-error data. The band-validity check still guarantees exactness."""
+    high-error data. The band-validity check still guarantees exactness.
+    On direct-attached TPUs the cigars themselves come from the on-device
+    traceback kernel (_affine_device_default); band/step-budget failures
+    re-run on the host ladder, so outputs are identical either way."""
     from .align_batch import affine_cigars_multi
 
     flat: List[tuple] = []
@@ -286,7 +318,8 @@ def consensus_apply_batched(tasks: List["PoaTask"], engine=None) -> None:
             dist_hints = engine.ends_free(flat)
         except Exception:
             dist_hints = None
-    cigars = affine_cigars_multi(flat, dist_hints=dist_hints)
+    cigars = affine_cigars_multi(flat, use_device=_affine_device_default(engine),
+                                 dist_hints=dist_hints)
     # native C++ PPOA (byte-identical to the python Ppoa oracle) on the
     # device paths; python remains the host-mode parity oracle
     use_native = (engine is not None

@@ -41,3 +41,22 @@ def wait_for_device(retries: int = 3, timeout_s: float = 90.0,
         if attempt + 1 < retries:
             time.sleep(sleep_s)
     return ""
+
+
+def device_roundtrip_ms(n: int = 3) -> float:
+    """Min dispatch+materialize latency of a trivial device op, in ms.
+
+    Distinguishes a direct-attached accelerator (<1 ms) from a network
+    tunnel (tens of ms); used to decide whether chatty device paths (e.g.
+    per-batch consensus cigar kernels) can beat the host engines."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    x = jnp.zeros((8, 128), dtype=jnp.int32)
+    np.asarray(x + 1)  # warm (compile + first transfer)
+    best = float("inf")
+    for _ in range(max(1, n)):
+        t0 = time.perf_counter()
+        np.asarray(x + 1)
+        best = min(best, (time.perf_counter() - t0) * 1e3)
+    return best

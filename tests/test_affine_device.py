@@ -1,15 +1,15 @@
-"""Device affine-backpointer kernel parity (interpret mode on CPU)."""
+"""Device affine on-device-traceback kernel parity (interpret mode on CPU)."""
 
 import random
 
-import pytest
+import numpy as np
 
-from otter_tpu.kernels.affine_pallas import affine_cigars_device
+from otter_tpu.kernels.affine_pallas import affine_cigars_device_tb
 from otter_tpu.ops.align_batch import affine_cigars_multi
 from otter_tpu.ops.align_np import affine_align_ends_free_cigar
 
 
-def _jobs(rng, n):
+def _jobs(rng, n, lo=60, hi=140):
     def rand_seq(m):
         return "".join(rng.choice("ACGT") for _ in range(m))
 
@@ -29,7 +29,7 @@ def _jobs(rng, n):
 
     jobs = []
     for _ in range(n):
-        p = rand_seq(rng.randrange(60, 140))
+        p = rand_seq(rng.randrange(lo, hi))
         t = mut(p, rng.choice([0.01, 0.06]))
         ld = len(p) - len(t)
         kind = rng.randrange(4)
@@ -44,22 +44,8 @@ def _jobs(rng, n):
     return jobs
 
 
-def test_device_affine_interpret_matches_host():
-    rng = random.Random(14)
-    jobs = _jobs(rng, 10)
-    cigs, failed = affine_cigars_device(jobs, interpret=True)
-    want = [affine_align_ends_free_cigar(j[0], j[1], *j[2:]) for j in jobs]
-    for i in range(len(jobs)):
-        if i not in failed:
-            assert cigs[i] == want[i], i
-    # escalated members are the high-divergence ones only
-    assert len(failed) < len(jobs)
-
-
 def test_device_affine_tb_interpret_matches_host():
-    """On-device-traceback variant: identical cigars to the host path."""
-    from otter_tpu.kernels.affine_pallas import affine_cigars_device_tb
-
+    """On-device-traceback kernel: identical cigars to the host path."""
     rng = random.Random(14)
     jobs = _jobs(rng, 10)
     cigs, failed = affine_cigars_device_tb(jobs, interpret=True)
@@ -67,17 +53,13 @@ def test_device_affine_tb_interpret_matches_host():
     for i in range(len(jobs)):
         if i not in failed:
             assert cigs[i] == want[i], i
+    # k=127 wide band picks up what k=63 can't; few true escalations remain
     assert len(failed) < len(jobs)
-    # the two device variants agree on failures (same band, same scores)
-    _cigs_bits, failed_bits = affine_cigars_device(jobs, interpret=True)
-    assert failed == failed_bits
 
 
 def test_device_affine_tb_long_pattern_interpret():
     """>128-row patterns cross bits-scratch chunk boundaries; exactness must
     hold (walk reads rows written by different outer-loop chunks)."""
-    from otter_tpu.kernels.affine_pallas import affine_cigars_device_tb
-
     rng = random.Random(77)
     jobs = _jobs(rng, 2)
     p = "".join(rng.choice("ACGT") for _ in range(300))
@@ -91,6 +73,23 @@ def test_device_affine_tb_long_pattern_interpret():
         if i not in failed:
             assert cigs[i] == want[i], i
     assert len(jobs) - 1 not in failed
+
+
+def test_device_affine_tb_dist_hints_route_bands():
+    """dist_hints send low-error jobs to k=63 and high-error jobs to k=127
+    without changing results."""
+    from otter_tpu.ops.align_np import edit_distance_ends_free
+
+    rng = random.Random(31)
+    jobs = _jobs(rng, 8, lo=100, hi=200)
+    hints = np.array([edit_distance_ends_free(j[0], j[1], *j[2:])
+                      for j in jobs])
+    cigs, failed = affine_cigars_device_tb(jobs, interpret=True,
+                                           dist_hints=hints)
+    want = [affine_align_ends_free_cigar(j[0], j[1], *j[2:]) for j in jobs]
+    for i in range(len(jobs)):
+        if i not in failed:
+            assert cigs[i] == want[i], i
 
 
 def test_multi_with_device_flag_falls_back_cleanly():
