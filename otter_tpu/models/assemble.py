@@ -290,10 +290,13 @@ def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
             emit_region(params, work, clustmsg, alleles, out)
         return
 
-    # Per-region KDE densities, pooled across the batch. Default: bucketed
-    # host float64 (byte-identical to the per-region oracle). Opt-in
-    # OTTER_TPU_MESH_KDE=1: one device kde_batch_step call, dp-sharded over
-    # the attached mesh when >1 chip (float32 — see PARITY.md divergences).
+    # Per-region KDE densities, pooled across the batch. With a pallas
+    # engine the tree-reduction device KDE runs by default for large pooled
+    # workloads; every region's decision margins are then CERTIFIED against
+    # the modeled f32 error bound and uncertain regions are recomputed with
+    # the float64 host oracle, so clustering output is byte-identical either
+    # way (ops/kde.py::kde_decision_certified). OTTER_TPU_MESH_KDE=1 forces
+    # the device path, =0 forces host.
     region_dens: dict = {}
     kde_regions = []  # (span_index, values, bandwidth)
     for si, ((work, _c, _s), dm) in enumerate(zip(spans, matrices)):
@@ -305,20 +308,44 @@ def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
                 bw = params.bandwidth_long
                 break
         kde_regions.append((si, dm.values, bw))
-    if kde_regions and os.environ.get("OTTER_TPU_MESH_KDE") == "1":
-        with metrics.phase("device_dispatch"):
-            from ..parallel.mesh import pooled_kde_densities
+    env_kde = os.environ.get("OTTER_TPU_MESH_KDE", "")
+    use_device_kde = False
+    if kde_regions and dist_backend is not None:
+        if env_kde == "1":
+            use_device_kde = True
+        elif env_kde != "0" and \
+                getattr(dist_backend.engine, "mode", "") == "pallas":
+            # device pays one dispatch round-trip; worth it once the pooled
+            # kernel-eval count is large (big regions or many of them)
+            total_vals = sum(len(v) for _si, v, _b in kde_regions)
+            use_device_kde = total_vals * 401 >= 2_000_000
+    if kde_regions and use_device_kde:
+        from ..ops.kde import (kde_decision_certified, kde_densities_batched,
+                               kde_grid)
 
-            norm_pool = [np.asarray(v, dtype=np.float32)
-                         for _si, v, _b in kde_regions]
-            rid_pool = [np.full(len(v), r, dtype=np.int32)
-                        for r, v in enumerate(norm_pool)]
-            dens = pooled_kde_densities(
-                np.concatenate(norm_pool), np.concatenate(rid_pool),
-                np.asarray([b for _si, _v, b in kde_regions],
-                           dtype=np.float32), len(kde_regions))
-        region_dens = {si: dens[r]
-                       for r, (si, _v, _b) in enumerate(kde_regions)}
+        with metrics.phase("device_dispatch"):
+            from ..parallel.mesh import pooled_kde_densities_tree
+
+            dens_list = pooled_kde_densities_tree(
+                [v for _si, v, _b in kde_regions],
+                [b for _si, _v, b in kde_regions])
+        with metrics.phase("cluster_consensus"):
+            radius = max(1, int(params.max_error / 0.0025))
+            fallback = []
+            for r, (si, v, b) in enumerate(kde_regions):
+                if kde_decision_certified(dens_list[r], v, b, radius):
+                    region_dens[si] = dens_list[r]
+                else:
+                    fallback.append(r)
+            if fallback:
+                f64 = kde_densities_batched(
+                    [kde_regions[r][1] for r in fallback],
+                    [kde_regions[r][2] for r in fallback], kde_grid(0.0025))
+                for r, d in zip(fallback, f64):
+                    region_dens[kde_regions[r][0]] = d
+        metrics.add("kde_device_regions",
+                    len(kde_regions) - len(fallback))
+        metrics.add("kde_f64_fallback_regions", len(fallback))
     elif kde_regions:
         with metrics.phase("cluster_consensus"):
             from ..ops.kde import kde_densities_batched, kde_grid

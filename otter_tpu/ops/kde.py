@@ -5,8 +5,9 @@ Parity with reference src/ankde.cpp: kernel (1/sqrt(2 pi)) exp(-x^2/2)
 ``maximas`` alternating peak/valley detection over windowed sums (:25-62).
 
 Host path runs in float64 for bit-parity with the C++ double math; the
-device path (parallel/mesh.py::kde_batch_step) batches the grid evaluation
-on TPU, pooled across a region batch and dp-sharded over the mesh.
+device path (parallel/mesh.py::kde_tree_step) batches the grid evaluation
+on TPU with a deterministic tree reduction, region-sharded over the mesh,
+and kde_decision_certified (below) guarantees byte-identical decisions.
 """
 
 from __future__ import annotations
@@ -97,19 +98,10 @@ def kde_densities_batched(value_lists, bandwidths, xs: np.ndarray):
     return out
 
 
-def kde_maximas(radius: int, densities: np.ndarray
-                ) -> Tuple[List[Tuple[int, float]], List[Tuple[int, float]]]:
-    """Alternating maxima/minima of windowed density sums (ankde.cpp:25-62).
-
-    The window at i sums densities[i-j] and densities[i+j] for j in
-    [1, radius) (clamped to the array), plus densities[i] itself.
-    """
-    maxs: List[Tuple[int, float]] = []
-    mins: List[Tuple[int, float]] = []
-    n = len(densities)
-    # windowed sums vectorized over i, adding terms in EXACTLY the
-    # reference's order (d[i], then d[i-1]..d[i-r+1], then d[i+1]..d[i+r-1])
-    # so float64 accumulation is bit-identical (ankde.cpp:31-44)
+def _windowed_sums(densities: np.ndarray, radius: int) -> np.ndarray:
+    """Windowed sums at every grid cell, adding terms in EXACTLY the
+    reference's order (d[i], then d[i-1]..d[i-r+1], then d[i+1]..d[i+r-1])
+    so float64 accumulation is bit-identical (ankde.cpp:31-44)."""
     d = np.asarray(densities, dtype=np.float64)
     sums = d.copy()
     for j in range(1, radius):
@@ -120,6 +112,20 @@ def kde_maximas(radius: int, densities: np.ndarray
         shifted = np.zeros_like(d)
         shifted[:-j] = d[j:]
         sums += shifted
+    return sums
+
+
+def kde_maximas(radius: int, densities: np.ndarray
+                ) -> Tuple[List[Tuple[int, float]], List[Tuple[int, float]]]:
+    """Alternating maxima/minima of windowed density sums (ankde.cpp:25-62).
+
+    The window at i sums densities[i-j] and densities[i+j] for j in
+    [1, radius) (clamped to the array), plus densities[i] itself.
+    """
+    maxs: List[Tuple[int, float]] = []
+    mins: List[Tuple[int, float]] = []
+    n = len(densities)
+    sums = _windowed_sums(densities, radius)
     find_maxima = True
     last_sum = 0.0
     last_sum_i = 1
@@ -138,3 +144,76 @@ def kde_maximas(radius: int, densities: np.ndarray
     if find_maxima:
         maxs.append((last_sum_i, last_sum))
     return maxs, mins
+
+
+# -- float32 device-KDE certification -----------------------------------------
+#
+# The clustering decision (ops/cluster.py::otter_find_clustering_dist)
+# consumes ONLY (a) the alternating-extrema scan over adjacent windowed-sum
+# comparisons and (b) peak-density comparisons against the 0.01 near-tie
+# thresholds. Its output (DecisionBound) is built purely from extrema
+# INDICES, so if every one of those comparisons provably decides the same
+# way for the device float32 densities as for the float64 oracle, the final
+# clustering output is byte-identical. kde_decision_certified checks every
+# comparison's margin against a modeled f32 error bound; uncertain regions
+# are recomputed with the float64 oracle by the caller.
+
+# Relative per-cell error model for parallel/mesh.py::kde_tree_step:
+# deterministic binary-tree pair reduction (<= log2(n_pad)+2 adds, ~1e-6),
+# f32 exp/rounding of (x-v)/h terms (z*delta_z <= ~16 * 1.2e-5 for the
+# terms that can dominate a positive cell), normalization divide. 2e-4 is
+# >5x the worst modeled case.
+_F32_REL_ERR = 2e-4
+
+
+def kde_decision_certified(dens_f32: np.ndarray, values: np.ndarray,
+                           bandwidth: float, radius: int,
+                           rel: float = _F32_REL_ERR) -> bool:
+    """True iff the float32 density grid provably yields the same clustering
+    decision as the float64 oracle (see module comment above)."""
+    d = np.asarray(dens_f32, dtype=np.float64)
+    n = len(d)
+    xs = kde_grid(0.0025)[:n]
+    # Sub-threshold cells (f32 underflow/denormal fringe — f64 may still be
+    # positive there, so value comparisons are meaningless) are safe ONLY in
+    # a provably monotone tail: all data strictly beyond the windows on one
+    # side makes every windowed-sum term strictly monotone in f64 (no scan
+    # event possible), and we separately require the f32 sums not to wobble
+    # there. A sub-threshold cell BETWEEN data clusters (a deep valley) is
+    # uncertifiable: the f64 scan could place the valley minimum anywhere in
+    # the dead zone.
+    sub = d < 1e-35
+    vmin = float(np.min(values)) if len(values) else 0.0
+    vmax = float(np.max(values)) if len(values) else 0.0
+    span = radius * 0.0025
+    right_tail = xs - span > vmax
+    left_tail = xs + span < vmin
+    if np.any(sub & ~(right_tail | left_tail)):
+        return False
+    sums = _windowed_sums(d, radius)
+    # every comparison of the alternating scan is between adjacent windowed
+    # sums (plus the initial compare against 0.0, safe for any s >= 0);
+    # pairs touching a sub-threshold cell instead require the f32 sums to
+    # follow the provable f64 direction (non-increasing on the right tail,
+    # non-decreasing on the left) so neither precision records an event
+    a = sums[1 : n - 2]
+    b = sums[2 : n - 1]
+    pair_sub = sub[1 : n - 2] | sub[2 : n - 1]
+    gap = np.abs(b - a)
+    scale = a + b
+    margin_ok = (gap > rel * scale) | (scale == 0.0)
+    dir_ok = np.where(right_tail[2 : n - 1], b <= a,
+                      np.where(left_tail[1 : n - 2], b >= a, False))
+    if not np.all(np.where(pair_sub, dir_ok, margin_ok)):
+        return False
+    # >2 peaks: the insertion sort and the adjacent-peak merge compare peak
+    # windowed sums against the 0.01 near-tie threshold (cluster.py)
+    maxs, _mins = kde_maximas(radius, d)
+    if len(maxs) > 2:
+        vals = np.asarray([v for _i, v in maxs], dtype=np.float64)
+        diff = np.abs(vals[:, None] - vals[None, :])
+        tol = rel * (vals[:, None] + vals[None, :])
+        iu = np.triu_indices(len(vals), k=1)
+        if np.any(np.abs(diff[iu] - 0.01) <= tol[iu]):
+            return False
+    return True

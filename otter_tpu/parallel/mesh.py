@@ -73,56 +73,75 @@ def region_batch_step(a: jnp.ndarray, bpad: jnp.ndarray, m: jnp.ndarray,
     return dists, dens
 
 
-@functools.partial(jax.jit, static_argnames=("n_regions", "grid_pts"))
-def kde_batch_step(norm: jnp.ndarray, region_id: jnp.ndarray,
-                   pair_valid: jnp.ndarray, bandwidth: jnp.ndarray,
-                   n_regions: int, grid_pts: int) -> jnp.ndarray:
-    """Per-region KDE densities from a pooled, pre-normalized distance batch
-    (the KDE tail of region_batch_step; distances come from the exact Myers
-    engine). Pair axis shardable over the dp mesh — the segment-sum becomes
-    a psum across chips. float32 (device) vs the host oracle's float64: an
-    opt-in fast path (OTTER_TPU_MESH_KDE=1), see PARITY.md divergences."""
-    xs = jnp.linspace(0.0, 1.0, grid_pts, dtype=jnp.float32)
-    h = bandwidth[region_id][:, None]
-    z = (xs[None, :] - norm[:, None]) / h
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def kde_tree_step(vals: jnp.ndarray, nvals: jnp.ndarray, bw: jnp.ndarray,
+                  xs: jnp.ndarray, n_pad: int) -> jnp.ndarray:
+    """Per-region KDE densities with a DETERMINISTIC binary-tree pair
+    reduction: error vs float64 is bounded by ~(log2(n_pad)+2)*eps32 per
+    cell plus the f32 exp term error, independent of XLA reduction order
+    and of the mesh size (regions shard, pairs never split across chips).
+    The host certifies every downstream decision margin against this bound
+    (ops/kde.py::kde_decision_certified) and recomputes uncertain regions
+    in float64, so clustering output is byte-identical to the host oracle.
+
+    vals:(R, n_pad) padded pairwise distances; nvals:(R,) real counts;
+    bw:(R,) bandwidths; xs:(grid_pts,) f32 cast of the reference's f64
+    accumulated grid -> (R, grid_pts) normalized f32 densities."""
+    h = bw[:, None, None]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_pad), 2)
+    mask = lane < nvals[:, None, None]
+    z = (xs[None, :, None] - vals[:, None, :]) / h
     kern = (_INV_SQRT_2PI / h) * jnp.exp(-(z * z) / 2.0)
-    kern = jnp.where(pair_valid[:, None], kern, 0.0)
-    dens = jax.ops.segment_sum(kern, region_id, num_segments=n_regions)
-    counts = jax.ops.segment_sum(pair_valid.astype(jnp.float32), region_id,
-                                 num_segments=n_regions)
-    dens = dens / jnp.maximum(counts, 1.0)[:, None]
+    kern = jnp.where(mask, kern, 0.0)
+    w = n_pad
+    while w > 1:
+        kern = kern[..., : w // 2] + kern[..., w // 2 : w]
+        w //= 2
+    dens = kern[..., 0] / (bw[:, None] * nvals[:, None].astype(jnp.float32))
     total = jnp.sum(dens, axis=1, keepdims=True)
     return dens / jnp.maximum(total, 1e-30)
 
 
-def pooled_kde_densities(norm: np.ndarray, region_id: np.ndarray,
-                         bandwidth: np.ndarray, n_regions: int,
-                         grid_pts: int = 401) -> np.ndarray:
-    """Run kde_batch_step over all available devices (mesh of 1 on a single
-    chip; dp-sharded when more are attached). Pads the pair axis to the
-    device count. Returns (n_regions, grid_pts) float32 densities."""
+def pooled_kde_densities_tree(value_lists, bandwidths,
+                              dinterval: float = 0.0025) -> list:
+    """Tree-reduction device KDE over many regions, bucketed by padded pair
+    count (few compile shapes), region axis sharded over the attached mesh.
+    Returns per-region (grid_pts,) float32 densities."""
+    from ..ops.kde import kde_grid
+
+    xs32 = kde_grid(dinterval).astype(np.float32)
+    out = [None] * len(value_lists)
+    buckets: dict = {}
+    for i, v in enumerate(value_lists):
+        n_pad = 8
+        while n_pad < len(v):
+            n_pad *= 2
+        buckets.setdefault(n_pad, []).append(i)
     devs = jax.devices()
-    B = len(norm)
-    Bp = ((B + len(devs) - 1) // len(devs)) * len(devs)
-    npad = np.zeros(Bp, dtype=np.float32)
-    npad[:B] = norm
-    rid = np.zeros(Bp, dtype=np.int32)
-    rid[:B] = region_id
-    pv = np.zeros(Bp, dtype=bool)
-    pv[:B] = True
-    if len(devs) > 1:
-        mesh = make_mesh()
-        n_s, rid_s, pv_s = shard_pair_batch(mesh, [npad, rid, pv])
-        bw = jax.device_put(jnp.asarray(bandwidth, jnp.float32),
-                            NamedSharding(mesh, P()))
-        with mesh:
-            dens = kde_batch_step(n_s, rid_s, pv_s, bw, n_regions, grid_pts)
-    else:
-        dens = kde_batch_step(jnp.asarray(npad), jnp.asarray(rid),
-                              jnp.asarray(pv),
-                              jnp.asarray(bandwidth, jnp.float32),
-                              n_regions, grid_pts)
-    return np.asarray(dens)
+    for n_pad, idxs in sorted(buckets.items()):
+        R = len(idxs)
+        Rp = ((R + len(devs) - 1) // len(devs)) * len(devs)
+        V = np.zeros((Rp, n_pad), dtype=np.float32)
+        nv = np.ones(Rp, dtype=np.int32)
+        bwv = np.full(Rp, 0.01, dtype=np.float32)
+        for r, i in enumerate(idxs):
+            v = np.asarray(value_lists[i], dtype=np.float32)
+            V[r, : len(v)] = v
+            nv[r] = len(v)
+            bwv[r] = bandwidths[i]
+        if len(devs) > 1:
+            mesh = make_mesh()
+            V_s, nv_s, bw_s = shard_pair_batch(mesh, [V, nv, bwv])
+            xs_d = jax.device_put(jnp.asarray(xs32), NamedSharding(mesh, P()))
+            with mesh:
+                dens = kde_tree_step(V_s, nv_s, bw_s, xs_d, n_pad)
+        else:
+            dens = kde_tree_step(jnp.asarray(V), jnp.asarray(nv),
+                                 jnp.asarray(bwv), jnp.asarray(xs32), n_pad)
+        dens = np.asarray(dens)
+        for r, i in enumerate(idxs):
+            out[i] = dens[r]
+    return out
 
 
 def shard_pair_batch(mesh: Mesh, arrays, axis: str = "dp"):

@@ -1,0 +1,96 @@
+"""Certified float32 device KDE: certified regions must reproduce the
+float64 oracle's clustering decision exactly; known-divergent shapes must
+fail certification."""
+
+import random
+
+import numpy as np
+
+from otter_tpu.ops.cluster import otter_find_clustering_dist
+from otter_tpu.ops.distmat import DistMatrix
+from otter_tpu.ops.kde import (kde_decision_certified, kde_densities,
+                               kde_grid)
+
+
+def _tree_f32_density(values, bandwidth):
+    """Host replica of parallel/mesh.py::kde_tree_step (float32 math,
+    binary-tree pair fold, f32 cast of the f64 grid)."""
+    xs = kde_grid(0.0025).astype(np.float32)
+    v = np.asarray(values, dtype=np.float32)
+    n_pad = 8
+    while n_pad < len(v):
+        n_pad *= 2
+    V = np.zeros(n_pad, dtype=np.float32)
+    V[: len(v)] = v
+    h = np.float32(bandwidth)
+    z = (xs[:, None] - V[None, :]) / h
+    kern = (np.float32(1.0 / np.sqrt(2.0 * np.pi)) / h) \
+        * np.exp(-(z * z) / np.float32(2.0))
+    kern[:, len(v):] = 0.0
+    w = n_pad
+    while w > 1:
+        kern = kern[:, : w // 2] + kern[:, w // 2 : w]
+        w //= 2
+    dens = kern[:, 0] / (h * np.float32(len(v)))
+    total = np.sum(dens, dtype=np.float32)
+    return (dens / total).astype(np.float32)
+
+
+def _decision(values, densities, radius=4, bandwidth=0.01):
+    dm = DistMatrix(2)
+    dm.values = list(values)
+    db = otter_find_clustering_dist(radius, 0.0025, bandwidth, dm,
+                                    densities=densities)
+    return (db.dist0, db.dist1, db.cut0)
+
+
+def test_certified_regions_match_oracle():
+    rng = random.Random(3)
+    xs = kde_grid(0.0025)
+    n_cert = 0
+    for trial in range(60):
+        kind = trial % 3
+        if kind == 0:      # unimodal (hom region)
+            vals = [abs(rng.gauss(0.01, 0.004)) for _ in range(66)]
+        elif kind == 1:    # bimodal, close peaks
+            vals = ([abs(rng.gauss(0.01, 0.004)) for _ in range(30)]
+                    + [abs(rng.gauss(0.06, 0.01)) for _ in range(36)])
+        else:              # bimodal, wide split (often uncertifiable: f32
+            vals = ([abs(rng.gauss(0.005, 0.002)) for _ in range(20)]
+                    + [abs(rng.gauss(0.45, 0.02)) for _ in range(46)])
+        vals = [min(v, 1.0) for v in vals]
+        f32 = _tree_f32_density(vals, 0.01)
+        certified = kde_decision_certified(f32, vals, 0.01, 4)
+        if certified:
+            n_cert += 1
+            oracle = kde_densities(np.asarray(vals), 0.01, xs)
+            assert _decision(vals, f32) == _decision(vals, oracle), trial
+    # the cert must actually pass on a healthy share of realistic regions
+    assert n_cert >= 20, n_cert
+
+
+def test_underflow_split_fails_certification():
+    """Two far-apart clusters leave grid cells where f32 underflows to zero
+    but f64 stays positive — the scan's minima index would diverge, so the
+    cert must reject."""
+    rng = random.Random(9)
+    vals = ([abs(rng.gauss(0.005, 0.002)) for _ in range(20)]
+            + [abs(rng.gauss(0.5, 0.003)) for _ in range(20)])
+    f32 = _tree_f32_density(vals, 0.01)
+    # cells between the clusters: f32 zero, f64 positive
+    xs = kde_grid(0.0025)
+    mid = (xs > 0.2) & (xs < 0.3)
+    assert np.any(f32[mid] == 0.0)
+    oracle = kde_densities(np.asarray(vals), 0.01, xs)
+    assert np.all(oracle[mid] > 0.0)
+    assert not kde_decision_certified(f32, vals, 0.01, 4)
+
+
+def test_certified_zero_tail_is_accepted():
+    """Exact-zero cells >= 39 bandwidths from every value are zero in both
+    precisions; they must not spoil certification."""
+    rng = random.Random(11)
+    vals = [abs(rng.gauss(0.01, 0.003)) for _ in range(50)]
+    f32 = _tree_f32_density(vals, 0.01)
+    assert np.any(f32 == 0.0)  # far tail underflows in both precisions
+    assert kde_decision_certified(f32, vals, 0.01, 4)

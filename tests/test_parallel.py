@@ -45,10 +45,10 @@ def test_sharded_matches_single_device():
 
 
 def test_mesh_kde_assemble_identical(tmp_path, monkeypatch):
-    """OTTER_TPU_MESH_KDE=1 pools per-region KDE into one device call
-    (dp-sharded over the 8-device CPU mesh); outputs match the host oracle
-    on this fixture (float32 densities — a documented opt-in divergence,
-    but no peak flips on clean data)."""
+    """OTTER_TPU_MESH_KDE=1 pools per-region KDE into tree-reduction device
+    calls (region-sharded over the 8-device CPU mesh); outputs are
+    byte-identical to the host oracle — certified regions use the f32
+    densities, uncertain ones are recomputed in float64."""
     import io
     import random
 
