@@ -54,7 +54,9 @@ class OtterOpts:
     read_group: str = ""
     max_cosdis: float = 0.025
     # TPU execution knobs (no reference analog)
-    device: str = "auto"       # auto|tpu|cpu|host  ("host" = pure numpy path)
+    device: str = "auto"       # auto|tpu|cpu|host|mesh ("host" = pure numpy
+                               # path; "mesh" = jnp dispatches pair-sharded
+                               # over every attached device)
     precise_kde: bool = True   # float64 host KDE for bit-parity
 
     def init_offset(self, tmp: str) -> None:

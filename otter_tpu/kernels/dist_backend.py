@@ -36,11 +36,25 @@ def _platform() -> str:
 class DeviceDistBackend:
     """Batched exact edit distances for region distance matrices."""
 
-    def __init__(self, device: str = "auto"):
+    def __init__(self, device: str = "auto", n_devices: int | None = None):
         plat = _platform()
         if device == "tpu" and plat not in ("tpu", "axon"):
             raise RuntimeError(f"TPU requested but platform is {plat}")
-        if device == "cpu":
+        mesh = None
+        if device == "mesh":
+            # explicit mesh execution: jnp dispatches with the pair axis
+            # sharded over every attached device (works on virtual CPU
+            # meshes too — the multi-chip validation path);
+            # OTTER_TPU_MESH_DEVICES caps the device count
+            import os
+
+            from ..parallel.mesh import make_mesh
+            if n_devices is None:
+                n_devices = int(os.environ.get("OTTER_TPU_MESH_DEVICES",
+                                               "0")) or None
+            mesh = make_mesh(n_devices)
+            mode = "jnp"
+        elif device == "cpu":
             mode = "native"  # threaded C++ banded DP; numpy on build failure
         elif plat in ("tpu", "axon"):
             mode = "pallas"
@@ -52,7 +66,7 @@ class DeviceDistBackend:
                 build_native()
             except Exception:
                 mode = "numpy"
-        self.engine = EditDistanceEngine(mode=mode)
+        self.engine = EditDistanceEngine(mode=mode, mesh=mesh)
 
     # -- assemble hot path ---------------------------------------------------
 

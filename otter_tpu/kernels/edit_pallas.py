@@ -299,7 +299,8 @@ class EditDistanceEngine:
     K_LADDER = (63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383, 32767)
 
     def __init__(self, use_pallas: bool = True, k_start: int = 63,
-                 interpret: bool = False, mode: str | None = None):
+                 interpret: bool = False, mode: str | None = None,
+                 mesh=None):
         # mode: "pallas" | "jnp" | "numpy" (overrides use_pallas when given)
         if mode is None:
             mode = "pallas" if use_pallas else "jnp"
@@ -308,6 +309,11 @@ class EditDistanceEngine:
         self.interpret = interpret
         self.k_start = k_start
         self.cells = 0  # DP cell-update counter for the bench
+        # jax.sharding.Mesh: jnp-mode dispatches shard the pair axis over it
+        # (region data-parallelism across chips; SURVEY §2.3). The banded
+        # recurrence is batch-elementwise, so XLA partitions the scan with
+        # no cross-chip collectives until the host gathers results.
+        self.mesh = mesh
 
     def _run(self, a, bp, mn, k, max_rows) -> np.ndarray:
         if self.mode == "pallas":
@@ -317,9 +323,35 @@ class EditDistanceEngine:
                 interpret=self.interpret, tile_b=tb))
         if self.mode == "numpy":
             return edit_banded_numpy(a, bp, mn[:, 0], mn[:, 1], k, max_rows)
+        if self.mesh is not None:
+            return self._run_jnp_mesh(a, bp, mn, k, max_rows)
         return np.asarray(edit_banded_jnp(
             jnp.asarray(a), jnp.asarray(bp), jnp.asarray(mn[:, 0]),
             jnp.asarray(mn[:, 1]), k, max_rows))
+
+    def _run_jnp_mesh(self, a, bp, mn, k, max_rows) -> np.ndarray:
+        """jnp dispatch with the pair axis sharded over self.mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        nd = self.mesh.devices.size
+        B = a.shape[0]
+        Bp = ((B + nd - 1) // nd) * nd
+        if Bp != B:
+            a = np.concatenate([a, np.zeros((Bp - B, a.shape[1]), a.dtype)])
+            bp = np.concatenate([bp, np.zeros((Bp - B, bp.shape[1]),
+                                              bp.dtype)])
+            mn = np.concatenate([mn, np.ones((Bp - B, mn.shape[1]),
+                                             mn.dtype)])
+        axis = self.mesh.axis_names[0]
+        sh1 = NamedSharding(self.mesh, P(axis))
+        sh2 = NamedSharding(self.mesh, P(axis, None))
+        a_s = jax.device_put(jnp.asarray(a), sh2)
+        bp_s = jax.device_put(jnp.asarray(bp), sh2)
+        m_s = jax.device_put(jnp.asarray(mn[:, 0]), sh1)
+        n_s = jax.device_put(jnp.asarray(mn[:, 1]), sh1)
+        with self.mesh:
+            res = edit_banded_jnp(a_s, bp_s, m_s, n_s, k, max_rows)
+        return np.asarray(res)[:B]
 
     def _native_distances(self, pairs, todo, out) -> bool:
         """Whole-batch native C++ path (mode == 'native'). Returns True when

@@ -543,7 +543,7 @@ def _assemble_batched(params: OtterOpts, bam_path: str,
 
 
 def _make_dist_backend(params: OtterOpts):
-    if params.device in ("tpu", "cpu", "auto"):
+    if params.device in ("tpu", "cpu", "auto", "mesh"):
         try:
             from ..kernels.dist_backend import DeviceDistBackend
             return DeviceDistBackend(params.device)

@@ -26,13 +26,25 @@ from ..utils.timestamp import antimestamp
 
 def maybe_initialize() -> Tuple[int, int]:
     """Initialize jax.distributed when a coordinator is configured; returns
-    (process_index, process_count)."""
+    (process_index, process_count).
+
+    Explicit topology via JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES +
+    JAX_PROCESS_ID (works on any backend, including CPU processes); with
+    only a coordinator address set, jax's own cluster auto-detection
+    (SLURM/TPU pod metadata) fills in the rest."""
     import jax
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-            "COORDINATOR_ADDRESS"):
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS")
+    if addr:
+        kwargs = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs = dict(
+                coordinator_address=addr,
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kwargs)
         except Exception as e:  # already initialized or misconfigured
             sys.stderr.write(
                 f"({antimestamp()}): [WARNING] jax.distributed.initialize: {e}\n")
