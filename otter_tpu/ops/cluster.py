@@ -9,6 +9,7 @@ k-mer-usage allele clustering, and the joint ``anallele_cluster``
 
 from __future__ import annotations
 
+import os
 import sys
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
@@ -281,10 +282,55 @@ def length_dist(x: int, y: int) -> float:
     return dist / y if is_x_smallest else dist / x
 
 
+def _hclust_route(n: int, condensed: np.ndarray, cdist: float
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Average linkage for the cohort paths: device when provably safe.
+
+    The device formulation (ops/hclust_device.py) matches the host NN-chain
+    only on tie-free matrices, and it runs in float32, so it is used only
+    when the result is certain to be byte-identical to the host cut:
+
+      * the condensed matrix has no duplicate values after float32 cast
+        (any float64-distinct pair that collides in f32 is a device tie);
+      * the realized merge heights come back strictly increasing (a
+        duplicate realized height means a derived-average collision the
+        input check cannot see);
+      * no merge height lands within ``tol`` of the cut threshold, where
+        tol covers worst-case f32 averaging drift (so the host's
+        ``height >= cdist`` comparisons cannot flip).
+
+    Any guard failure falls back to the host NN-chain, so outputs are
+    byte-identical either way.  OTTER_TPU_HCLUST_DEVICE=0 disables, =1
+    forces the attempt regardless of size; by default the device is tried
+    only for n >= 64 and only if jax is already live in the process (the
+    genotype cohort path, otterclust.cpp:329-349, reaches here with the
+    engine warm; pure-host runs never touch the backend)."""
+    env = os.environ.get("OTTER_TPU_HCLUST_DEVICE", "")
+    if n < 2 or env == "0":
+        return hclust_average(n, condensed)
+    if env != "1" and (n < 64 or "jax" not in sys.modules):
+        return hclust_average(n, condensed)
+    v32 = np.asarray(condensed, dtype=np.float32)
+    if np.unique(v32).size != v32.size:
+        return hclust_average(n, condensed)
+    try:
+        from .hclust_device import hclust_average_device
+        merge, height = hclust_average_device(
+            np.asarray(condensed, dtype=np.float64), n)
+    except Exception:
+        return hclust_average(n, condensed)
+    h = np.asarray(height, dtype=np.float64)
+    tol = max(1e-4, n * 1e-6) * max(1.0, abs(cdist))
+    if h.size and (np.any(np.diff(h) <= 0.0)
+                   or np.any(np.abs(h - cdist) <= tol)):
+        return hclust_average(n, condensed)
+    return merge, h
+
+
 def cluter_to_e(max_error: float, total_alleles: int,
                 distmatrix: DistMatrix) -> List[List[int]]:
     """hclust + cut at max_error -> clusters as index lists (:329-349)."""
-    merge, height = hclust_average(total_alleles, distmatrix.values)
+    merge, height = _hclust_route(total_alleles, distmatrix.values, max_error)
     labels = cutree_cdist(total_alleles, merge, height, max_error)
     total_clusters = 0
     for l in labels:
