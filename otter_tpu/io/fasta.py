@@ -4,6 +4,13 @@
 *inclusive* coordinates, clamped to the sequence, upper-cased on return
 (src/anfahelper.cpp:8-18 upper-cases each base). Returns "" when out of range
 (the reference leaves the output string empty when ref_l <= 0).
+
+Compressed FASTA is supported through ``io/razf.py``'s container layer:
+RAZF (razip) files get true index-backed random access like the
+reference's razf-built faidx (src/faidx.c:16-31, razf.c); BGZF and plain
+gzip also work (see razf.py's docstring for the capability matrix). All
+.fai offsets are *uncompressed* offsets, as in the reference
+(``razf_tell``, faidx.c:81,105).
 """
 
 from __future__ import annotations
@@ -11,11 +18,13 @@ from __future__ import annotations
 import os
 from typing import Dict, Tuple
 
+from .razf import open_seqfile
+
 
 class Faidx:
     def __init__(self, path: str):
         self.path = path
-        self._fh = open(path, "rb")
+        self._fh = open_seqfile(path)
         self.index: Dict[str, Tuple[int, int, int, int]] = {}
         self.order = []
         fai = path + ".fai"

@@ -201,3 +201,79 @@ def test_bgzf_read_span_matches_read(tmp_path):
             got = rd.seek_virtual(va) or rd.read_span(va, vb)
             assert got == want[: len(got)] and len(got) == 29_999 * (b - a)
             assert rd.tell_virtual() == vb
+
+
+# -- compressed FASTA containers (io/razf.py; reference src/razf.c+faidx.c) --
+
+def _random_fasta(rng, n_seqs=3, width=60):
+    lines = []
+    seqs = {}
+    for s in range(n_seqs):
+        name = f"ctg{s}"
+        ln = rng.randrange(1, 90000)
+        seq = "".join(rng.choice("ACGTacgtn") for _ in range(ln))
+        seqs[name] = seq.upper()
+        lines.append(f">{name} desc{s}")
+        for i in range(0, ln, width):
+            lines.append(seq[i:i + width])
+    return ("\n".join(lines) + "\n").encode(), seqs
+
+
+def test_razf_roundtrip_random_access(tmp_path):
+    import random
+    from otter_tpu.io.razf import RazfReader, razf_compress
+
+    rng = random.Random(5)
+    data = bytes(rng.randrange(32, 127) for _ in range(200123))
+    path = str(tmp_path / "blob.rz")
+    razf_compress(data, path)
+    rd = RazfReader(path)
+    assert rd.size == len(data)
+    for _ in range(40):
+        beg = rng.randrange(0, len(data))
+        n = rng.randrange(0, 5000)
+        rd.seek(beg)
+        assert rd.read(n) == data[beg:beg + n]
+    # sequential full read
+    rd.seek(0)
+    assert rd.read(-1) == data
+    rd.close()
+
+
+def test_faidx_compressed_containers_match_plain(tmp_path):
+    import gzip
+    import random
+    from otter_tpu.io.bgzf import BgzfWriter
+    from otter_tpu.io.fasta import Faidx
+    from otter_tpu.io.razf import razf_compress
+
+    rng = random.Random(17)
+    raw, seqs = _random_fasta(rng)
+    plain = str(tmp_path / "ref.fa")
+    with open(plain, "wb") as fh:
+        fh.write(raw)
+    rz = str(tmp_path / "ref.rz.fa")
+    razf_compress(raw, rz)
+    bg = str(tmp_path / "ref.bg.fa")
+    w = BgzfWriter(bg)
+    w.write(raw)
+    w.close()
+    gz = str(tmp_path / "ref.gz.fa")
+    with gzip.open(gz, "wb") as fh:
+        fh.write(raw)
+
+    fps = {p: Faidx(p) for p in (plain, rz, bg, gz)}
+    # identical .fai (uncompressed offsets, reference faidx.c:81,105)
+    base = fps[plain]
+    for fp in fps.values():
+        assert fp.index == base.index and fp.order == base.order
+    for _ in range(25):
+        name = rng.choice(list(seqs))
+        ln = len(seqs[name])
+        beg = rng.randrange(0, ln)
+        end = min(ln - 1, beg + rng.randrange(0, 400))
+        want = seqs[name][beg:end + 1]
+        for fp in fps.values():
+            assert fp.fetch(name, beg, end) == want, (name, beg, end)
+    for fp in fps.values():
+        fp.close()
