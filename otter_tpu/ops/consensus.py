@@ -15,15 +15,13 @@ from __future__ import annotations
 import math
 import os
 import sys
-from typing import Callable, List, Optional
+from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
 from ..seqs.model import AnAllele, AnRead
 from ..utils.timestamp import antimestamp
 from .align_np import (
-    affine_align_cigar,
-    affine_align_ends_free_cigar,
     edit_distance,
     edit_distance_ends_free,
 )
@@ -457,9 +455,20 @@ def consensus_prepare(ignore_haps: bool, reads: List[AnRead],
 def local_realignment(chr: str, start: int, end: int, flank: int, min_sim: float,
                       faidx, reads: List[AnRead]) -> None:
     """Rescue partially-spanning reads by re-aligning their clipped tail to
-    flanking reference sequence (analignments.cpp:11-60)."""
+    flanking reference sequence (analignments.cpp:11-60).
+
+    All flank alignments of the region are gathered first and run as ONE
+    batched gap-affine dispatch (ops/align_batch.py::affine_cigars_multi —
+    native C++ ladder / device kernel with exact scalar parity) instead of
+    the reference's per-read WFAlignerGapAffine call; the +1/-1 max-prefix
+    rescue scan (:35-51) is then applied per read, so the mutation order
+    over ``reads`` is unchanged."""
+    from .align_batch import affine_cigars_multi
+
     ref_left = ""
     ref_right = ""
+    pending: List[Tuple[AnRead, bool, str]] = []
+    jobs: List[Tuple[str, str, int, int, int, int]] = []
     for local_read in reads:
         if not local_read.is_spanning() and (
             local_read.is_spanning_l or local_read.is_spanning_r
@@ -467,39 +476,45 @@ def local_realignment(chr: str, start: int, end: int, flank: int, min_sim: float
             left_realignment = local_read.is_spanning_r and local_read.ccoords[0] >= flank
             right_realignment = local_read.is_spanning_l and (
                 len(local_read.seq) - local_read.ccoords[1] >= flank)
-            subseq = ""
             if left_realignment:
                 if not ref_left:
                     ref_left = faidx.fetch(chr, start - flank, start)
                 subseq = local_read.seq[: local_read.ccoords[0]]
-                cigar = affine_align_cigar(subseq, ref_left)
+                if subseq:
+                    pending.append((local_read, True, subseq))
+                    jobs.append((subseq, ref_left, 0, 0, 0, 0))
             elif right_realignment:
                 if not ref_right:
                     ref_right = faidx.fetch(chr, end, end + flank)
                 subseq = local_read.seq[local_read.ccoords[1]:]
-                cigar = affine_align_cigar(subseq, ref_right)
-            if subseq:
-                # +1/-1 max-prefix score scan over non-I cigar ops (:35-51)
-                scores = [0] * len(subseq)
-                j = 0
-                for op in cigar:
-                    if op != "I":
-                        penalty = 1 if op == "M" else -1
-                        if penalty > 0:
-                            scores[j] = penalty if j == 0 else scores[j - 1] + penalty
-                        elif j > 0 and scores[j - 1] > 0:
-                            scores[j] = scores[j - 1] + penalty
-                        j += 1
-                max_sum_i = 0
-                for j in range(len(scores)):
-                    if scores[j] > scores[max_sum_i]:
-                        max_sum_i = j
-                start_i = max_sum_i
-                while start_i > 0 and scores[start_i] > 0:
-                    start_i -= 1
-                if scores[max_sum_i] / float(flank) >= min_sim:
-                    if left_realignment:
-                        local_read.seq = local_read.seq[max_sum_i:]
-                    elif right_realignment:
-                        local_read.seq = local_read.seq[: local_read.ccoords[1] + start_i]
-                    local_read.set_is_spanning()
+                if subseq:
+                    pending.append((local_read, False, subseq))
+                    jobs.append((subseq, ref_right, 0, 0, 0, 0))
+    if not jobs:
+        return
+    cigars = affine_cigars_multi(jobs)
+    for (local_read, left_realignment, subseq), cigar in zip(pending, cigars):
+        # +1/-1 max-prefix score scan over non-I cigar ops (:35-51)
+        scores = [0] * len(subseq)
+        j = 0
+        for op in cigar:
+            if op != "I":
+                penalty = 1 if op == "M" else -1
+                if penalty > 0:
+                    scores[j] = penalty if j == 0 else scores[j - 1] + penalty
+                elif j > 0 and scores[j - 1] > 0:
+                    scores[j] = scores[j - 1] + penalty
+                j += 1
+        max_sum_i = 0
+        for j in range(len(scores)):
+            if scores[j] > scores[max_sum_i]:
+                max_sum_i = j
+        start_i = max_sum_i
+        while start_i > 0 and scores[start_i] > 0:
+            start_i -= 1
+        if scores[max_sum_i] / float(flank) >= min_sim:
+            if left_realignment:
+                local_read.seq = local_read.seq[max_sum_i:]
+            else:
+                local_read.seq = local_read.seq[: local_read.ccoords[1] + start_i]
+            local_read.set_is_spanning()
