@@ -332,15 +332,18 @@ def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
         with metrics.phase("cluster_consensus"):
             radius = max(1, int(params.max_error / 0.0025))
             fallback = []
-            for r, (si, v, b) in enumerate(kde_regions):
-                if kde_decision_certified(dens_list[r], v, b, radius):
-                    region_dens[si] = dens_list[r]
-                else:
-                    fallback.append(r)
+            with metrics.phase("kde_certify"):
+                for r, (si, v, b) in enumerate(kde_regions):
+                    if kde_decision_certified(dens_list[r], v, b, radius):
+                        region_dens[si] = dens_list[r]
+                    else:
+                        fallback.append(r)
             if fallback:
-                f64 = kde_densities_batched(
-                    [kde_regions[r][1] for r in fallback],
-                    [kde_regions[r][2] for r in fallback], kde_grid(0.0025))
+                with metrics.phase("kde_f64_fallback"):
+                    f64 = kde_densities_batched(
+                        [kde_regions[r][1] for r in fallback],
+                        [kde_regions[r][2] for r in fallback],
+                        kde_grid(0.0025))
                 for r, d in zip(fallback, f64):
                     region_dens[kde_regions[r][0]] = d
         metrics.add("kde_device_regions",
@@ -366,7 +369,8 @@ def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
     pool_ef: list = []
     for si, ((work, coords, start), distmatrix) in enumerate(
             zip(spans, matrices)):
-        with metrics.phase("cluster_consensus"):
+        with metrics.phase("cluster_consensus"), \
+                metrics.phase("cluster_labels"):
             clustmsg, labels = cluster_labels(params, work, distmatrix,
                                               densities=region_dens.get(si))
             info = None
@@ -394,14 +398,16 @@ def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
                 pre[key] = d / float(max(len(x), len(y)))
             for key, d, nrm in zip(ef_k, ef_d[fo : fo + len(ef_j)], ef_n):
                 pre[key] = d / nrm
-        with metrics.phase("cluster_consensus"):
+        with metrics.phase("cluster_consensus"), \
+                metrics.phase("cluster_finish"):
             alleles, tasks = cluster_finish(params, work, distmatrix,
                                             clustmsg, labels, pre)
         staged.append((work, clustmsg, alleles))
         all_tasks.extend(tasks)
     # one multi-pattern banded DP for every allele consensus in the batch,
     # band-seeded by one pooled device edit-distance dispatch
-    with metrics.phase("cluster_consensus"):
+    with metrics.phase("cluster_consensus"), \
+            metrics.phase("consensus_batch"):
         consensus_apply_batched(all_tasks, engine=dist_backend.engine)
     for work, clustmsg, alleles in staged:
         emit_region(params, work, clustmsg, alleles, out)
