@@ -320,13 +320,13 @@ def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
             total_vals = sum(len(v) for _si, v, _b in kde_regions)
             use_device_kde = total_vals * 401 >= 2_000_000
     if kde_regions and use_device_kde:
-        from ..ops.kde import (kde_decision_certified, kde_densities_batched,
-                               kde_grid)
+        from ..ops.kde import (kde_decision_certified_scaled,
+                               kde_densities_batched, kde_grid)
 
         with metrics.phase("device_dispatch"):
-            from ..parallel.mesh import pooled_kde_densities_tree
+            from ..parallel.mesh import pooled_kde_scaled
 
-            dens_list = pooled_kde_densities_tree(
+            scaled_list = pooled_kde_scaled(
                 [v for _si, v, _b in kde_regions],
                 [b for _si, _v, b in kde_regions])
         with metrics.phase("cluster_consensus"):
@@ -334,8 +334,10 @@ def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
             fallback = []
             with metrics.phase("kde_certify"):
                 for r, (si, v, b) in enumerate(kde_regions):
-                    if kde_decision_certified(dens_list[r], v, b, radius):
-                        region_dens[si] = dens_list[r]
+                    ok, d64 = kde_decision_certified_scaled(
+                        scaled_list[r][0], scaled_list[r][1], v, b, radius)
+                    if ok:
+                        region_dens[si] = d64
                     else:
                         fallback.append(r)
             if fallback:

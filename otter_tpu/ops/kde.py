@@ -166,6 +166,117 @@ def kde_maximas(radius: int, densities: np.ndarray
 _F32_REL_ERR = 2e-4
 
 
+def _kde_dens_unnormalized(values: np.ndarray, bandwidth: float,
+                           xs_subset: np.ndarray) -> np.ndarray:
+    """kde_densities' per-cell value BEFORE grid normalization, evaluated at
+    a subset of grid cells. Bit-identical to the corresponding cells of the
+    full-grid call: each cell reduces over the same length-n values axis
+    (same numpy pairwise-summation tree) with the same elementwise f64
+    ops."""
+    values = np.asarray(values, dtype=np.float64)
+    h = float(bandwidth)
+    z = (xs_subset[:, None] - values[None, :]) / h
+    return np.sum(_INV_SQRT_2PI * np.exp(-(z * z) / 2.0), axis=1) \
+        / (h * len(values))
+
+
+_TINY_D = 1e-150
+
+
+def kde_scaled_reconstruct(mexp: np.ndarray, mant: np.ndarray,
+                           values: np.ndarray, bandwidth: float):
+    """(d64, u64): normalized f64 densities from the scaled device KDE
+    (parallel/mesh.py::kde_tree_step_scaled) plus per-cell relative-error
+    based uncertainty bounds vs the float64 oracle (kde_densities).
+
+    Hybrid reconstruction: density_c = C·exp(m_c)·s_c with
+    C = (1/√2π)/(h·n) carries the f32 rounding of z² (exp(m) relative
+    error ≤ ~2.4e-7·|m|) plus ~1e-6 from the mantissa tree-sum — fine for
+    normal-range cells, but useless in the deep inter-cluster valleys
+    where the oracle's comparisons live on denormal-scale margins. Cells
+    whose reconstruction falls below 1e-150 are therefore REPLACED by the
+    oracle's own unnormalized density, recomputed exactly on the host
+    (few cells × few values — nanoseconds): their values then deviate
+    from the oracle's normalized grid only by the shared normalization
+    factor (comparison-invariant) and quotient rounding, so their
+    uncertainty is ~1e-15·d and exact zeros are the oracle's exact zeros.
+    Device cells keep u = (1e-6·|m| + 1.5e-4)·d (>4x the modeled error,
+    including the ~5e-5 normalization-total deviation)."""
+    m = np.asarray(mexp, dtype=np.float64)
+    s = np.asarray(mant, dtype=np.float64)
+    n_vals = len(values)
+    if n_vals == 0:
+        return None, None
+    c = _INV_SQRT_2PI / (float(bandwidth) * n_vals)
+    with np.errstate(under="ignore"):
+        raw = c * np.exp(np.where(m < -745.0, -np.inf, m)) * s
+    tiny = raw < _TINY_D
+    if np.any(tiny):
+        xs = kde_grid(0.0025)[: len(raw)]
+        raw = raw.copy()
+        raw[tiny] = _kde_dens_unnormalized(values, bandwidth, xs[tiny])
+    total = float(raw.sum())
+    if not np.isfinite(total) or total <= 0.0:
+        return None, None, None
+    d = raw / total
+    # u_cmp: cell-level error only — the normalization total T deviates
+    # from the oracle's by a COMMON factor, which cannot flip a comparison
+    # between two cells, so it is excluded here. Components (f32 device
+    # path): z/value-cast/z^2 rounding scales with |m| (~8e-7|m| modeled),
+    # exp argument subtraction + tree-sum + exp ulp (~2e-6 modeled);
+    # 3e-6|m| + 2e-5 is >4x the worst modeled case. Tiny cells are the
+    # oracle's own recomputed f64 numbers: only quotient rounding remains.
+    u_cmp = np.where(tiny, 1e-15 * d, (3e-6 * np.abs(m) + 2e-5) * d)
+    # u_abs additionally carries the T deviation (<= max dominant-cell
+    # relative error ~1e-4) for the comparisons against the absolute 0.01
+    # near-tie threshold
+    u_abs = u_cmp + 1e-4 * d
+    return d, u_cmp, u_abs
+
+
+def kde_decision_certified_scaled(mexp: np.ndarray, mant: np.ndarray,
+                                  values: np.ndarray, bandwidth: float,
+                                  radius: int):
+    """(ok, d64): certify the scaled device KDE against the float64 oracle
+    decision and return the reconstructed densities when certified.
+
+    Same decision surface as kde_decision_certified (the alternating
+    windowed-sum scan + the >2-peak 0.01 near-tie comparisons,
+    otterclust.cpp:20-116): every adjacent windowed-sum comparison must
+    have a margin exceeding the windowed uncertainty (or be an exact
+    equality of provably-identical values — sub-1e-150 cells are the
+    oracle's own recomputed numbers, so zero plateaus and deep valleys
+    compare equal-vs-equal or with genuine margins), and no >2-peak
+    pairwise density difference may approach the 0.01 near-tie threshold
+    within tolerance. Anything else returns False and the caller recomputes
+    with the full float64 oracle, so clustering output is byte-identical
+    either way."""
+    d, u_cmp, u_abs = kde_scaled_reconstruct(mexp, mant, values, bandwidth)
+    if d is None:
+        return False, None
+    n = len(d)
+    sums = _windowed_sums(d, radius)
+    usums = _windowed_sums(u_cmp, radius)
+    a = sums[1 : n - 2]
+    b = sums[2 : n - 1]
+    tol = usums[1 : n - 2] + usums[2 : n - 1]
+    gap = np.abs(b - a)
+    ok = (gap > tol) | ((gap == 0.0) & (tol == 0.0))
+    if not np.all(ok):
+        return False, None
+    maxs, _mins = kde_maximas(radius, d)
+    if len(maxs) > 2:
+        idxs = np.asarray([i for i, _v in maxs], dtype=np.int64)
+        vals = np.asarray([v for _i, v in maxs], dtype=np.float64)
+        diff = np.abs(vals[:, None] - vals[None, :])
+        usums_abs = _windowed_sums(u_abs, radius)
+        tolm = usums_abs[idxs][:, None] + usums_abs[idxs][None, :]
+        iu = np.triu_indices(len(vals), k=1)
+        if np.any(np.abs(diff[iu] - 0.01) <= tolm[iu]):
+            return False, None
+    return True, d
+
+
 def kde_decision_certified(dens_f32: np.ndarray, values: np.ndarray,
                            bandwidth: float, radius: int,
                            rel: float = _F32_REL_ERR) -> bool:

@@ -102,6 +102,78 @@ def kde_tree_step(vals: jnp.ndarray, nvals: jnp.ndarray, bw: jnp.ndarray,
     return dens / jnp.maximum(total, 1e-30)
 
 
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def kde_tree_step_scaled(vals: jnp.ndarray, nvals: jnp.ndarray,
+                         bw: jnp.ndarray, xs: jnp.ndarray, n_pad: int
+                         ) -> tuple:
+    """Scaled (log-sum-exp) variant of kde_tree_step: per grid cell returns
+    (max_exponent m, mantissa_sum s) with density = C * exp(m) * s, so the
+    HOST can reconstruct float64 densities that never underflow before the
+    float64 oracle does (f32 exp underflows at |z|~13σ; the oracle's f64
+    exp at ~38σ — the dead zone between well-separated distance clusters
+    lives exactly in that gap and used to force a full f64 fallback).
+    Certified by ops/kde.py::kde_decision_certified_scaled; normalization
+    constants cancel in the reconstruction so only (m, s) cross D2H."""
+    h = bw[:, None, None]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_pad), 2)
+    mask = lane < nvals[:, None, None]
+    z = (xs[None, :, None] - vals[:, None, :]) / h
+    e = -(z * z) / 2.0
+    e = jnp.where(mask, e, -jnp.inf)
+    m = jnp.max(e, axis=2)  # (R, G); finite: nvals >= 1
+    t = jnp.exp(e - m[:, :, None])
+    t = jnp.where(mask, t, 0.0)
+    w = n_pad
+    while w > 1:
+        t = t[..., : w // 2] + t[..., w // 2 : w]
+        w //= 2
+    return m, t[..., 0]
+
+
+def pooled_kde_scaled(value_lists, bandwidths,
+                      dinterval: float = 0.0025) -> list:
+    """Scaled tree-reduction device KDE over many regions (same bucketing
+    and region-axis sharding as pooled_kde_densities_tree). Returns
+    per-region (m, s) float32 array pairs."""
+    from ..ops.kde import kde_grid
+
+    xs32 = kde_grid(dinterval).astype(np.float32)
+    out = [None] * len(value_lists)
+    buckets: dict = {}
+    for i, v in enumerate(value_lists):
+        n_pad = 8
+        while n_pad < len(v):
+            n_pad *= 2
+        buckets.setdefault(n_pad, []).append(i)
+    devs = jax.devices()
+    for n_pad, idxs in sorted(buckets.items()):
+        R = len(idxs)
+        Rp = ((R + len(devs) - 1) // len(devs)) * len(devs)
+        V = np.zeros((Rp, n_pad), dtype=np.float32)
+        nv = np.ones(Rp, dtype=np.int32)
+        bwv = np.full(Rp, 0.01, dtype=np.float32)
+        for r, i in enumerate(idxs):
+            v = np.asarray(value_lists[i], dtype=np.float32)
+            V[r, : len(v)] = v
+            nv[r] = len(v)
+            bwv[r] = bandwidths[i]
+        if len(devs) > 1:
+            mesh = make_mesh()
+            V_s, nv_s, bw_s = shard_pair_batch(mesh, [V, nv, bwv])
+            xs_d = jax.device_put(jnp.asarray(xs32), NamedSharding(mesh, P()))
+            with mesh:
+                m, s = kde_tree_step_scaled(V_s, nv_s, bw_s, xs_d, n_pad)
+        else:
+            m, s = kde_tree_step_scaled(jnp.asarray(V), jnp.asarray(nv),
+                                        jnp.asarray(bwv), jnp.asarray(xs32),
+                                        n_pad)
+        m = np.asarray(m)
+        s = np.asarray(s)
+        for r, i in enumerate(idxs):
+            out[i] = (m[r], s[r])
+    return out
+
+
 def pooled_kde_densities_tree(value_lists, bandwidths,
                               dinterval: float = 0.0025) -> list:
     """Tree-reduction device KDE over many regions, bucketed by padded pair

@@ -94,3 +94,119 @@ def test_certified_zero_tail_is_accepted():
     f32 = _tree_f32_density(vals, 0.01)
     assert np.any(f32 == 0.0)  # far tail underflows in both precisions
     assert kde_decision_certified(f32, vals, 0.01, 4)
+
+
+# -- scaled (log-sum-exp) device KDE ------------------------------------------
+
+def _tree_scaled_host(values, bandwidth):
+    """Host replica of parallel/mesh.py::kde_tree_step_scaled (f32 math)."""
+    xs = kde_grid(0.0025).astype(np.float32)
+    v = np.asarray(values, dtype=np.float32)
+    n_pad = 8
+    while n_pad < len(v):
+        n_pad *= 2
+    V = np.zeros(n_pad, dtype=np.float32)
+    V[: len(v)] = v
+    h = np.float32(bandwidth)
+    z = (xs[:, None] - V[None, :]) / h
+    e = (-(z * z) / np.float32(2.0)).astype(np.float32)
+    e[:, len(v):] = -np.inf
+    m = e.max(axis=1)
+    with np.errstate(under="ignore"):
+        t = np.exp(e - m[:, None]).astype(np.float32)
+    t[:, len(v):] = 0.0
+    w = n_pad
+    while w > 1:
+        t = t[:, : w // 2] + t[:, w // 2 : w]
+        w //= 2
+    return m, t[:, 0]
+
+
+def test_scaled_certifies_separated_bimodal():
+    """Widely separated distance clusters (the het expanded-allele shape)
+    used to force an f64 fallback via f32 underflow dead zones; the scaled
+    reconstruction must certify them and reproduce the oracle decision."""
+    from otter_tpu.ops.kde import kde_decision_certified_scaled
+
+    rng = random.Random(11)
+    xs = kde_grid(0.0025)
+    n_cert = 0
+    for trial in range(30):
+        lo = [rng.uniform(0.0, 0.04) for _ in range(rng.randrange(4, 12))]
+        hi_c = rng.uniform(0.3, 0.95)
+        hi = [hi_c + rng.uniform(-0.02, 0.02)
+              for _ in range(rng.randrange(4, 12))]
+        vals = np.asarray(lo + hi)
+        m, s = _tree_scaled_host(vals, 0.01)
+        ok, d64 = kde_decision_certified_scaled(m, s, vals, 0.01, 4)
+        dens64 = kde_densities(vals, 0.01, xs)
+        want = _decision(vals, dens64)
+        if ok:
+            n_cert += 1
+            assert _decision(vals, d64) == want, trial
+    # the whole point of the scaled variant: these shapes certify
+    assert n_cert >= 28
+
+
+def test_scaled_certified_matches_oracle_random():
+    from otter_tpu.ops.kde import kde_decision_certified_scaled
+
+    rng = random.Random(19)
+    xs = kde_grid(0.0025)
+    n_cert = 0
+    for trial in range(40):
+        n = rng.randrange(3, 40)
+        kind = rng.randrange(3)
+        if kind == 0:
+            vals = [rng.uniform(0.0, 0.2) for _ in range(n)]
+        elif kind == 1:
+            vals = [round(rng.uniform(0.0, 1.0), 2) for _ in range(n)]
+        else:
+            c1, c2 = rng.uniform(0, 0.1), rng.uniform(0.1, 1.0)
+            vals = [c1 + rng.uniform(-0.01, 0.01) for _ in range(n)] + \
+                   [c2 + rng.uniform(-0.01, 0.01) for _ in range(n)]
+        vals = np.asarray(vals)
+        bw = rng.choice([0.01, 0.05])
+        m, s = _tree_scaled_host(vals, bw)
+        ok, d64 = kde_decision_certified_scaled(m, s, vals, bw, 4)
+        dens64 = kde_densities(vals, bw, xs)
+        want = _decision(vals, dens64, bandwidth=bw)
+        if ok:
+            n_cert += 1
+            assert _decision(vals, d64, bandwidth=bw) == want, trial
+    assert n_cert >= 32
+
+
+def test_scaled_soundness_sweep():
+    """300 random shapes: every certified region must match the oracle
+    decision (soundness is the hard requirement; rate is best-effort)."""
+    from otter_tpu.ops.kde import kde_decision_certified_scaled
+
+    rng = random.Random(101)
+    xs = kde_grid(0.0025)
+    n_cert = 0
+    for trial in range(300):
+        n = rng.randrange(3, 30)
+        shape = rng.randrange(4)
+        if shape == 0:
+            vals = [rng.uniform(0.0, 1.0) for _ in range(n)]
+        elif shape == 1:
+            vals = [round(rng.uniform(0.0, 1.0), rng.choice([1, 2, 3]))
+                    for _ in range(n)]
+        elif shape == 2:
+            c = rng.uniform(0.0, 0.9)
+            vals = [min(1.0, max(0.0, rng.gauss(c, 0.01))) for _ in range(n)]
+        else:
+            c1, c2 = rng.uniform(0, 0.2), rng.uniform(0.2, 1.0)
+            vals = [c1] * (n // 2 + 1) + [c2] * (n // 2 + 1)
+        vals = np.asarray(vals, dtype=np.float64)
+        bw = rng.choice([0.01, 0.03, 0.05])
+        m, s = _tree_scaled_host(vals, bw)
+        ok, d64 = kde_decision_certified_scaled(m, s, vals, bw, 4)
+        if not ok:
+            continue
+        n_cert += 1
+        dens64 = kde_densities(vals, bw, xs)
+        assert _decision(vals, d64, bandwidth=bw) == \
+            _decision(vals, dens64, bandwidth=bw), trial
+    assert n_cert >= 200
