@@ -310,14 +310,19 @@ def consensus_apply_batched(tasks: List["PoaTask"], engine=None) -> None:
         jobs = task.flat_jobs()
         spans.append((task, len(flat), len(jobs)))
         flat.extend(jobs)
+    from ..utils import metrics
+
     dist_hints = None
     if flat and engine is not None and getattr(engine, "mode", "") == "pallas":
         try:
-            dist_hints = engine.ends_free(flat)
+            with metrics.phase("consensus_hints"):
+                dist_hints = engine.ends_free(flat)
         except Exception:
             dist_hints = None
-    cigars = affine_cigars_multi(flat, use_device=_affine_device_default(engine),
-                                 dist_hints=dist_hints)
+    with metrics.phase("consensus_affine"):
+        cigars = affine_cigars_multi(flat,
+                                     use_device=_affine_device_default(engine),
+                                     dist_hints=dist_hints)
     # native C++ PPOA (byte-identical to the python Ppoa oracle) on the
     # device paths; python remains the host-mode parity oracle
     use_native = (engine is not None
@@ -326,11 +331,13 @@ def consensus_apply_batched(tasks: List["PoaTask"], engine=None) -> None:
         try:
             from ..native import poa_consensus_batch
 
-            ndata = [(t.rep_read.seq,
-                      t.resolved_members(cigars[s : s + n]))
-                     for t, s, n in spans]
-            cvals = [t.prune_c() for t, _s, _n in spans]
-            seqs = poa_consensus_batch(ndata, cvals, float(np.float32(0.3)))
+            with metrics.phase("consensus_poa"):
+                ndata = [(t.rep_read.seq,
+                          t.resolved_members(cigars[s : s + n]))
+                         for t, s, n in spans]
+                cvals = [t.prune_c() for t, _s, _n in spans]
+                seqs = poa_consensus_batch(ndata, cvals,
+                                           float(np.float32(0.3)))
             for (task, _s, _n), seq in zip(spans, seqs):
                 task.allele.seq = seq if seq else "N"
             return
