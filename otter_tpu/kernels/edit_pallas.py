@@ -123,6 +123,68 @@ def edit_banded_jnp(a: jnp.ndarray, bpad: jnp.ndarray, m: jnp.ndarray,
     return _final_extract(prev, m2, n2, k, w_idx)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "max_rows"))
+def edit_banded_ends_free_jnp(ax: jnp.ndarray, bxp: jnp.ndarray,
+                              m: jnp.ndarray, n: jnp.ndarray,
+                              pb: jnp.ndarray, pe: jnp.ndarray,
+                              tb: jnp.ndarray, te: jnp.ndarray,
+                              k: int, max_rows: int) -> jnp.ndarray:
+    """Banded ends-free edit distance (jnp; shards the pair axis over a mesh
+    when dispatched under one). Mirrors the numpy ladder's inner loop in
+    ops/align_batch.py::edit_ends_free_batch — boundary D[i][0] =
+    max(0, i - pb), row-0 = max(0, j - tb), best tracked over the last
+    column for rows with m - i <= pe and the last row for j >= n - te.
+    ax: (B, Lp) int32 pattern codes (-2 padding); bxp: (B, k+2+Np+W+2)
+    int32 text codes pre-padded with k+2 sentinel (-1) columns on the left.
+    Returns (B,) int32 best scores (validity — best <= k - reach — is the
+    caller's check, as in the numpy ladder)."""
+    W = 2 * (k + 1)
+    B = ax.shape[0]
+    w_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    m2 = m[:, None]
+    n2 = n[:, None]
+    pb2 = pb[:, None]
+    tb2 = tb[:, None]
+    j0 = w_idx - (k + 1)
+    prev = jnp.where((j0 >= 0) & (j0 <= n2),
+                     jnp.maximum(0, j0 - tb2), INF).astype(jnp.int32)
+
+    def take(arr, idx):
+        return jnp.take_along_axis(
+            arr, jnp.clip(idx, 0, W - 1)[:, None], axis=1)[:, 0]
+
+    col0 = n + (k + 1)
+    best = jnp.where((pe >= m) & (col0 >= 0) & (col0 < W),
+                     take(prev, col0), INF)
+
+    def body(i, state):
+        prev, best = state
+        a_col = jax.lax.dynamic_slice_in_dim(ax, i - 1, 1, axis=1)
+        b_win = jax.lax.dynamic_slice_in_dim(bxp, i, W, axis=1)
+        j = i + j0
+        sub = jnp.where(b_win == a_col, 0, 1).astype(jnp.int32)
+        up = jnp.concatenate(
+            [prev[:, 1:], jnp.full_like(prev[:, :1], INF)], axis=1) + 1
+        v = jnp.minimum(up, prev + sub)
+        v = jnp.where(j == 0, jnp.maximum(0, i - pb2), v)
+        v = jnp.where((j < 0) | (j > n2), INF, v)
+        cur = _prefix_min_scan(v - w_idx) + w_idx
+        cur = jnp.where((j < 0) | (j > n2), INF, cur)
+        keep = i <= m2
+        prev = jnp.where(keep, cur, prev)
+        wcol = n - i + (k + 1)
+        active = (i <= m) & (m - i <= pe) & (wcol >= 0) & (wcol < W)
+        best = jnp.minimum(best, jnp.where(active, take(cur, wcol), INF))
+        return prev, best
+
+    prev, best = jax.lax.fori_loop(1, max_rows + 1, body, (prev, best))
+    te2 = te[:, None]
+    jmap = m2 + w_idx - (k + 1)
+    rowvals = jnp.where((jmap >= jnp.maximum(0, n2 - te2)) & (jmap <= n2),
+                        prev, INF)
+    return jnp.minimum(best, jnp.min(rowvals, axis=1))
+
+
 def edit_banded_numpy(a: np.ndarray, bpad: np.ndarray, m: np.ndarray,
                       n: np.ndarray, k: int, max_rows: int) -> np.ndarray:
     """Pure-numpy implementation of the same banded recurrence (no XLA
@@ -352,6 +414,49 @@ class EditDistanceEngine:
         with self.mesh:
             res = edit_banded_jnp(a_s, bp_s, m_s, n_s, k, max_rows)
         return np.asarray(res)[:B]
+
+    def _ends_free_mesh_runner(self, jobs, members, k: int) -> np.ndarray:
+        """banded_runner for edit_ends_free_batch: one fixed-k ends-free
+        pass as a pair-sharded jnp dispatch over self.mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..ops.align_batch import _codes
+
+        W = 2 * (k + 1)
+        B = len(members)
+        nd = self.mesh.devices.size
+        Bp = max(nd, ((B + nd - 1) // nd) * nd)
+        pats = [_codes(jobs[i][0]).astype(np.int32) for i in members]
+        txts = [_codes(jobs[i][1]).astype(np.int32) for i in members]
+        Lp = 128
+        while Lp < max(len(p) for p in pats):
+            Lp *= 2
+        Np = 128
+        while Np < max(len(t) for t in txts):
+            Np *= 2
+        ax = np.full((Bp, Lp), -2, dtype=np.int32)
+        bxp = np.full((Bp, k + 2 + Np + W + 2), -1, dtype=np.int32)
+        m = np.ones(Bp, dtype=np.int32)
+        n = np.ones(Bp, dtype=np.int32)
+        fr = np.zeros((4, Bp), dtype=np.int32)
+        for bi, i in enumerate(members):
+            ax[bi, : len(pats[bi])] = pats[bi]
+            bxp[bi, k + 2 : k + 2 + len(txts[bi])] = txts[bi]
+            m[bi] = len(pats[bi])
+            n[bi] = len(txts[bi])
+            fr[:, bi] = jobs[i][2:6]
+        axis = self.mesh.axis_names[0]
+        sh1 = NamedSharding(self.mesh, P(axis))
+        sh2 = NamedSharding(self.mesh, P(axis, None))
+        arrs1 = [jax.device_put(jnp.asarray(x), sh1)
+                 for x in (m, n, fr[0], fr[1], fr[2], fr[3])]
+        ax_s = jax.device_put(jnp.asarray(ax), sh2)
+        bxp_s = jax.device_put(jnp.asarray(bxp), sh2)
+        with self.mesh:
+            best = edit_banded_ends_free_jnp(ax_s, bxp_s, *arrs1,
+                                             k=k, max_rows=Lp)
+        self.cells += B * Lp * W
+        return np.asarray(best)[:B].astype(np.int64)
 
     def _native_distances(self, pairs, todo, out) -> bool:
         """Whole-batch native C++ path (mode == 'native'). Returns True when
@@ -588,6 +693,14 @@ class EditDistanceEngine:
         from .myers import is_acgt
         from .myers_pallas import PAIRS_PER_PROG
         from .myers_striped import myers_striped_ends_free
+
+        if self.mesh is not None and self.mode == "jnp":
+            # mesh execution: the fixed-k banded passes shard the pair
+            # axis over the mesh (reassignment + consensus band-seed
+            # dispatches ride the same data-parallel axis as the distance
+            # matrices; the doubling ladder and validity stay on host)
+            return edit_ends_free_batch(
+                jobs, banded_runner=self._ends_free_mesh_runner)
 
         out = np.zeros(len(jobs), dtype=np.int64)
         host: List[int] = []

@@ -435,12 +435,89 @@ def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
     return out
 
 
-def edit_ends_free_batch(jobs: Sequence[Tuple[str, str, int, int, int, int]]
-                         ) -> np.ndarray:
+def _ends_free_banded_numpy(jobs, members, k: int) -> np.ndarray:
+    """One fixed-k banded ends-free pass over ``members`` (numpy inner loop
+    of edit_ends_free_batch). Returns per-member best scores; band validity
+    is the caller's check."""
+    W = 2 * (k + 1)
+    B = len(members)
+    pats = [_codes(jobs[i][0]).astype(np.int64) for i in members]
+    txts = [_codes(jobs[i][1]).astype(np.int64) for i in members]
+    m = np.array([len(p) for p in pats], dtype=np.int64)
+    n = np.array([len(t) for t in txts], dtype=np.int64)[:, None]
+    m_max = int(m.max())
+    ax = np.full((B, m_max), -2, dtype=np.int64)
+    for bi, p in enumerate(pats):
+        ax[bi, : len(p)] = p
+    nmax = int(n.max())
+    bx = np.full((B, nmax + W + 2), -1, dtype=np.int64)
+    for bi, t in enumerate(txts):
+        bx[bi, : len(t)] = t
+    pb_ = np.array([jobs[i][2] for i in members], dtype=np.int64)[:, None]
+    pe_ = np.array([jobs[i][3] for i in members], dtype=np.int64)[:, None]
+    tb_ = np.array([jobs[i][4] for i in members], dtype=np.int64)[:, None]
+    te_ = np.array([jobs[i][5] for i in members], dtype=np.int64)[:, None]
+    m2 = m[:, None]
+    w_idx = np.arange(W, dtype=np.int64)[None, :]
+    j0 = w_idx - (k + 1)
+    prev = np.where((j0 >= 0) & (j0 <= n),
+                    np.maximum(0, j0 - tb_), _BIG)
+    prev = prev.astype(np.int64)
+    # best over allowed end cells: last column (j == n, i >= m - pe)
+    # tracked as rows advance; last row handled at the end
+    col0 = n[:, 0] + (k + 1)  # w of j==n at row 0
+    valid0 = (pe_[:, 0] >= m) & (col0 >= 0) & (col0 < W)
+    best_last_col = np.where(
+        valid0, prev[np.arange(B), np.clip(col0, 0, W - 1)],
+        np.int64(1 << 60))
+    for i in range(1, m_max + 1):
+        j = i + j0
+        lo = i - (k + 1) - 1
+        if lo >= 0:
+            b_win = bx[:, lo : lo + W]
+        else:
+            b_win = np.concatenate(
+                [np.full((B, -lo), -1, dtype=np.int64), bx[:, : W + lo]],
+                axis=1)
+        a_col = ax[:, i - 1 : i]
+        sub = (b_win != a_col).astype(np.int64)
+        up = np.concatenate(
+            [prev[:, 1:], np.full((B, 1), _BIG, dtype=np.int64)],
+            axis=1) + 1
+        v = np.minimum(up, prev + sub)
+        v = np.where(j == 0, np.maximum(0, i - pb_), v)
+        v = np.where((j < 0) | (j > n), _BIG, v)
+        cur = np.minimum.accumulate(v - w_idx, axis=1) + w_idx
+        cur = np.where((j < 0) | (j > n), _BIG, cur)
+        keep = i <= m2
+        prev = np.where(keep, cur, prev)
+        # last-column candidates for rows i with m - i <= pe
+        wcol = n[:, 0] - i + (k + 1)
+        active = (i <= m) & (m - i <= pe_[:, 0]) & (wcol >= 0) & (wcol < W)
+        colvals = np.where(active,
+                           cur[np.arange(B), np.clip(wcol, 0, W - 1)],
+                           np.int64(1 << 60))
+        best_last_col = np.minimum(best_last_col, colvals)
+    # last-row minimum over j in [n - te, n]
+    jrow = np.arange(W, dtype=np.int64)[None, :]
+    jmap = m2 + jrow - (k + 1)
+    rowvals = np.where((jmap >= np.maximum(0, n - te_)) & (jmap <= n),
+                       prev, np.int64(1 << 60))
+    best = np.minimum(best_last_col, rowvals.min(axis=1))
+    return best
+
+
+def edit_ends_free_batch(jobs: Sequence[Tuple[str, str, int, int, int, int]],
+                         banded_runner=None) -> np.ndarray:
     """Batched unit-cost ends-free edit distances, exact parity with
     ops.align_np.edit_distance_ends_free. Jobs: (pattern, text, pb, pe,
     tb, te). Banded with doubling; validity: a path leaving the +-k band
-    needs > k - reach non-free indels, so score <= k - reach is exact."""
+    needs > k - reach non-free indels, so score <= k - reach is exact.
+
+    banded_runner(jobs, members, k) -> best overrides the fixed-k inner
+    pass (the engine's mesh path runs it as a pair-sharded jnp dispatch,
+    kernels/edit_pallas.py::edit_banded_ends_free_jnp); the validity check
+    here still guarantees exactness regardless of the runner."""
     from .align_np import edit_distance_ends_free
 
     out = np.zeros(len(jobs), dtype=np.int64)
@@ -458,71 +535,10 @@ def edit_ends_free_batch(jobs: Sequence[Tuple[str, str, int, int, int, int]]
     while groups:
         k = min(groups)
         members = groups.pop(k)
-        W = 2 * (k + 1)
-        B = len(members)
-        pats = [_codes(jobs[i][0]).astype(np.int64) for i in members]
-        txts = [_codes(jobs[i][1]).astype(np.int64) for i in members]
-        m = np.array([len(p) for p in pats], dtype=np.int64)
-        n = np.array([len(t) for t in txts], dtype=np.int64)[:, None]
-        m_max = int(m.max())
-        ax = np.full((B, m_max), -2, dtype=np.int64)
-        for bi, p in enumerate(pats):
-            ax[bi, : len(p)] = p
-        nmax = int(n.max())
-        bx = np.full((B, nmax + W + 2), -1, dtype=np.int64)
-        for bi, t in enumerate(txts):
-            bx[bi, : len(t)] = t
-        pb_ = np.array([jobs[i][2] for i in members], dtype=np.int64)[:, None]
-        pe_ = np.array([jobs[i][3] for i in members], dtype=np.int64)[:, None]
-        tb_ = np.array([jobs[i][4] for i in members], dtype=np.int64)[:, None]
-        te_ = np.array([jobs[i][5] for i in members], dtype=np.int64)[:, None]
-        m2 = m[:, None]
-        w_idx = np.arange(W, dtype=np.int64)[None, :]
-        j0 = w_idx - (k + 1)
-        prev = np.where((j0 >= 0) & (j0 <= n),
-                        np.maximum(0, j0 - tb_), _BIG)
-        prev = prev.astype(np.int64)
-        # best over allowed end cells: last column (j == n, i >= m - pe)
-        # tracked as rows advance; last row handled at the end
-        col0 = n[:, 0] + (k + 1)  # w of j==n at row 0
-        valid0 = (pe_[:, 0] >= m) & (col0 >= 0) & (col0 < W)
-        best_last_col = np.where(
-            valid0, prev[np.arange(B), np.clip(col0, 0, W - 1)],
-            np.int64(1 << 60))
-        for i in range(1, m_max + 1):
-            j = i + j0
-            lo = i - (k + 1) - 1
-            if lo >= 0:
-                b_win = bx[:, lo : lo + W]
-            else:
-                b_win = np.concatenate(
-                    [np.full((B, -lo), -1, dtype=np.int64), bx[:, : W + lo]],
-                    axis=1)
-            a_col = ax[:, i - 1 : i]
-            sub = (b_win != a_col).astype(np.int64)
-            up = np.concatenate(
-                [prev[:, 1:], np.full((B, 1), _BIG, dtype=np.int64)],
-                axis=1) + 1
-            v = np.minimum(up, prev + sub)
-            v = np.where(j == 0, np.maximum(0, i - pb_), v)
-            v = np.where((j < 0) | (j > n), _BIG, v)
-            cur = np.minimum.accumulate(v - w_idx, axis=1) + w_idx
-            cur = np.where((j < 0) | (j > n), _BIG, cur)
-            keep = i <= m2
-            prev = np.where(keep, cur, prev)
-            # last-column candidates for rows i with m - i <= pe
-            wcol = n[:, 0] - i + (k + 1)
-            active = (i <= m) & (m - i <= pe_[:, 0]) & (wcol >= 0) & (wcol < W)
-            colvals = np.where(active,
-                               cur[np.arange(B), np.clip(wcol, 0, W - 1)],
-                               np.int64(1 << 60))
-            best_last_col = np.minimum(best_last_col, colvals)
-        # last-row minimum over j in [n - te, n]
-        jrow = np.arange(W, dtype=np.int64)[None, :]
-        jmap = m2 + jrow - (k + 1)
-        rowvals = np.where((jmap >= np.maximum(0, n - te_)) & (jmap <= n),
-                           prev, np.int64(1 << 60))
-        best = np.minimum(best_last_col, rowvals.min(axis=1))
+        if banded_runner is not None:
+            best = banded_runner(jobs, members, k)
+        else:
+            best = _ends_free_banded_numpy(jobs, members, k)
         for bi, idx in enumerate(members):
             p, t, pbv, pev, tbv, tev = jobs[idx]
             reach = max(abs(len(t) - len(p)), pbv, pev, tbv, tev)
@@ -536,8 +552,6 @@ def edit_ends_free_batch(jobs: Sequence[Tuple[str, str, int, int, int, int]]
                 else:
                     groups.setdefault(k2, []).append(idx)
     return out
-
-
 def affine_cigars_batch(pattern: str,
                         jobs: Sequence[Tuple[str, int, int, int, int]]
                         ) -> List[str]:

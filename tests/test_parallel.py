@@ -84,3 +84,38 @@ def test_mesh_kde_assemble_identical(tmp_path, monkeypatch):
     host = run("host", False)
     mesh = run("cpu", True)
     assert host == mesh
+
+
+def test_mesh_ends_free_matches_host():
+    """Engine ends_free in mesh mode (jnp pair-sharded banded pass) ==
+    host numpy ladder == scalar oracle (reassignment + band-seed jobs,
+    analignments.cpp:34-63 one-sided frees and general shapes)."""
+    import random
+
+    import numpy as np
+
+    from otter_tpu.kernels.edit_pallas import EditDistanceEngine
+    from otter_tpu.ops.align_batch import edit_ends_free_batch
+    from otter_tpu.ops.align_np import edit_distance_ends_free
+    from otter_tpu.parallel.mesh import make_mesh
+
+    rng = random.Random(77)
+    jobs = []
+    for _ in range(50):
+        p = "".join(rng.choice("ACGT") for _ in range(rng.randrange(1, 400)))
+        t = "".join(rng.choice("ACGT") for _ in range(rng.randrange(1, 400)))
+        ld = abs(len(p) - len(t))
+        kind = rng.randrange(4)
+        if kind == 0:
+            jobs.append((p, t, 0, 0, 0, ld))
+        elif kind == 1:
+            jobs.append((p, t, ld, 0, 0, 0))
+        elif kind == 2:
+            jobs.append((p, t, ld // 2, ld - ld // 2, 0, 0))
+        else:
+            jobs.append((p, t, 0, 0, ld // 2, ld - ld // 2))
+    eng = EditDistanceEngine(mode="jnp", mesh=make_mesh(8))
+    got = eng.ends_free(jobs)
+    want_host = edit_ends_free_batch(jobs)
+    want_scalar = [edit_distance_ends_free(*j) for j in jobs]
+    assert list(got) == list(want_host) == want_scalar
