@@ -312,16 +312,25 @@ def consensus_apply_batched(tasks: List["PoaTask"], engine=None) -> None:
         flat.extend(jobs)
     from ..utils import metrics
 
+    use_device = _affine_device_default(engine)
     dist_hints = None
-    if flat and engine is not None and getattr(engine, "mode", "") == "pallas":
+    # Band-seed hints are one extra device round trip; they pay for
+    # themselves when the cigars come from the device kernel (the hint
+    # picks the k bucket) but lose to the native ladder's own escalation
+    # through a high-latency tunnel (measured 2026-08-19: hints 127 ms vs
+    # native affine 64 ms on a 128-region batch). OTTER_TPU_AFFINE_HINTS
+    # =1/0 forces.
+    env_hints = os.environ.get("OTTER_TPU_AFFINE_HINTS", "")
+    want_hints = use_device if env_hints == "" else env_hints == "1"
+    if (flat and want_hints and engine is not None
+            and getattr(engine, "mode", "") == "pallas"):
         try:
             with metrics.phase("consensus_hints"):
                 dist_hints = engine.ends_free(flat)
         except Exception:
             dist_hints = None
     with metrics.phase("consensus_affine"):
-        cigars = affine_cigars_multi(flat,
-                                     use_device=_affine_device_default(engine),
+        cigars = affine_cigars_multi(flat, use_device=use_device,
                                      dist_hints=dist_hints)
     # native C++ PPOA (byte-identical to the python Ppoa oracle) on the
     # device paths; python remains the host-mode parity oracle

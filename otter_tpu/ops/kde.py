@@ -115,13 +115,11 @@ def _windowed_sums(densities: np.ndarray, radius: int) -> np.ndarray:
     return sums
 
 
-def kde_maximas(radius: int, densities: np.ndarray
-                ) -> Tuple[List[Tuple[int, float]], List[Tuple[int, float]]]:
-    """Alternating maxima/minima of windowed density sums (ankde.cpp:25-62).
-
-    The window at i sums densities[i-j] and densities[i+j] for j in
-    [1, radius) (clamped to the array), plus densities[i] itself.
-    """
+def kde_maximas_scan_ref(radius: int, densities: np.ndarray
+                         ) -> Tuple[List[Tuple[int, float]],
+                                    List[Tuple[int, float]]]:
+    """Reference sequential scan (ankde.cpp:25-62) — the oracle for the
+    vectorized kde_maximas below (randomized-equivalence tested)."""
     maxs: List[Tuple[int, float]] = []
     mins: List[Tuple[int, float]] = []
     n = len(densities)
@@ -143,6 +141,47 @@ def kde_maximas(radius: int, densities: np.ndarray
         last_sum_i = i
     if find_maxima:
         maxs.append((last_sum_i, last_sum))
+    return maxs, mins
+
+
+def kde_maximas(radius: int, densities: np.ndarray
+                ) -> Tuple[List[Tuple[int, float]], List[Tuple[int, float]]]:
+    """Alternating maxima/minima of windowed density sums (ankde.cpp:25-62).
+
+    The window at i sums densities[i-j] and densities[i+j] for j in
+    [1, radius) (clamped to the array), plus densities[i] itself.
+
+    Vectorized: the scan's events are exactly the sign changes of the
+    nonzero steps of sums[1..n-2] (initial hunting direction 'up', so a
+    leading fall is a change too); plateaus record the LAST index before
+    the change, which is where the step compares. Identical output to
+    kde_maximas_scan_ref for any input, ties/plateaus included.
+    """
+    n = len(densities)
+    if n < 3:
+        return kde_maximas_scan_ref(radius, densities)
+    sums = _windowed_sums(densities, radius)
+    x = sums[1 : n - 1]
+    steps = np.sign(np.diff(x))
+    nz = np.nonzero(steps)[0]  # step q compares x[q+1-?]... see below
+    maxs: List[Tuple[int, float]] = []
+    mins: List[Tuple[int, float]] = []
+    if len(nz):
+        sgn = steps[nz]
+        prev = np.concatenate(([1.0], sgn[:-1]))
+        ev = sgn != prev
+        # step at diff-index q compares x[q+1] vs x[q]; an event there
+        # records the previous value x[q] at absolute grid index q+1
+        ev_q = nz[ev]
+        ev_sgn = sgn[ev]
+        for q, sg in zip(ev_q, ev_sgn):
+            pair = (int(q) + 1, float(x[q]))
+            (maxs if sg < 0 else mins).append(pair)
+        find_maxima = sgn[-1] > 0
+    else:
+        find_maxima = True
+    if find_maxima:
+        maxs.append((n - 2, float(x[-1])))
     return maxs, mins
 
 

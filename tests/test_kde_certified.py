@@ -210,3 +210,26 @@ def test_scaled_soundness_sweep():
         assert _decision(vals, d64, bandwidth=bw) == \
             _decision(vals, dens64, bandwidth=bw), trial
     assert n_cert >= 200
+
+
+def test_kde_maximas_vectorized_equivalence():
+    """Vectorized kde_maximas == the sequential reference scan, ties and
+    plateaus included (ankde.cpp:25-62)."""
+    from otter_tpu.ops.kde import kde_maximas, kde_maximas_scan_ref
+
+    rng = random.Random(5)
+    for trial in range(300):
+        n = rng.randrange(3, 80)
+        kind = rng.randrange(4)
+        if kind == 0:
+            d = np.array([rng.random() for _ in range(n)])
+        elif kind == 1:
+            d = np.array([rng.choice([0.0, 0.1, 0.2, 0.2, 0.3])
+                          for _ in range(n)])
+        elif kind == 2:
+            d = np.zeros(n)
+            d[rng.randrange(n)] = 1.0
+        else:
+            d = np.full(n, rng.choice([0.0, 0.5]))
+        r = rng.randrange(1, 6)
+        assert kde_maximas(r, d) == kde_maximas_scan_ref(r, d), (trial, n, r)
