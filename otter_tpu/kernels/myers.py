@@ -99,6 +99,58 @@ def pack_myers_bucket(pairs: List[Tuple[str, str]], n_words: int,
     return peq, tpack, mlen, nlen, sel_word.astype(np.int32), sel_bit
 
 
+def pack_myers_packed(pairs: List[Tuple[str, str]], n_words: int,
+                      text_len: int, batch_pad: int = 128):
+    """Packed-pattern bucket layout (numpy oracle for the native packer and
+    the _myers_kernel_packed device expansion): the pattern is 2-bit packed
+    exactly like the text — char i -> bits 2(i%16)..2(i%16)+1 of word i//16,
+    padding packs as 'A' (harmless: Myers' dataflow is strictly
+    low-row -> high-row, so rows past m-1 never reach the scored row).
+
+    Returns:
+      ppack:(2*n_words, B) uint32   tpack:(ceil(text_len/16), B) uint32
+      mlen, nlen: (B,) int32
+    """
+    B = len(pairs)
+    Bp = ((B + batch_pad - 1) // batch_pad) * batch_pad
+    n_twords = (text_len + 15) // 16
+    n_pwords = 2 * n_words
+    code_of = np.full(256, 255, dtype=np.uint8)
+    for byte, c in _ACGT.items():
+        code_of[byte] = c
+    mlen = np.zeros(Bp, dtype=np.int32)
+    nlen = np.zeros(Bp, dtype=np.int32)
+    pats: List[str] = []
+    txts: List[str] = []
+    for x, y in pairs:
+        pat, txt = (x, y) if len(x) <= len(y) else (y, x)
+        pats.append(pat)
+        txts.append(txt)
+    mlen[:B] = [len(p) for p in pats]
+    nlen[:B] = [len(t) for t in txts]
+    assert B == 0 or (mlen[:B].min() > 0 and mlen[:B].max() <= n_words * WORD
+                      and nlen[:B].max() <= text_len)
+    pad = b"\xff"
+
+    def _codes(seqs: List[str], L: int) -> np.ndarray:
+        padrow = pad * L
+        buf = b"".join(s.encode() + padrow[len(s):] for s in seqs)
+        buf += padrow * (Bp - len(seqs))
+        return code_of[np.frombuffer(buf, np.uint8).reshape(Bp, L)]
+
+    def _pack2(codes: np.ndarray, nw: int) -> np.ndarray:
+        cc = np.where(codes == 255, 0, codes)
+        bits = np.empty((Bp, nw * 16, 2), dtype=bool)
+        bits[:, :, 0] = (cc & 1).astype(bool)
+        bits[:, :, 1] = (cc >> 1).astype(bool)
+        packed = np.packbits(bits.reshape(Bp, -1), axis=1, bitorder="little")
+        return packed.view(np.uint32).T.copy()
+
+    ppack = _pack2(_codes(pats, n_pwords * 16), n_pwords)
+    tpack = _pack2(_codes(txts, n_twords * 16), n_twords)
+    return ppack, tpack, mlen, nlen
+
+
 def myers_numpy(peq: np.ndarray, tpack: np.ndarray, mlen: np.ndarray,
                 nlen: np.ndarray, sel_word: np.ndarray, sel_bit: np.ndarray,
                 text_len: int) -> np.ndarray:

@@ -46,24 +46,16 @@ def _carry_out(a, b, s):
     return _msb1((a & b) | ((a | b) & ~s))
 
 
-def _myers_kernel(peq_ref, tpack_ref, nlen_ref, sel_ref, minit_ref, out_ref,
-                  pv_ref, mv_ref, *, n_words: int, text_len: int):
-    neg1 = jnp.int32(-1)
+def _strip_phase(peq_ref, sel_ref, tpack_ref, nlen, score0, out_ref,
+                 pv_ref, mv_ref, *, n_words: int, text_len: int):
+    """Main text loop shared by the plane-input and packed-pattern kernels:
+    peq_ref/sel_ref may be VMEM inputs or VMEM scratch (already filled)."""
     zero = jnp.int32(0)
     one = jnp.int32(1)
     C = CSTRIP
 
-    nlen = nlen_ref[:, :]
-    score0 = minit_ref[:, :]
     zeros = jnp.zeros((TB, LANES), dtype=jnp.int32)
     ones = jnp.full((TB, LANES), 1, dtype=jnp.int32)
-
-    def init_word(w, _):
-        pv_ref[pl.ds(w * TB, TB), :] = jnp.full((TB, LANES), neg1, jnp.int32)
-        mv_ref[pl.ds(w * TB, TB), :] = zeros
-        return 0
-
-    jax.lax.fori_loop(0, n_words, init_word, 0)
 
     n_strips = (text_len + C - 1) // C  # strips never cross a 16-char word
 
@@ -128,6 +120,68 @@ def _myers_kernel(peq_ref, tpack_ref, nlen_ref, sel_ref, minit_ref, out_ref,
     out_ref[:, :] = captured
 
 
+def _myers_kernel(peq_ref, tpack_ref, nlen_ref, sel_ref, minit_ref, out_ref,
+                  pv_ref, mv_ref, *, n_words: int, text_len: int):
+    neg1 = jnp.int32(-1)
+    zeros = jnp.zeros((TB, LANES), dtype=jnp.int32)
+
+    def init_word(w, _):
+        pv_ref[pl.ds(w * TB, TB), :] = jnp.full((TB, LANES), neg1, jnp.int32)
+        mv_ref[pl.ds(w * TB, TB), :] = zeros
+        return 0
+
+    jax.lax.fori_loop(0, n_words, init_word, 0)
+    _strip_phase(peq_ref, sel_ref, tpack_ref, nlen_ref[:, :],
+                 minit_ref[:, :], out_ref, pv_ref, mv_ref,
+                 n_words=n_words, text_len=text_len)
+
+
+def _myers_kernel_packed(ppack_ref, tpack_ref, nlen_ref, minit_ref, out_ref,
+                         pv_ref, mv_ref, peq_ref, sel_ref, *, n_words: int,
+                         text_len: int):
+    """Packed-pattern variant: the pattern arrives 2-bit packed (16 chars
+    per int32, same scheme as the text) and the 4 Peq planes + the score-row
+    sel mask are expanded into VMEM scratch here — 2*n_words words/pair over
+    the HBM (and host->device) link instead of peq+sel's 5*n_words.
+
+    Pattern padding packs as 'A' (code 0), so Peq rows past m-1 hold garbage
+    matches; harmless, because every dataflow in Myers' recurrence (the
+    addition's carries, the Ph/Mh left shifts, the inter-word carry chain)
+    moves strictly from lower rows to higher rows — the scored row m-1 can
+    never observe rows above it."""
+    neg1 = jnp.int32(-1)
+    zeros = jnp.zeros((TB, LANES), dtype=jnp.int32)
+    score0 = minit_ref[:, :]
+    m1 = jnp.maximum(score0 - 1, 0)
+    sel_w = m1 // 32
+    sel_b = jnp.where(score0 > 0,
+                      jax.lax.shift_left(jnp.full_like(score0, 1), m1 & 31),
+                      0)
+
+    def init_word(w, _):
+        pv_ref[pl.ds(w * TB, TB), :] = jnp.full((TB, LANES), neg1, jnp.int32)
+        mv_ref[pl.ds(w * TB, TB), :] = zeros
+        p0 = ppack_ref[pl.ds((2 * w) * TB, TB), :]
+        p1 = ppack_ref[pl.ds((2 * w + 1) * TB, TB), :]
+        accs = [zeros, zeros, zeros, zeros]
+        for half, pw in ((0, p0), (1, p1)):
+            for c in range(16):
+                ch = jax.lax.shift_right_logical(
+                    pw, jnp.int32(2 * c)) & 3 if c else pw & 3
+                k = half * 16 + c
+                bit = jnp.int32(-(1 << 31)) if k == 31 else jnp.int32(1 << k)
+                for x in range(4):
+                    accs[x] = accs[x] | jnp.where(ch == x, bit, 0)
+        for x in range(4):
+            peq_ref[pl.ds((x * n_words + w) * TB, TB), :] = accs[x]
+        sel_ref[pl.ds(w * TB, TB), :] = jnp.where(sel_w == w, sel_b, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_words, init_word, 0)
+    _strip_phase(peq_ref, sel_ref, tpack_ref, nlen_ref[:, :], score0,
+                 out_ref, pv_ref, mv_ref, n_words=n_words, text_len=text_len)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_words", "text_len", "interpret"))
 def myers_pallas(peq: jnp.ndarray, tpack: jnp.ndarray, nlen: jnp.ndarray,
@@ -174,6 +228,49 @@ def myers_pallas(peq: jnp.ndarray, tpack: jnp.ndarray, nlen: jnp.ndarray,
     )(peq, tpack, nlen, sel, minit)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n_words", "text_len", "interpret"))
+def myers_pallas_packed(ppack: jnp.ndarray, tpack: jnp.ndarray,
+                        nlen: jnp.ndarray, minit: jnp.ndarray,
+                        n_words: int, text_len: int,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Packed-pattern launch; same plane layout as myers_pallas but the
+    pattern input is ppack: (n_prog * 2 * n_words * TB, 128) int32 and the
+    Peq/sel planes live in VMEM scratch (see _myers_kernel_packed)."""
+    n_prog = nlen.shape[0] // TB
+    n_twords = (text_len + 15) // 16
+    kernel = functools.partial(_myers_kernel_packed, n_words=n_words,
+                               text_len=text_len)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((2 * n_words * TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_twords * TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_prog * TB, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((n_words * TB, LANES), jnp.int32),
+            pltpu.VMEM((n_words * TB, LANES), jnp.int32),
+            pltpu.VMEM((4 * n_words * TB, LANES), jnp.int32),
+            pltpu.VMEM((n_words * TB, LANES), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=n_prog * PAIRS_PER_PROG * text_len * n_words * 40,
+            bytes_accessed=(ppack.size + tpack.size) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(ppack, tpack, nlen, minit)
+
+
 def _to_planes(arr_b: np.ndarray, n_prog: int) -> np.ndarray:
     """(..., B) -> (n_prog * prod(...) * TB, 128) row-major per program."""
     lead = arr_b.shape[:-1]
@@ -215,13 +312,53 @@ def pack_for_pallas(pairs: List[Tuple[str, str]], n_words: int,
     return peq_flat, tpack_flat, nlen_flat, sel_flat, minit_flat, n_prog
 
 
+def pack_for_pallas_packed(pairs: List[Tuple[str, str]], n_words: int,
+                           text_len: int, batch_pad: int = PAIRS_PER_PROG):
+    """Pack a pair bucket in the packed-pattern layout (ppack, tpack, nlen,
+    minit, n_prog). Native C++ packer first; numpy fallback packs the
+    pattern with the same 2-bit np.packbits scheme the text uses."""
+    if os.environ.get("OTTER_TPU_NATIVE_PACK", "1") == "1":
+        try:
+            from ..native import myers_pack_packed
+
+            return myers_pack_packed(pairs, n_words, text_len,
+                                     pad_to=max(batch_pad, PAIRS_PER_PROG))
+        except Exception:
+            pass
+    from .myers import pack_myers_packed
+
+    ppack, tpack, mlen, nlen = pack_myers_packed(
+        pairs, n_words, text_len, batch_pad=batch_pad)
+    B = ppack.shape[1]
+    n_prog = B // PAIRS_PER_PROG
+    ppack_flat = _to_planes(ppack.view(np.int32), n_prog)
+    tpack_flat = _to_planes(tpack.view(np.int32), n_prog)
+    nlen_flat = _to_planes(nlen[None, :], n_prog)
+    minit_flat = _to_planes(mlen[None, :], n_prog)
+    return ppack_flat, tpack_flat, nlen_flat, minit_flat, n_prog
+
+
 def myers_dispatch(pairs: List[Tuple[str, str]], n_words: int,
                    text_len: int, interpret: bool = False,
                    pad_to: int = PAIRS_PER_PROG):
     """Pack + launch asynchronously; returns the device array (plane layout
     row-major (prog, sublane, lane) == pair order). Collect with
     ``np.asarray(out).reshape(-1)[:len(pairs)]``. ``pad_to`` rounds the
-    batch up to a fixed program count so compile shapes stay few."""
+    batch up to a fixed program count so compile shapes stay few.
+
+    Default route is the packed-pattern kernel (2-bit pattern expanded to
+    Peq on device — ~40% fewer H2D bytes); OTTER_TPU_MYERS_PACKED=0 forces
+    the plane-input kernel, and any packed-path failure falls back to it.
+    """
+    if os.environ.get("OTTER_TPU_MYERS_PACKED", "1") == "1":
+        try:
+            ppack, tpack, nlen, minit, n_prog = pack_for_pallas_packed(
+                pairs, n_words, text_len, batch_pad=pad_to)
+            return myers_pallas_packed(
+                jnp.asarray(ppack), jnp.asarray(tpack), jnp.asarray(nlen),
+                jnp.asarray(minit), n_words, text_len, interpret=interpret)
+        except Exception:
+            pass
     peq, tpack, nlen, sel, minit, n_prog = pack_for_pallas(
         pairs, n_words, text_len, batch_pad=pad_to)
     return myers_pallas(jnp.asarray(peq), jnp.asarray(tpack),

@@ -130,6 +130,17 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_uint32),     # sel
                 ctypes.POINTER(ctypes.c_int32),      # minit
             ]
+            lib.otter_myers_pack_packed.restype = None
+            lib.otter_myers_pack_packed.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),      # buf
+                ctypes.POINTER(ctypes.c_int64),      # offs
+                ctypes.c_int32, ctypes.c_int32,      # n_pairs, n_words
+                ctypes.c_int32, ctypes.c_int32,      # n_twords, n_threads
+                ctypes.POINTER(ctypes.c_uint32),     # ppack
+                ctypes.POINTER(ctypes.c_uint32),     # tpack
+                ctypes.POINTER(ctypes.c_int32),      # nlen
+                ctypes.POINTER(ctypes.c_int32),      # minit
+            ]
             _lib = lib
         return _lib
 
@@ -473,3 +484,54 @@ def myers_pack_planes(pairs: List[Tuple[str, str]], n_words: int,
         pu32(peq), pu32(tpack), pi32(nlen), pu32(sel), pi32(minit))
     return (peq.view(np.int32), tpack.view(np.int32), nlen,
             sel.view(np.int32), minit, n_prog)
+
+
+def _pair_blob(pairs: List[Tuple[str, str]]):
+    """Concatenate pair strings into (buf, offs) for the native packers."""
+    B = len(pairs)
+    offs = np.zeros(2 * B + 1, dtype=np.int64)
+    blobs = []
+    pos = 0
+    for i, (a, b) in enumerate(pairs):
+        ab = a.encode("latin-1")
+        bb = b.encode("latin-1")
+        blobs.append(ab)
+        blobs.append(bb)
+        offs[2 * i + 1] = pos + len(ab)
+        offs[2 * i + 2] = pos + len(ab) + len(bb)
+        pos += len(ab) + len(bb)
+    buf = np.frombuffer(b"".join(blobs) + b"\x00", dtype=np.uint8)
+    return buf, offs
+
+
+def myers_pack_packed(pairs: List[Tuple[str, str]], n_words: int,
+                      text_len: int, pad_to: int = 1024,
+                      n_threads: int = 0):
+    """Pack a Myers bucket in the packed-pattern plane layout: the pattern
+    ships 2-bit packed (2*n_words words/pair instead of the 5*n_words of
+    peq+sel); the Pallas kernel expands Peq/sel into VMEM scratch on device.
+
+    Returns (ppack, tpack, nlen, minit, n_prog) as int32 (..., 128) arrays.
+    """
+    lib = get_lib()
+    B = len(pairs)
+    Bp = ((B + pad_to - 1) // pad_to) * pad_to
+    n_prog = max(1, Bp // 1024)
+    n_twords = (text_len + 15) // 16
+    n_pwords = 2 * n_words
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    buf, offs = _pair_blob(pairs)
+    ppack = np.zeros((n_prog * n_pwords * 8, 128), dtype=np.uint32)
+    tpack = np.zeros((n_prog * n_twords * 8, 128), dtype=np.uint32)
+    nlen = np.zeros((n_prog * 8, 128), dtype=np.int32)
+    minit = np.zeros((n_prog * 8, 128), dtype=np.int32)
+    lib.otter_myers_pack_packed(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        B, n_words, n_twords, n_threads,
+        ppack.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        tpack.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        nlen.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        minit.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return (ppack.view(np.int32), tpack.view(np.int32), nlen, minit, n_prog)

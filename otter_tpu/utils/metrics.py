@@ -26,6 +26,19 @@ def add(counter: str, n: int = 1) -> None:
     _counts[counter] += n
 
 
+def reset() -> None:
+    """Clear accumulated timers/counters (profiling: isolate a steady-state
+    pass from warmup/compile time)."""
+    _times.clear()
+    _counts.clear()
+
+
+def snapshot() -> Dict[str, float]:
+    out: Dict[str, float] = {f"time.{k}": v for k, v in _times.items()}
+    out.update({f"count.{k}": float(v) for k, v in _counts.items()})
+    return out
+
+
 @contextlib.contextmanager
 def phase(name: str):
     t0 = time.perf_counter()

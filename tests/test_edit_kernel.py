@@ -215,3 +215,69 @@ def test_native_pack_planes_matches_numpy():
     for i in range(5):
         assert ref[i].shape == nat[i].shape
         assert (ref[i] == nat[i]).all()
+
+
+def test_native_pack_packed_matches_numpy():
+    """The packed-pattern C++ packer (native.myers_pack_packed) must match
+    the numpy pack_myers_packed + plane conversion bit-for-bit."""
+    import os
+
+    from otter_tpu.kernels import myers_pallas as mp
+    from otter_tpu.native import myers_pack_packed
+
+    rng = random.Random(1234)
+
+    def acgt(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    pairs = []
+    for _ in range(700):
+        m = rng.randint(1, 500)
+        n = rng.randint(m, 512)
+        p = (acgt(m), acgt(n))
+        pairs.append(p if rng.random() < 0.5 else (p[1], p[0]))
+    pairs.append((acgt(7), acgt(7)))  # tie -> pattern = x
+    old = os.environ.get("OTTER_TPU_NATIVE_PACK")
+    os.environ["OTTER_TPU_NATIVE_PACK"] = "0"
+    try:
+        ref = mp.pack_for_pallas_packed(pairs, 16, 512, batch_pad=1024)
+    finally:
+        if old is None:
+            del os.environ["OTTER_TPU_NATIVE_PACK"]
+        else:
+            os.environ["OTTER_TPU_NATIVE_PACK"] = old
+    nat = myers_pack_packed(pairs, 16, 512, pad_to=1024)
+    assert ref[4] == nat[4]
+    for i in range(4):
+        assert ref[i].shape == nat[i].shape
+        assert (ref[i] == nat[i]).all()
+
+
+def test_myers_packed_kernel_interpret():
+    """Packed-pattern kernel (on-device Peq/sel expansion) must equal the
+    plane-input kernel and the exact DP on ACGT pairs, including word
+    boundaries (m = 31, 32, 33...) and padded slots."""
+    import jax.numpy as jnp
+
+    from otter_tpu.kernels import myers_pallas as mp
+
+    rng = random.Random(4321)
+
+    def acgt(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    pairs = []
+    for m in (1, 2, 31, 32, 33, 63, 64, 65, 120):
+        s = acgt(m)
+        pairs.append((s, mutate(rng, s, 0.1)))
+    for _ in range(40):
+        m = rng.randint(1, 128)
+        n = rng.randint(m, 256)
+        pairs.append((acgt(m), acgt(n)))
+    ppack, tpack, nlen, minit, n_prog = mp.pack_for_pallas_packed(
+        pairs, 4, 256, batch_pad=mp.PAIRS_PER_PROG)
+    got = np.asarray(mp.myers_pallas_packed(
+        jnp.asarray(ppack), jnp.asarray(tpack), jnp.asarray(nlen),
+        jnp.asarray(minit), 4, 256, interpret=True)).reshape(-1)[:len(pairs)]
+    want = [edit_distance(a, b) for a, b in pairs]
+    assert got.tolist() == want
