@@ -97,7 +97,10 @@ def bench_regions():
 
     from bench_e2e import build_fixture, run
 
-    n_regions = int(os.environ.get("BENCH_REGIONS", "64"))
+    # 128 regions reaches the pipeline's steady state (one full region
+    # batch); 64 under-reports by ~35% because fixed per-run overheads
+    # (backend setup, header pass) dominate the short run
+    n_regions = int(os.environ.get("BENCH_REGIONS", "128"))
     with tempfile.TemporaryDirectory() as tmp:
         bam, bed = build_fixture(tmp, n_regions=n_regions)
         run("auto", bam, bed)  # warmup (compiles every bucket shape)

@@ -24,6 +24,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def main(outdir: str = "demo_out") -> None:
     os.makedirs(outdir, exist_ok=True)
+    # preflight: never let the demo hang on a dead accelerator tunnel
+    # (process-level jax init can stall for minutes; see utils/preflight.py)
+    from otter_tpu.utils.preflight import wait_for_device
+    if wait_for_device(retries=1, timeout_s=45, sleep_s=5) not in \
+            ("tpu", "axon"):
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        os.environ["JAX_PLATFORMS"] = "cpu"
     from fixtures import make_reference, simulate_region_bam, write_fasta, \
         make_bam, read_record
     from otter_tpu.config import OtterOpts

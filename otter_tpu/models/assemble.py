@@ -320,7 +320,7 @@ def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
             total_vals = sum(len(v) for _si, v, _b in kde_regions)
             use_device_kde = total_vals * 401 >= 2_000_000
     if kde_regions and use_device_kde:
-        from ..ops.kde import (kde_decision_certified_scaled,
+        from ..ops.kde import (kde_decision_certified_scaled_batch,
                                kde_densities_batched, kde_grid)
 
         with metrics.phase("device_dispatch"):
@@ -333,9 +333,11 @@ def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
             radius = max(1, int(params.max_error / 0.0025))
             fallback = []
             with metrics.phase("kde_certify"):
+                certs = kde_decision_certified_scaled_batch(
+                    scaled_list, [v for _si, v, _b in kde_regions],
+                    [b for _si, _v, b in kde_regions], radius)
                 for r, (si, v, b) in enumerate(kde_regions):
-                    ok, d64 = kde_decision_certified_scaled(
-                        scaled_list[r][0], scaled_list[r][1], v, b, radius)
+                    ok, d64 = certs[r]
                     if ok:
                         region_dens[si] = d64
                     else:
@@ -385,8 +387,14 @@ def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
                 pool_ef.extend(ef_j)
         region_jobs.append((work, distmatrix, clustmsg, labels, info))
     with metrics.phase("device_dispatch"):
-        e2e_d = dist_backend.engine.distances(pool_e2e) if pool_e2e else []
+        # launch the End2End pool asynchronously, run the ends-free pool
+        # while it's in flight, then collect: the two dispatches share one
+        # device round-trip latency instead of paying it twice
+        e2e_h = (dist_backend.engine.distances_async(pool_e2e)
+                 if pool_e2e else None)
         ef_d = dist_backend.engine.ends_free(pool_ef) if pool_ef else []
+        e2e_d = (dist_backend.engine.distances_collect(e2e_h)
+                 if e2e_h is not None else [])
     metrics.add("pair_alignments", len(pool_e2e) + len(pool_ef))
 
     staged = []

@@ -101,16 +101,18 @@ def kde_densities_batched(value_lists, bandwidths, xs: np.ndarray):
 def _windowed_sums(densities: np.ndarray, radius: int) -> np.ndarray:
     """Windowed sums at every grid cell, adding terms in EXACTLY the
     reference's order (d[i], then d[i-1]..d[i-r+1], then d[i+1]..d[i+r-1])
-    so float64 accumulation is bit-identical (ankde.cpp:31-44)."""
+    so float64 accumulation is bit-identical (ankde.cpp:31-44). Accepts a
+    (G,) grid or an (R, G) batch of grids (the shifts run along the last
+    axis, so every row's accumulation order is identical to the 1-D call)."""
     d = np.asarray(densities, dtype=np.float64)
     sums = d.copy()
     for j in range(1, radius):
         shifted = np.zeros_like(d)
-        shifted[j:] = d[:-j]
+        shifted[..., j:] = d[..., :-j]
         sums += shifted
     for j in range(1, radius):
         shifted = np.zeros_like(d)
-        shifted[:-j] = d[j:]
+        shifted[..., :-j] = d[..., j:]
         sums += shifted
     return sums
 
@@ -303,17 +305,109 @@ def kde_decision_certified_scaled(mexp: np.ndarray, mant: np.ndarray,
     ok = (gap > tol) | ((gap == 0.0) & (tol == 0.0))
     if not np.all(ok):
         return False, None
-    maxs, _mins = kde_maximas(radius, d)
-    if len(maxs) > 2:
-        idxs = np.asarray([i for i, _v in maxs], dtype=np.int64)
-        vals = np.asarray([v for _i, v in maxs], dtype=np.float64)
-        diff = np.abs(vals[:, None] - vals[None, :])
-        usums_abs = _windowed_sums(u_abs, radius)
-        tolm = usums_abs[idxs][:, None] + usums_abs[idxs][None, :]
-        iu = np.triu_indices(len(vals), k=1)
-        if np.any(np.abs(diff[iu] - 0.01) <= tolm[iu]):
-            return False, None
+    if not _peaks_certified(d, u_abs, radius):
+        return False, None
     return True, d
+
+
+def _peaks_certified(d: np.ndarray, u_abs: np.ndarray, radius: int) -> bool:
+    """The >2-peak 0.01 near-tie comparisons of the decision surface
+    (otterclust.cpp:51-115): no pairwise peak-density difference may approach
+    the threshold within the windowed absolute-uncertainty tolerance."""
+    maxs, _mins = kde_maximas(radius, d)
+    if len(maxs) <= 2:
+        return True
+    idxs = np.asarray([i for i, _v in maxs], dtype=np.int64)
+    vals = np.asarray([v for _i, v in maxs], dtype=np.float64)
+    diff = np.abs(vals[:, None] - vals[None, :])
+    usums_abs = _windowed_sums(u_abs, radius)
+    tolm = usums_abs[idxs][:, None] + usums_abs[idxs][None, :]
+    iu = np.triu_indices(len(vals), k=1)
+    return not np.any(np.abs(diff[iu] - 0.01) <= tolm[iu])
+
+
+def kde_decision_certified_scaled_batch(scaled_list, value_lists, bandwidths,
+                                        radius: int):
+    """Vectorized kde_decision_certified_scaled over many regions.
+
+    One (R, G) pass performs the reconstruction, windowed sums, and margin
+    checks for the whole batch; results are bit-identical to the per-region
+    call for every region (elementwise f64 ops are identical per cell, the
+    row reduction of a C-contiguous last axis uses the same pairwise
+    summation tree as the 1-D call, and _windowed_sums shifts along the last
+    axis in the same order). Regions with sub-1e-150 cells (oracle-recompute
+    path) fall back to the scalar call; the >2-peak near-tie check runs
+    per surviving region (rare, loop only over events).
+
+    Returns a list of (ok, d64-or-None) like the scalar function."""
+    R = len(scaled_list)
+    results: list = [(False, None)] * R
+    if R == 0:
+        return results
+    G = len(scaled_list[0][0])
+    gen = [r for r in range(R)
+           if len(scaled_list[r][0]) == G and len(value_lists[r]) > 0]
+    for r in range(R):
+        if r not in gen:  # ragged grid or empty values: scalar path
+            results[r] = kde_decision_certified_scaled(
+                scaled_list[r][0], scaled_list[r][1], value_lists[r],
+                bandwidths[r], radius)
+    if not gen:
+        return results
+    M = np.stack([np.asarray(scaled_list[r][0], dtype=np.float64)
+                  for r in gen])
+    S = np.stack([np.asarray(scaled_list[r][1], dtype=np.float64)
+                  for r in gen])
+    nv = np.asarray([len(value_lists[r]) for r in gen], dtype=np.float64)
+    bw = np.asarray([bandwidths[r] for r in gen], dtype=np.float64)
+    c = _INV_SQRT_2PI / (bw * nv)
+    with np.errstate(under="ignore"):
+        raw = c[:, None] * np.exp(np.where(M < -745.0, -np.inf, M)) * S
+    tiny = raw < _TINY_D
+    # vectorized tiny-cell oracle recompute (the scalar path's
+    # _kde_dens_unnormalized per region): every tiny (row, cell) reduces
+    # over that region's n values — flat-gathered and grouped by n so one
+    # numpy call covers a whole group, each element reducing the same
+    # contiguous length-n axis (same pairwise tree, same elementwise f64
+    # ops) as the scalar call
+    if np.any(tiny):
+        xs = kde_grid(0.0025)[:G]
+        by_n: dict = {}
+        for bi in np.nonzero(np.any(tiny, axis=1))[0]:
+            by_n.setdefault(len(value_lists[gen[bi]]), []).append(int(bi))
+        for n_val, rows in by_n.items():
+            rr, cc = np.nonzero(tiny[rows])
+            rsel = np.asarray(rows, dtype=np.int64)[rr]
+            V = np.stack([np.asarray(value_lists[gen[bi]], dtype=np.float64)
+                          for bi in rows])
+            z = (xs[cc][:, None] - V[rr]) / bw[rsel][:, None]
+            vals = np.sum(_INV_SQRT_2PI * np.exp(-(z * z) / 2.0), axis=1) \
+                / (bw[rsel] * n_val)
+            raw[rsel, cc] = vals
+    total = np.sum(raw, axis=1)
+    bad = ~np.isfinite(total) | (total <= 0.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        d = raw / total[:, None]
+        u_cmp = np.where(tiny, 1e-15 * d, (3e-6 * np.abs(M) + 2e-5) * d)
+        u_abs = u_cmp + 1e-4 * d
+    sums = _windowed_sums(np.where(bad[:, None], 0.0, d), radius)
+    usums = _windowed_sums(np.where(bad[:, None], 0.0, u_cmp), radius)
+    a = sums[:, 1 : G - 2]
+    b = sums[:, 2 : G - 1]
+    tol = usums[:, 1 : G - 2] + usums[:, 2 : G - 1]
+    gap = np.abs(b - a)
+    okm = (gap > tol) | ((gap == 0.0) & (tol == 0.0))
+    row_ok = np.all(okm, axis=1)
+    for bi, r in enumerate(gen):
+        if bad[bi]:
+            results[r] = (False, None)
+        elif not row_ok[bi]:
+            results[r] = (False, None)
+        elif not _peaks_certified(d[bi], u_abs[bi], radius):
+            results[r] = (False, None)
+        else:
+            results[r] = (True, d[bi])
+    return results
 
 
 def kde_decision_certified(dens_f32: np.ndarray, values: np.ndarray,

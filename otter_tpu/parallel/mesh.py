@@ -138,6 +138,7 @@ def pooled_kde_scaled(value_lists, bandwidths,
     from ..ops.kde import kde_grid
 
     xs32 = kde_grid(dinterval).astype(np.float32)
+    G = len(xs32)
     out = [None] * len(value_lists)
     buckets: dict = {}
     for i, v in enumerate(value_lists):
@@ -146,6 +147,8 @@ def pooled_kde_scaled(value_lists, bandwidths,
             n_pad *= 2
         buckets.setdefault(n_pad, []).append(i)
     devs = jax.devices()
+    chunks = []  # device (Rp, 2G) blocks, one per bucket
+    spans = []   # (idxs, Rp)
     for n_pad, idxs in sorted(buckets.items()):
         R = len(idxs)
         Rp = ((R + len(devs) - 1) // len(devs)) * len(devs)
@@ -167,10 +170,18 @@ def pooled_kde_scaled(value_lists, bandwidths,
             m, s = kde_tree_step_scaled(jnp.asarray(V), jnp.asarray(nv),
                                         jnp.asarray(bwv), jnp.asarray(xs32),
                                         n_pad)
-        m = np.asarray(m)
-        s = np.asarray(s)
+        chunks.append(jnp.concatenate([m, s], axis=1))
+        spans.append((idxs, Rp))
+    # ONE host materialization for every bucket: the device->host sync has
+    # high fixed latency on tunneled TPUs, so never materialize per bucket
+    flat = np.asarray(chunks[0] if len(chunks) == 1
+                      else jnp.concatenate(chunks, axis=0))
+    row = 0
+    for idxs, Rp in spans:
+        block = flat[row : row + Rp]
+        row += Rp
         for r, i in enumerate(idxs):
-            out[i] = (m[r], s[r])
+            out[i] = (block[r, :G], block[r, G:])
     return out
 
 

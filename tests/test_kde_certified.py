@@ -233,3 +233,43 @@ def test_kde_maximas_vectorized_equivalence():
             d = np.full(n, rng.choice([0.0, 0.5]))
         r = rng.randrange(1, 6)
         assert kde_maximas(r, d) == kde_maximas_scan_ref(r, d), (trial, n, r)
+
+def test_scaled_batch_matches_scalar_bitwise():
+    """kde_decision_certified_scaled_batch must return byte-identical
+    results to the per-region scalar call for every region (the assemble
+    pipeline's batched certify path)."""
+    from otter_tpu.ops.kde import (kde_decision_certified_scaled,
+                                   kde_decision_certified_scaled_batch)
+
+    rng = random.Random(77)
+    scaled, vlists, bws = [], [], []
+    for trial in range(60):
+        n = rng.randrange(3, 40)
+        shape = rng.randrange(4)
+        if shape == 0:
+            vals = [rng.uniform(0.0, 1.0) for _ in range(n)]
+        elif shape == 1:
+            vals = [round(rng.uniform(0.0, 1.0), rng.choice([1, 2, 3]))
+                    for _ in range(n)]
+        elif shape == 2:
+            c = rng.uniform(0.0, 0.9)
+            vals = [min(1.0, max(0.0, rng.gauss(c, 0.01))) for _ in range(n)]
+        else:  # separated clusters: exercises the tiny-cell scalar fallback
+            c1, c2 = rng.uniform(0, 0.05), rng.uniform(0.4, 1.0)
+            vals = [c1] * (n // 2 + 1) + [c2] * (n // 2 + 1)
+        vals = np.asarray(vals, dtype=np.float64)
+        bw = rng.choice([0.01, 0.015, 0.05])
+        m, s = _tree_scaled_host(vals, bw)
+        scaled.append((m, s))
+        vlists.append(vals)
+        bws.append(bw)
+    got = kde_decision_certified_scaled_batch(scaled, vlists, bws, 4)
+    for r in range(len(scaled)):
+        ok, d64 = kde_decision_certified_scaled(
+            scaled[r][0], scaled[r][1], vlists[r], bws[r], 4)
+        gok, gd = got[r]
+        assert gok == ok, r
+        if ok:
+            assert gd.tobytes() == d64.tobytes(), r
+        else:
+            assert gd is None, r
