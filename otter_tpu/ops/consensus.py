@@ -332,6 +332,32 @@ def consensus_apply_batched(tasks: List["PoaTask"], engine=None) -> None:
     with metrics.phase("consensus_affine"):
         cigars = affine_cigars_multi(flat, use_device=use_device,
                                      dist_hints=dist_hints)
+    # device heaviest-path DP (ops/poa_device.py): graphs build on host,
+    # the consensus DP of the whole allele batch runs as one jnp dispatch.
+    # Opt-in (OTTER_TPU_POA_DEVICE=1): the native C++ batch PPOA below wins
+    # end-to-end on CPU hosts/tunnels because the graph build dominates;
+    # this path targets direct-attached accelerators with large pooled
+    # batches. Output is byte-identical either way (parity-tested).
+    if tasks and os.environ.get("OTTER_TPU_POA_DEVICE", "") == "1":
+        try:
+            from .poa_device import poa_consensus_device_batch
+
+            with metrics.phase("consensus_poa"):
+                poas = []
+                for task, s, n in spans:
+                    poa = Ppoa(task.rep_read.seq)
+                    for seq, cigar, sl, sr in task.resolved_members(
+                            cigars[s : s + n]):
+                        poa.insert_alignment(seq, cigar, sl, sr)
+                    poa.adjust_weights(task.prune_c(), float(np.float32(0.3)))
+                    poas.append(poa)
+                mesh = getattr(engine, "mesh", None)
+                seqs = poa_consensus_device_batch(poas, mesh=mesh)
+            for (task, _s, _n), seq in zip(spans, seqs):
+                task.allele.seq = seq if seq else "N"
+            return
+        except Exception:
+            pass  # device unavailable: native/python paths below
     # native C++ PPOA (byte-identical to the python Ppoa oracle) on the
     # device paths; python remains the host-mode parity oracle
     use_native = (engine is not None

@@ -144,3 +144,18 @@ def test_assemble_threads_pool_identical(het_fixture, monkeypatch):
     assemble(het_fixture["bam"], het_fixture["bed"], "", False, params,
              out=out3)
     assert out1.getvalue() == out3.getvalue()
+
+
+def test_assemble_device_poa_identical(het_fixture, monkeypatch):
+    """OTTER_TPU_POA_DEVICE=1 (jnp heaviest-path DP, ops/poa_device.py)
+    produces byte-identical output to the host oracle."""
+    base_params = _params()
+    out1 = io.StringIO()
+    assemble(het_fixture["bam"], het_fixture["bed"], "", False, base_params,
+             out=out1)
+    monkeypatch.setenv("OTTER_TPU_POA_DEVICE", "1")
+    params = _params(device="cpu")
+    out2 = io.StringIO()
+    assemble(het_fixture["bam"], het_fixture["bed"], "", False, params,
+             out=out2)
+    assert out1.getvalue() == out2.getvalue()
