@@ -620,6 +620,104 @@ class EditDistanceEngine:
         pending, rest = self._myers_dispatch(pairs, todo, out)
         return ("live", pairs, pending, rest, out)
 
+    def distances_collect_kde(self, handle, rid: np.ndarray, slot: np.ndarray,
+                              ex_entries, nvals: np.ndarray, bw: np.ndarray,
+                              n_rows: int, n_pad: int):
+        """Fused distances_collect + scaled device KDE: the per-region KDE
+        (parallel/mesh.py::kde_fused_from_pairs) consumes the Myers kernel
+        outputs while they are still device-resident, so the whole batch
+        costs ONE D2H materialization and no separate KDE dispatch.
+
+        rid/slot: per input pair, the KDE grid row (n_rows = dump row for
+        pairs of non-KDE regions) and within-row slot (condensed-matrix
+        order). ex_entries: (row, slot, value) triplets for host-known
+        values (haplotag-region grids; shortcut pairs are folded in here
+        from the handle's resolved values). Returns (out, m, s) with m/s
+        the (n_rows, G) scaled KDE, or None when any pair needs the banded
+        ladder — the caller then falls back to distances_collect +
+        pooled_kde_scaled (identical results, one extra round trip)."""
+        if handle[0] != "live":
+            return None
+        _t, pairs, pending, rest, out = handle
+        if rest or not pending:
+            return None
+        import jax.numpy as jnp
+        try:
+            flat_dev = jnp.concatenate(
+                [dev.reshape(-1)[:nsub]
+                 for _m, nsub, _nw, _tl, dev in pending])
+        except Exception:
+            return None
+        for _m, nsub, nw, tl, _dev in pending:
+            self.cells += nsub * nw * 32 * tl
+        members = np.concatenate(
+            [np.asarray(m, dtype=np.int64) for m, *_ in pending])
+        B = len(pairs)
+        maxlen = np.fromiter((max(len(x), len(y)) for x, y in pairs),
+                             dtype=np.float64, count=B)
+        # host-resolved (shortcut) pairs of KDE regions join the
+        # exceptional scatter list with their normalized values
+        on_dev = np.zeros(B, dtype=bool)
+        on_dev[members] = True
+        host_idx = np.nonzero(~on_dev & (rid < n_rows))[0]
+        ex_row = [int(r) for r, _s, _v in ex_entries]
+        ex_slot = [int(s) for _r, s, _v in ex_entries]
+        ex_val = [np.float32(v) for _r, _s, v in ex_entries]
+        if len(host_idx):
+            ex_row.extend(rid[host_idx].tolist())
+            ex_slot.extend(slot[host_idx].tolist())
+            ex_val.extend(np.asarray(
+                out[host_idx] / maxlen[host_idx], dtype=np.float32).tolist())
+        # pad every dynamic axis to a power of two (bounded compile shapes);
+        # padding scatters land in the dump row
+        P = len(members)
+        Pp = 8
+        while Pp < P:
+            Pp *= 2
+        E = max(1, len(ex_row))
+        Ep = 8
+        while Ep < E:
+            Ep *= 2
+        Rp = 8
+        while Rp < n_rows:
+            Rp *= 2
+        mlen_m = np.ones(Pp, dtype=np.float32)
+        rid_m = np.full(Pp, Rp, dtype=np.int32)
+        slot_m = np.zeros(Pp, dtype=np.int32)
+        mlen_m[:P] = maxlen[members].astype(np.float32)
+        rid_m[:P] = np.where(rid[members] < n_rows, rid[members], Rp)
+        slot_m[:P] = slot[members]
+        exr = np.full(Ep, Rp, dtype=np.int32)
+        exs = np.zeros(Ep, dtype=np.int32)
+        exv = np.zeros(Ep, dtype=np.float32)
+        exr[: len(ex_row)] = ex_row
+        exs[: len(ex_slot)] = ex_slot
+        exv[: len(ex_val)] = ex_val
+        nv = np.ones(Rp, dtype=np.int32)
+        bwv = np.full(Rp, 0.01, dtype=np.float32)
+        nv[:n_rows] = nvals
+        bwv[:n_rows] = bw
+        from ..ops.kde import kde_grid
+        from ..parallel.mesh import kde_fused_from_pairs
+
+        xs32 = kde_grid(0.0025).astype(np.float32)
+        G = len(xs32)
+        if P < Pp:
+            flat_dev = jnp.concatenate(
+                [flat_dev, jnp.zeros(Pp - P, dtype=flat_dev.dtype)])
+        try:
+            fused = np.asarray(kde_fused_from_pairs(
+                flat_dev, jnp.asarray(mlen_m), jnp.asarray(rid_m),
+                jnp.asarray(slot_m), jnp.asarray(exr), jnp.asarray(exs),
+                jnp.asarray(exv), jnp.asarray(nv), jnp.asarray(bwv),
+                jnp.asarray(xs32), n_pad=n_pad, n_rows=Rp))
+        except Exception:
+            return None
+        out[members] = fused[:P].astype(np.int64)
+        m = fused[Pp : Pp + Rp * G].reshape(Rp, G)[:n_rows]
+        s = fused[Pp + Rp * G :].reshape(Rp, G)[:n_rows]
+        return out, m, s
+
     def distances_collect(self, handle) -> np.ndarray:
         """Materialize a distances_async handle into the (B,) result."""
         if handle[0] == "sync":

@@ -39,7 +39,7 @@ from ..seqs.model import AnAllele, AnRead
 from ..utils import metrics
 from ..utils.timestamp import antimestamp
 
-DEFAULT_REGION_BATCH = 256
+DEFAULT_REGION_BATCH = int(os.environ.get("OTTER_TPU_REGION_BATCH", "256"))
 
 
 def count_spanning_reads(anread_block: List[AnRead]) -> int:
@@ -257,25 +257,86 @@ def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
     """Collect a _dispatch_batch handle and run the host half (cluster,
     reassignment, consensus, emission) for its regions in order."""
     spans, all_pairs, handle = staged
-    with metrics.phase("device_dispatch"):
-        dists = (dist_backend.engine.distances_collect(handle)
-                 if handle is not None else [])
     from ..ops.consensus import consensus_apply_batched
 
-    matrices = []
-    for work, coords, start in spans:
-        distmatrix = DistMatrix(len(work.valid_indeces))
+    # non-pair spans (haplotag 0/1 grids, single-allele) fill on host first:
+    # their values are inputs to the fused device KDE below
+    matrices: List = [None] * len(spans)
+    for idx, (work, coords, start) in enumerate(spans):
         if coords is None:
+            distmatrix = DistMatrix(len(work.valid_indeces))
             if params.max_alleles != 1:
                 fill_dist_matrix(work.ignore_haps, work.reads,
                                  work.valid_indeces, distmatrix)
-        else:
-            for (i, j), d, (x, y) in zip(
-                    coords, dists[start : start + len(coords)],
-                    all_pairs[start : start + len(coords)]):
-                largest = float(max(len(x), len(y)))
-                distmatrix.set_dist(i, j, d / largest)
-        matrices.append(distmatrix)
+            matrices[idx] = distmatrix
+
+    # KDE-eligible spans (known before any distance is collected)
+    kde_rows = []  # (span_index, bandwidth)
+    env_kde = os.environ.get("OTTER_TPU_MESH_KDE", "")
+    for si, (work, _c, _s) in enumerate(spans):
+        if params.max_alleles == 1 or len(work.valid_indeces) <= 2:
+            continue  # otter_hclust never reaches the KDE for these
+        bw = params.bandwidth_short
+        for i in work.valid_indeces:
+            if len(work.reads[i].seq) >= params.bandwidth_length:
+                bw = params.bandwidth_long
+                break
+        kde_rows.append((si, bw))
+
+    # fused collect: the per-region scaled KDE rides the SAME device chain
+    # and D2H materialization as the pair distances (no separate dispatch).
+    # Guarded by the tree-KDE intermediate size ((rows, grid, n_pad) f32)
+    # and falls back to the two-step path whenever any pair needs the
+    # banded ladder — results are identical either way (certified f32).
+    dists = None
+    scaled_rows = None
+    if (handle is not None and kde_rows and env_kde != "0"
+            and os.environ.get("OTTER_TPU_FUSED_KDE", "1") == "1"
+            and getattr(dist_backend.engine, "mode", "") == "pallas"):
+        n_rows = len(kde_rows)
+        rid = np.full(len(all_pairs), n_rows, dtype=np.int32)
+        slot = np.zeros(len(all_pairs), dtype=np.int32)
+        nvals = np.zeros(n_rows, dtype=np.int64)
+        bwv = np.zeros(n_rows, dtype=np.float32)
+        ex_entries = []
+        n_pad = 8
+        for r, (si, bw) in enumerate(kde_rows):
+            work, coords, start = spans[si]
+            if coords is not None:
+                nv = len(coords)
+                rid[start : start + nv] = r
+                slot[start : start + nv] = np.arange(nv, dtype=np.int32)
+            else:
+                vals = matrices[si].values
+                nv = len(vals)
+                ex_entries.extend(
+                    (r, k, np.float32(v)) for k, v in enumerate(vals))
+            nvals[r] = nv
+            bwv[r] = bw
+            while n_pad < nv:
+                n_pad *= 2
+        if n_rows * 401 * n_pad <= (1 << 27):
+            with metrics.phase("device_dispatch"):
+                fused = dist_backend.engine.distances_collect_kde(
+                    handle, rid, slot, ex_entries, nvals, bwv, n_rows, n_pad)
+            if fused is not None:
+                dists, kde_m, kde_s = fused
+                scaled_rows = (kde_m, kde_s)
+    if dists is None:
+        with metrics.phase("device_dispatch"):
+            dists = (dist_backend.engine.distances_collect(handle)
+                     if handle is not None else [])
+
+    for idx, (work, coords, start) in enumerate(spans):
+        if coords is None:
+            continue
+        distmatrix = DistMatrix(len(work.valid_indeces))
+        for (i, j), d, (x, y) in zip(
+                coords, dists[start : start + len(coords)],
+                all_pairs[start : start + len(coords)]):
+            largest = float(max(len(x), len(y)))
+            distmatrix.set_dist(i, j, d / largest)
+        matrices[idx] = distmatrix
 
     if params.threads > 1 and pool is not None:
         # fan the host math out over worker processes (the reference's
@@ -298,19 +359,9 @@ def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
     # way (ops/kde.py::kde_decision_certified). OTTER_TPU_MESH_KDE=1 forces
     # the device path, =0 forces host.
     region_dens: dict = {}
-    kde_regions = []  # (span_index, values, bandwidth)
-    for si, ((work, _c, _s), dm) in enumerate(zip(spans, matrices)):
-        if params.max_alleles == 1 or len(work.valid_indeces) <= 2:
-            continue  # otter_hclust never reaches the KDE for these
-        bw = params.bandwidth_short
-        for i in work.valid_indeces:
-            if len(work.reads[i].seq) >= params.bandwidth_length:
-                bw = params.bandwidth_long
-                break
-        kde_regions.append((si, dm.values, bw))
-    env_kde = os.environ.get("OTTER_TPU_MESH_KDE", "")
-    use_device_kde = False
-    if kde_regions and dist_backend is not None:
+    kde_regions = [(si, matrices[si].values, bw) for si, bw in kde_rows]
+    use_device_kde = scaled_rows is not None
+    if kde_regions and not use_device_kde and dist_backend is not None:
         if env_kde == "1":
             use_device_kde = True
         elif env_kde != "0" and \
@@ -323,12 +374,17 @@ def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
         from ..ops.kde import (kde_decision_certified_scaled_batch,
                                kde_densities_batched, kde_grid)
 
-        with metrics.phase("device_dispatch"):
-            from ..parallel.mesh import pooled_kde_scaled
+        if scaled_rows is not None:
+            kde_m, kde_s = scaled_rows
+            scaled_list = [(kde_m[r], kde_s[r])
+                           for r in range(len(kde_regions))]
+        else:
+            with metrics.phase("device_dispatch"):
+                from ..parallel.mesh import pooled_kde_scaled
 
-            scaled_list = pooled_kde_scaled(
-                [v for _si, v, _b in kde_regions],
-                [b for _si, _v, b in kde_regions])
+                scaled_list = pooled_kde_scaled(
+                    [v for _si, v, _b in kde_regions],
+                    [b for _si, _v, b in kde_regions])
         with metrics.phase("cluster_consensus"):
             radius = max(1, int(params.max_error / 0.0025))
             fallback = []

@@ -130,6 +130,31 @@ def kde_tree_step_scaled(vals: jnp.ndarray, nvals: jnp.ndarray,
     return m, t[..., 0]
 
 
+@functools.partial(jax.jit, static_argnames=("n_pad", "n_rows"))
+def kde_fused_from_pairs(flat, mlen, rid_m, slot_m, ex_row, ex_slot, ex_val,
+                         nvals, bw, xs, n_pad: int, n_rows: int):
+    """Scaled per-region KDE computed DIRECTLY from device-resident pair
+    distances (the fused tail of a distances_async collect): normalizes the
+    Myers-kernel outputs (f32 divide by the pair's longer length), scatters
+    them into the (n_rows+1, n_pad) per-region value grid (last row is a
+    dump target for excluded/padding pairs), folds in the host-known
+    exceptional entries (haplotag-region values, shortcut pairs), and runs
+    kde_tree_step_scaled — so distances and KDE cross D2H as ONE flat f32
+    materialization and the per-batch KDE dispatch round trip disappears.
+
+    flat:(P,) int32 resolved distances; mlen/rid_m/slot_m:(P,) f32/i32
+    per-pair longer length, KDE row, slot; ex_*:(E,) host-known scatter
+    triplets; nvals/bw:(n_rows,). Returns (P + 2*n_rows*G,) f32:
+    [distances, m.ravel(), s.ravel()]."""
+    f = flat.astype(jnp.float32)
+    norm = f / mlen
+    vals = jnp.zeros((n_rows + 1, n_pad), dtype=jnp.float32)
+    vals = vals.at[ex_row, ex_slot].set(ex_val)
+    vals = vals.at[rid_m, slot_m].set(norm)
+    m, s = kde_tree_step_scaled(vals[:-1], nvals, bw, xs, n_pad)
+    return jnp.concatenate([f, m.reshape(-1), s.reshape(-1)])
+
+
 def pooled_kde_scaled(value_lists, bandwidths,
                       dinterval: float = 0.0025) -> list:
     """Scaled tree-reduction device KDE over many regions (same bucketing
