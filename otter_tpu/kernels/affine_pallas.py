@@ -390,7 +390,7 @@ def affine_cigars_device_tb(jobs: List[Tuple[str, str, int, int, int, int]],
         for cand in (K_DEV, K_WIDE):
             if reach + 16 > cand:
                 continue
-            if dist_hints is not None:
+            if dist_hints is not None and dist_hints[idx] is not None:
                 # score >= 2e always (gap-extend 2/edit is the floor), so
                 # 2e past the band-validity threshold is a certain
                 # escalation: don't waste the device pass

@@ -387,7 +387,7 @@ def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
         p, t, pb, pe, tb, te = jobs[idx]
         reach = max(abs(len(t) - len(p)), pb, pe, tb, te)
         target = reach + 16
-        if dist_hints is not None:
+        if dist_hints is not None and dist_hints[idx] is not None:
             target = max(target, (5 * int(dist_hints[idx])) // 2 + reach)
         k = 32
         while k < target:

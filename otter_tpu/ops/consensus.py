@@ -317,16 +317,48 @@ def consensus_apply_batched(tasks: List["PoaTask"], engine=None) -> None:
     # Band-seed hints are one extra device round trip; they pay for
     # themselves when the cigars come from the device kernel (the hint
     # picks the k bucket) but lose to the native ladder's own escalation
-    # through a high-latency tunnel (measured 2026-08-19: hints 127 ms vs
-    # native affine 64 ms on a 128-region batch). OTTER_TPU_AFFINE_HINTS
-    # =1/0 forces.
+    # through a high-latency tunnel for SHORT jobs (measured 2026-08-19:
+    # hints 127 ms vs native affine 64 ms on a 128-region short batch).
+    # Long+noisy members are the opposite: the ladder's climb to the final
+    # band costs ~2x the final pass (quadratic in k), so once the long-job
+    # DP volume is significant (ONT-scale alleles) a SUBSET hint dispatch
+    # for just those members wins. OTTER_TPU_AFFINE_HINTS=1/0 forces
+    # all-or-none.
     env_hints = os.environ.get("OTTER_TPU_AFFINE_HINTS", "")
     want_hints = use_device if env_hints == "" else env_hints == "1"
-    if (flat and want_hints and engine is not None
-            and getattr(engine, "mode", "") == "pallas"):
+    hint_idx: List[int] = []
+    mode = getattr(engine, "mode", "") if engine is not None else ""
+    if flat and mode == "pallas":
+        if want_hints:
+            hint_idx = list(range(len(flat)))
+        elif env_hints == "":
+            long_idx = [i for i, j in enumerate(flat)
+                        if max(len(j[0]), len(j[1])) >= 512]
+            if sum(len(flat[i][1]) for i in long_idx) >= 50_000:
+                hint_idx = long_idx
+    elif flat and mode == "native" and env_hints != "0":
+        # no device: the threaded C++ edit ladder still prices an exact
+        # hint at ~1/6 the affine DP's per-cell cost — worth it for the
+        # long End2End jobs (zero frees: ends-free == plain edit distance)
+        long_idx = [i for i, j in enumerate(flat)
+                    if max(len(j[0]), len(j[1])) >= 512
+                    and not (j[2] or j[3] or j[4] or j[5])]
+        if sum(len(flat[i][1]) for i in long_idx) >= 50_000:
+            hint_idx = long_idx
+    if hint_idx:
         try:
             with metrics.phase("consensus_hints"):
-                dist_hints = engine.ends_free(flat)
+                if mode == "pallas":
+                    sub = engine.ends_free([flat[i] for i in hint_idx])
+                else:
+                    from ..native import edit_distance_batch
+
+                    sub, _cells = edit_distance_batch(
+                        [(flat[i][0], flat[i][1]) for i in hint_idx],
+                        min(32, os.cpu_count() or 1))
+            dist_hints = [None] * len(flat)
+            for i, d in zip(hint_idx, sub):
+                dist_hints[i] = int(d)
         except Exception:
             dist_hints = None
     with metrics.phase("consensus_affine"):
