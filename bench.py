@@ -111,18 +111,27 @@ def bench_regions():
                 best = (dt, out_text)
         dt, out_text = best
         dt_host, out_host = run("host", bam, bed)
-        return {
+        result = {
             "regions_per_sec": round(n_regions / dt, 2),
             "regions_vs_host_oracle": round(dt_host / dt, 2),
             "regions_outputs_identical": out_text == out_host,
         }
+        try:
+            from bench_e2e import bench_genotype
+
+            result.update(bench_genotype(tmp, bam, bed, n_regions))
+        except Exception as e:  # genotype leg must never kill the bench
+            result["genotype_error"] = f"{type(e).__name__}: {e}"
+        return result
 
 
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from otter_tpu.utils.preflight import wait_for_device
 
-    plat = wait_for_device(retries=4, timeout_s=90, sleep_s=30)
+    # bounded preflight: worst case ~4 min before the CPU fallback (the old
+    # 4x(90+30) could eat 8 min of the driver's budget on a flapping tunnel)
+    plat = wait_for_device(retries=3, timeout_s=75, sleep_s=15)
     if plat not in ("tpu", "axon"):
         # accelerator tunnel down: fall back so the bench never hangs
         os.environ["PALLAS_AXON_POOL_IPS"] = ""

@@ -108,6 +108,9 @@ def build_fixture(tmp, n_regions=100, cov=12, err=0.01, region_len=120,
                         tags=[("rq", "f", 0.999)]))
     bam = os.path.join(tmp, "reads.bam")
     make_bam(bam, [("chr1", ref_len)], records)
+    from fixtures import write_fasta
+
+    write_fasta(os.path.join(tmp, "ref.fa"), [("chr1", ref)])
     return bam, bed
 
 
@@ -123,6 +126,59 @@ def run(device, bam, bed):
     assemble(bam, bed, "", False, params, out=out)
     dt = time.perf_counter() - t0
     return dt, out.getvalue()
+
+
+def bench_genotype(tmp, bam, bed, n_regions, n_samples=3):
+    """North-star second half: joint genotyping regions/sec. Builds a
+    cohort with the framework's own pipeline (assemble per sample on the
+    device path -> samtools-free merge -> indexed BAM), then times
+    ``genotype`` (multi-sample VCF with the reference allele)."""
+    from otter_tpu.config import OtterOpts
+    from otter_tpu.io.bai import index_bam
+    from otter_tpu.io.bam import parse_sam_to_bam
+    from otter_tpu.models.assemble import assemble
+    from otter_tpu.models.genotype import genotype
+
+    sam_texts = []
+    for si in range(n_samples):
+        params = OtterOpts()
+        params.read_group = f"S{si + 1}"
+        params.device = "auto"
+        out = io.StringIO()
+        assemble(bam, bed, "", False, params, out=out)
+        sam_texts.append(out.getvalue())
+    merged_lines = []
+    for i, text in enumerate(sam_texts):
+        for line in text.rstrip("\n").split("\n"):
+            if line.startswith("@"):
+                if i == 0 or line.startswith("@RG"):
+                    merged_lines.append(line)
+            else:
+                merged_lines.append(line)
+    hdr = [l for l in merged_lines if l.startswith("@")]
+    body = [l for l in merged_lines if not l.startswith("@")]
+    merged_bam = os.path.join(tmp, "cohort.bam")
+    parse_sam_to_bam("\n".join(hdr + body) + "\n", merged_bam)
+    index_bam(merged_bam)
+    fa = os.path.join(tmp, "ref.fa")
+
+    def run_gt():
+        params = OtterOpts()
+        params.read_group = "S1"
+        out = io.StringIO()
+        t0 = time.perf_counter()
+        genotype(params, merged_bam, bed, fa, out=out)
+        return time.perf_counter() - t0, out.getvalue()
+
+    run_gt()  # warm
+    best = min(run_gt()[0] for _ in range(2))
+    dt, vcf_text = run_gt()
+    best = min(best, dt)
+    vcf_rows = sum(1 for l in vcf_text.splitlines()
+                   if l and not l.startswith("#"))
+    return {"genotype_regions_per_sec": round(n_regions / best, 2),
+            "genotype_vcf_rows": vcf_rows,
+            "genotype_samples": n_samples}
 
 
 def main():
@@ -143,7 +199,7 @@ def main():
                       if l and not l.startswith("@"))
         # host-path comparison
         dt_host, out_host = run("host", bam, bed)
-        print(json.dumps({
+        result = {
             "metric": "assemble_regions_per_sec",
             "value": round(n_regions / dt, 2),
             "unit": "regions/s",
@@ -151,7 +207,12 @@ def main():
             "host_regions_per_sec": round(n_regions / dt_host, 2),
             "alleles": alleles,
             "outputs_identical": out_text == out_host,
-        }))
+        }
+        try:
+            result.update(bench_genotype(tmp, bam, bed, n_regions))
+        except Exception as e:
+            result["genotype_error"] = f"{type(e).__name__}: {e}"
+        print(json.dumps(result))
 
 
 if __name__ == "__main__":
