@@ -376,7 +376,43 @@ def kde_decision_certified_scaled_batch(scaled_list, value_lists, bandwidths,
         for bi in np.nonzero(np.any(tiny, axis=1))[0]:
             by_n.setdefault(len(value_lists[gen[bi]]), []).append(int(bi))
         for n_val, rows in by_n.items():
-            rr, cc = np.nonzero(tiny[rows])
+            # provably-zero cells need no recompute: when every value is
+            # > 39h away, every f64 Gaussian term's exponent is < -746 —
+            # past the denormal cutoff (ln 2^-1074 = -744.4) — so each
+            # term, the sum, and the oracle's own recomputed cell are all
+            # EXACTLY +0.0 (skipping them is bit-identical, not an
+            # approximation). Typically prunes the deep tails/valleys,
+            # which are most of a unimodal region's tiny cells. Only worth
+            # the per-row searchsorted overhead when each pruned cell
+            # saves a long reduction (big value counts).
+            T = tiny[rows]
+            if n_val < 512:
+                rr, cc = np.nonzero(T)
+                rsel = np.asarray(rows, dtype=np.int64)[rr]
+                V = np.stack([np.asarray(value_lists[gen[bi]],
+                                         dtype=np.float64) for bi in rows])
+                z = (xs[cc][:, None] - V[rr]) / bw[rsel][:, None]
+                raw[rsel, cc] = np.sum(
+                    _INV_SQRT_2PI * np.exp(-(z * z) / 2.0), axis=1) \
+                    / (bw[rsel] * n_val)
+                continue
+            T = T.copy()
+            for r_i, bi in enumerate(rows):
+                sv = np.sort(np.asarray(value_lists[gen[bi]],
+                                        dtype=np.float64))
+                cols = np.nonzero(T[r_i])[0]
+                x = xs[cols]
+                pos = np.searchsorted(sv, x)
+                dl = np.where(pos > 0, x - sv[np.maximum(pos - 1, 0)],
+                              np.inf)
+                dr = np.where(pos < len(sv),
+                              sv[np.minimum(pos, len(sv) - 1)] - x, np.inf)
+                dead = np.minimum(dl, dr) > 39.0 * bw[bi]
+                raw[bi, cols[dead]] = 0.0
+                T[r_i, cols[dead]] = False
+            rr, cc = np.nonzero(T)
+            if not len(rr):
+                continue
             rsel = np.asarray(rows, dtype=np.int64)[rr]
             V = np.stack([np.asarray(value_lists[gen[bi]], dtype=np.float64)
                           for bi in rows])
