@@ -6,19 +6,33 @@ Prints ONE JSON line:
 
 Metric: DP cell-updates/sec of the banded edit-distance engine (the WFA2
 replacement, the reference's hottest op per SURVEY.md §3.4) on a realistic
-workload mix (HiFi-like ~1% and ONT-like ~5% error pairs at 0.5-4 kb).
+workload mix (HiFi-like ~1% and ONT-like ~5% error pairs at 0.5-4 kb),
+plus the north-star e2e metric (assemble/genotype regions/sec).
 
 Baseline: the same workload on the native C++ banded DP (single core,
 measured) scaled to the reference's 32-thread ceiling
 (src/otter_opts.cpp:93) — i.e. vs_baseline = tpu_rate / (32 x 1-core rate).
 The reference binary itself is unbuildable here (WFA2-lib submodule absent,
 zero egress), so this proxy is documented in BASELINE.md.
+
+Robustness: the remote-TPU tunnel in this environment can hang backend
+init for minutes or degrade dispatch latency 10x (CLAUDE.md quirks), and
+a hang in THIS process would eat the driver's whole budget. So this file
+is an ORCHESTRATOR: the timed legs run in child processes that print a
+cumulative JSON line after each completed leg; the parent enforces a hard
+deadline (BENCH_DEADLINE_S, default 520 s), kills a stuck child (whole
+process group), keeps the last complete JSON it saw, and falls back to a
+smaller CPU workload for anything the accelerator child did not finish.
+The parent never initializes the accelerator backend itself.
 """
 
 import json
 import os
 import random
+import signal
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -91,8 +105,7 @@ def bench_cpu_single(pairs):
 def bench_regions():
     """North-star e2e metric (BASELINE.json): assemble regions/sec on a
     synthetic multi-region workload, device path vs the host-python oracle
-    (byte-identical outputs asserted). Tunnel-tolerant: small workload,
-    soft-fails to None fields rather than hanging the driver bench."""
+    (byte-identical outputs asserted)."""
     import tempfile
 
     from bench_e2e import build_fixture, run
@@ -125,40 +138,163 @@ def bench_regions():
         return result
 
 
+def _emit(result):
+    sys.stdout.write(json.dumps(result) + "\n")
+    sys.stdout.flush()
+
+
+def child_main():
+    """Run the requested legs, printing a CUMULATIVE JSON line after each
+    completed leg (the parent keeps the last parseable line it saw, so a
+    deadline kill mid-leg still preserves everything finished before it)."""
+    legs = os.environ.get("OTTER_BENCH_LEGS", "kernel,regions").split(",")
+    result = {}
+    # the child owns backend init (the parent never touches the tunnel);
+    # measured round-trip latency sizes the workload: a degraded tunnel
+    # (RTT > 30 ms) gets the smaller batch so the bench finishes at all
+    import jax
+
+    plat0 = jax.devices()[0].platform
+    rtt = None
+    if plat0 in ("tpu", "axon"):
+        from otter_tpu.utils.preflight import device_roundtrip_ms
+
+        rtt = device_roundtrip_ms()
+    degraded = rtt is not None and rtt > 30.0
+    if "kernel" in legs:
+        rng = random.Random(20260817)
+        n_pairs = int(os.environ.get(
+            "BENCH_PAIRS", "2048" if degraded else "8192"))
+        pairs = make_workload(rng, n_pairs=n_pairs, length=1024)
+        tpu_rate, tpu_d, plat, pairs_rate = bench_tpu(pairs)
+        # CPU baseline on a subsample (same distribution), single core
+        cpu_pairs = pairs[:256]
+        cpu_rate, cpu_d = bench_cpu_single(cpu_pairs)
+        assert np.array_equal(tpu_d[:256], cpu_d), "TPU/CPU distance mismatch"
+        baseline = cpu_rate * 32.0  # reference's max-thread ceiling
+        result = {
+            "metric": "edit_dp_cell_updates_per_sec",
+            "value": round(tpu_rate, 1),
+            "unit": "cells/s",
+            "vs_baseline": round(tpu_rate / baseline, 3),
+            "platform": plat,
+            "cpu_1core_cells_per_sec": round(cpu_rate, 1),
+            "pair_alignments_per_sec": round(pairs_rate, 1),
+            "bench_pairs": n_pairs,
+        }
+        if rtt is not None:
+            result["device_rtt_ms"] = round(rtt, 1)
+        _emit(result)
+    if "regions" in legs:
+        if degraded:
+            os.environ.setdefault("BENCH_REGIONS", "64")
+        try:
+            result.update(bench_regions())
+        except Exception as e:  # never let the e2e leg kill the kernel leg
+            result["regions_error"] = f"{type(e).__name__}: {e}"
+        _emit(result)
+    return 0
+
+
+def _run_child(env_extra, budget_s):
+    """Run this script in child mode under its own process group; collect
+    the last JSON line it prints before finishing or hitting the budget."""
+    env = dict(os.environ)
+    env["OTTER_BENCH_CHILD"] = "1"
+    env.update(env_extra)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        stdout=subprocess.PIPE, stderr=sys.stderr,
+        text=True, env=env, start_new_session=True)
+    last = {}
+    complete = False
+
+    def reader():
+        nonlocal last, complete
+        for line in proc.stdout:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                last = json.loads(line)
+            except ValueError:
+                pass
+        complete = True
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+    deadline = time.monotonic() + budget_s
+    while time.monotonic() < deadline:
+        if proc.poll() is not None:
+            th.join(timeout=5)
+            return last, True
+        time.sleep(0.5)
+    # budget exhausted: kill the whole child process group (a child hung in
+    # tunnel RPC ignores SIGTERM-to-pid if threads are mid-syscall)
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except OSError:
+        pass
+    proc.wait()
+    th.join(timeout=5)
+    return last, False
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from otter_tpu.utils.preflight import wait_for_device
+    if os.environ.get("OTTER_BENCH_CHILD"):
+        return child_main()
 
-    # bounded preflight: worst case ~4 min before the CPU fallback (the old
-    # 4x(90+30) could eat 8 min of the driver's budget on a flapping tunnel)
-    plat = wait_for_device(retries=3, timeout_s=75, sleep_s=15)
-    if plat not in ("tpu", "axon"):
-        # accelerator tunnel down: fall back so the bench never hangs
-        os.environ["PALLAS_AXON_POOL_IPS"] = ""
-        os.environ["JAX_PLATFORMS"] = "cpu"
-    rng = random.Random(20260817)
-    n_pairs = int(os.environ.get("BENCH_PAIRS", "8192"))
-    pairs = make_workload(rng, n_pairs=n_pairs, length=1024)
-    tpu_rate, tpu_d, plat, pairs_rate = bench_tpu(pairs)
-    # CPU baseline on a subsample (same distribution), single core
-    cpu_pairs = pairs[:256]
-    cpu_rate, cpu_d = bench_cpu_single(cpu_pairs)
-    assert np.array_equal(tpu_d[:256], cpu_d), "TPU/CPU distance mismatch"
-    baseline = cpu_rate * 32.0  # reference's max-thread ceiling
-    result = {
-        "metric": "edit_dp_cell_updates_per_sec",
-        "value": round(tpu_rate, 1),
-        "unit": "cells/s",
-        "vs_baseline": round(tpu_rate / baseline, 3),
-        "platform": plat,
-        "cpu_1core_cells_per_sec": round(cpu_rate, 1),
-        "pair_alignments_per_sec": round(pairs_rate, 1),
-    }
-    try:
-        result.update(bench_regions())
-    except Exception as e:  # never let the e2e leg kill the kernel bench
-        result["regions_error"] = f"{type(e).__name__}: {e}"
+    t_start = time.monotonic()
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "820"))
+    cpu_reserve_s = float(os.environ.get("BENCH_CPU_RESERVE_S", "170"))
+
+    def remaining():
+        return deadline_s - (time.monotonic() - t_start)
+
+    # No separate preflight probe: the accelerator child IS the disposable
+    # probe (a fixed-timeout probe gives up on a slow-but-alive tunnel that
+    # takes minutes to init, while a hung child just gets killed at its
+    # budget and the CPU reserve still fits inside the deadline).
+    budget = remaining() - cpu_reserve_s
+    result = {}
+    if budget > 90:
+        result, _finished = _run_child({}, budget)
+    have_kernel = "value" in result
+    have_regions = ("regions_per_sec" in result
+                    or "regions_error" in result)
+    if not have_kernel:
+        # accelerator leg produced nothing: smaller CPU workload so the
+        # driver still gets both metrics inside the deadline
+        env = {
+            "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+            "BENCH_PAIRS": str(min(
+                2048, int(os.environ.get("BENCH_PAIRS", "8192")))),
+            "BENCH_REGIONS": str(min(
+                48, int(os.environ.get("BENCH_REGIONS", "128")))),
+        }
+        result, _finished = _run_child(env, max(60, remaining() - 10))
+        result["fallback"] = "cpu"
+    elif not have_regions:
+        # kernel leg done on the accelerator but the e2e leg starved:
+        # fill regions/sec from a small CPU run, labeled as such
+        env = {
+            "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+            "OTTER_BENCH_LEGS": "regions",
+            "BENCH_REGIONS": str(min(
+                48, int(os.environ.get("BENCH_REGIONS", "128")))),
+        }
+        if remaining() > 70:
+            fill, _finished = _run_child(env, max(60, remaining() - 10))
+            fill.pop("metric", None)
+            result.update(fill)
+            result["regions_platform"] = "cpu"
+    if not result:
+        result = {"metric": "edit_dp_cell_updates_per_sec", "value": 0,
+                  "unit": "cells/s", "vs_baseline": 0,
+                  "error": "no leg finished within BENCH_DEADLINE_S"}
     print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":

@@ -7,7 +7,11 @@ Design (all DP state stays on chip):
     in-row E dependency is a prefix-min scan (no-gap-chaining property);
   * per row the DP phase stores 4 traceback bits per cell
       bit0 H==F    bit1 H==E    bit2 F extends    bit3 E extends
-    into VMEM *scratch* (never leaves the chip);
+    into VMEM *scratch* (never leaves the chip), nibble-packed TWO ROWS
+    PER BYTE (even row = low nibble, odd row = high nibble) so the row
+    budget doubles for the same VMEM: 4096-row patterns at k=63 and
+    2048-row at k=127 fit in the same 8 MiB that 1024 unpacked rows
+    cost before;
   * the end cell is selected on device with the reference's tie order
     ((m,n) wins ties; last-row window prefers larger j; last column only on
     strict improvement — ops/align_batch._end_cell);
@@ -43,7 +47,11 @@ from ..ops.align_np import GAP_EXT, GAP_OPEN, MISMATCH, _codes
 K_DEV = 63               # default band (HiFi-error jobs)
 K_WIDE = 127             # wide band (ONT-error jobs)
 TBA = 32                 # members per program (int8 row-tile alignment)
-LP_MAX = 1024            # max pattern rows handled on device
+# Per-band pattern-row caps: the nibble-packed traceback scratch costs
+# max_rows/2 * TBA * W bytes, budgeted at 8 MiB VMEM per program.
+LP_MAX_NARROW = 4096     # k=63  (W=128): 4096/2*32*128 = 8 MiB
+LP_MAX_WIDE = 2048       # k=127 (W=256): 2048/2*32*256 = 8 MiB
+LP_MAX = LP_MAX_NARROW   # overall device cap
 LT_MAX = 4096            # max text length handled on device
 
 _INF = 1 << 28
@@ -132,8 +140,19 @@ def _affine_tb_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref, bits_scr,
                 | jnp.where(H_row == E_row, 2, 0)
                 | jnp.where(F_rowm == Fup + GAP_EXT, 4, 0)
                 | jnp.where(E_row == Eleft + GAP_EXT, 8, 0)
-            ).astype(jnp.int8)
-            bits_scr[pl.ds((i - 1) * TBA, TBA), :] = bits
+            )
+            # nibble-pack: row ri=i-1 shares a byte with its row-pair
+            # partner. Even ri overwrites the whole byte (low nibble set,
+            # high zeroed — its partner row ri+1 is always written later);
+            # odd ri ORs into the high nibble of the byte row ri wrote.
+            ri = i - 1
+            half = ri - (ri // 2) * 2
+            rbase = pl.multiple_of((ri // 2) * TBA, TBA)
+            prev = bits_scr[pl.ds(rbase, TBA), :].astype(jnp.int32)
+            packed = jnp.where(half == 1,
+                               (prev & 15) | jax.lax.shift_left(bits, 4),
+                               bits)
+            bits_scr[pl.ds(rbase, TBA), :] = packed.astype(jnp.int8)
             keep = i <= m2
             H = jnp.where(keep, H_row, H)
             E = jnp.where(keep, E_row, E)
@@ -213,10 +232,14 @@ def _affine_tb_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref, bits_scr,
         done = ((ci == 0) & (cj == 0)).astype(jnp.int32)
         rcur = jnp.max(jnp.where(done != 0, -1, ci))
         rclamp = jnp.maximum(rcur, 1)
-        blk = bits_scr[pl.ds(pl.multiple_of((rclamp - 1) * TBA, TBA), TBA), :]
+        ri = rclamp - 1
+        half = ri - (ri // 2) * 2
+        blkb = bits_scr[pl.ds(pl.multiple_of((ri // 2) * TBA, TBA),
+                              TBA), :].astype(jnp.int32)
+        blk = jnp.where(half == 1, (blkb & 255) >> 4, blkb & 15)
         w_col = cj[:, 0:1] - ci[:, 0:1] + k1
         byte = jnp.sum(
-            jnp.where(laneW == w_col, blk.astype(jnp.int32), 0),
+            jnp.where(laneW == w_col, blk, 0),
             axis=1, keepdims=True)
         byte = jnp.where((w_col >= 0) & (w_col < W), byte, 0)
         act = (done == 0) & (ci == rcur)
@@ -299,7 +322,7 @@ def affine_tb_pallas(a, bpad, mn, k: int, max_rows: int, t_words: int,
             jax.ShapeDtypeStruct((B, 128), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((max_rows * TBA, W), jnp.int8),
+            pltpu.VMEM((((max_rows + 1) // 2) * TBA, W), jnp.int8),
             pltpu.VMEM((TBA, 128), jnp.int32),
             pltpu.VMEM((TBA, 128), jnp.int32),
             pltpu.VMEM((TBA, 128), jnp.int32),
@@ -361,7 +384,16 @@ def _unpack_codes(obuf: np.ndarray, t_words: int) -> np.ndarray:
 
 
 def _rows_bucket(m: int) -> int:
-    return 256 if m <= 256 else 1024
+    for cap in (256, 1024, 2048):
+        if m <= cap:
+            return cap
+    return 4096
+
+
+# walk-step budget per rows-bucket: t_max = 16 * t_words must cover the
+# longest possible walk (ei + ej <= m + n); members that exceed it report
+# failed and re-run on the host ladder
+_T_WORDS = {256: 128, 1024: 256, 2048: 384, 4096: 512}
 
 
 def affine_cigars_device_tb(jobs: List[Tuple[str, str, int, int, int, int]],
@@ -388,6 +420,8 @@ def affine_cigars_device_tb(jobs: List[Tuple[str, str, int, int, int, int]],
         reach = max(abs(n - m), pb, pe, tb, te)
         k = None
         for cand in (K_DEV, K_WIDE):
+            if m > (LP_MAX_NARROW if cand == K_DEV else LP_MAX_WIDE):
+                continue
             if reach + 16 > cand:
                 continue
             if dist_hints is not None and dist_hints[idx] is not None:
@@ -404,7 +438,7 @@ def affine_cigars_device_tb(jobs: List[Tuple[str, str, int, int, int, int]],
             continue
         buckets.setdefault((k, _rows_bucket(m)), []).append(idx)
     for (k, max_rows), idxs in sorted(buckets.items()):
-        t_words = 128 if max_rows <= 256 else 256
+        t_words = _T_WORDS[max_rows]
         sub = [jobs[i] for i in idxs]
         a, bpad, mn = pack_affine_jobs(sub, max_rows, k)
         obuf, end = affine_tb_pallas(jnp.asarray(a), jnp.asarray(bpad),

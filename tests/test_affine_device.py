@@ -75,6 +75,32 @@ def test_device_affine_tb_long_pattern_interpret():
     assert len(jobs) - 1 not in failed
 
 
+def test_device_affine_tb_nibble_packed_long_buckets():
+    """Patterns past the old 1024-row cap run on device via the
+    nibble-packed traceback scratch (2 rows/byte): a ~1.3 kb low-error job
+    lands in the (k=63, 2048-row) bucket, a deletion-heavy variant in the
+    (k=127, 2048-row) bucket; both must match the host ladder exactly."""
+    from otter_tpu.kernels.affine_pallas import _rows_bucket
+
+    rng = random.Random(99)
+    p = "".join(rng.choice("ACGT") for _ in range(1300))
+    assert _rows_bucket(len(p)) == 2048
+    # low error -> narrow band
+    t = list(p)
+    t[97] = "A" if p[97] != "A" else "C"
+    del t[701:703]
+    t.insert(1100, "G")
+    jobs = [(p, "".join(t), 0, 0, 0, 0)]
+    # ~100 bp net deletion -> reach forces the wide band
+    t2 = list(p)
+    del t2[400:500]
+    jobs.append((p, "".join(t2), 0, 100, 0, 0))
+    cigs, failed = affine_cigars_device_tb(jobs, interpret=True)
+    want = [affine_align_ends_free_cigar(j[0], j[1], *j[2:]) for j in jobs]
+    assert failed == []
+    assert cigs == want
+
+
 def test_device_affine_tb_dist_hints_route_bands():
     """dist_hints send low-error jobs to k=63 and high-error jobs to k=127
     without changing results."""
