@@ -42,7 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.align_np import GAP_EXT, GAP_OPEN, MISMATCH, _codes
+from ..ops.align_np import (GAP_EXT, GAP_OPEN, MISMATCH, _codes,
+                            band_validity_cap)
 
 K_DEV = 63               # default band (HiFi-error jobs)
 K_WIDE = 127             # wide band (ONT-error jobs)
@@ -199,6 +200,18 @@ def _affine_tb_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref, bits_scr,
     best_i = jnp.where(up2, ci_, best_i)
     best_j = jnp.where(up2, jnp.broadcast_to(n2, best_j.shape), best_j)
 
+    # ---- band-validity gate (mn[:,6] = band_validity_cap, computed on
+    # host at pack time): members whose banded score is NOT provably
+    # optimal never walk — their cursor starts at (0,0) (immediately done,
+    # zero ops emitted) and the host fails them into the ladder. This is
+    # what makes the _T_WORDS step budgets provable: only members whose
+    # walked path has score < cap (hence a cap-bounded gap-char count)
+    # consume walk iterations.
+    cap2 = jnp.stack([mn_ref[t, 6] for t in range(TBA)]).reshape(TBA, 1)
+    validb = best_s < cap2
+    best_i = jnp.where(validb, best_i, 0)
+    best_j = jnp.where(validb, best_j, 0)
+
     # ---- member-parallel traceback: row sweep over the frontier ----
     # Every iteration, all members whose cursor row equals the frontier
     # (max over unfinished members) take one walk step together; op codes
@@ -279,7 +292,8 @@ def _affine_tb_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref, bits_scr,
 
     _t, _ad = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), alldone0))
 
-    done_fin = ((ci_scr[:, :] == 0) & (cj_scr[:, :] == 0)).astype(jnp.int32)
+    done_fin = ((ci_scr[:, :] == 0) & (cj_scr[:, :] == 0)
+                & validb).astype(jnp.int32)
     endall = jnp.where(lane1 == 0, jnp.broadcast_to(best_s, (TBA, 128)),
                        jnp.where(lane1 == 1,
                                  jnp.broadcast_to(best_i, (TBA, 128)),
@@ -347,7 +361,8 @@ def pack_affine_jobs(jobs: List[Tuple[str, str, int, int, int, int]],
         tc = _codes(t).astype(np.int32)
         a[i, : len(pc)] = pc
         bpad[i, k + 1 : k + 1 + len(tc)] = tc
-        mn[i] = (len(pc), len(tc), pb, tb, pe, te, 0, 0)
+        cap = band_validity_cap(len(pc), len(tc), pb, pe, tb, te, k)
+        mn[i] = (len(pc), len(tc), pb, tb, pe, te, cap, 0)
     return a, bpad, mn
 
 
@@ -390,9 +405,25 @@ def _rows_bucket(m: int) -> int:
     return 4096
 
 
-# walk-step budget per rows-bucket: t_max = 16 * t_words must cover the
-# longest possible walk (ei + ej <= m + n); members that exceed it report
-# failed and re-run on the host ladder
+# Walk-step budget per rows-bucket (t_max = 16 * t_words).
+#
+# PROOF that any single valid member's walk fits its bucket's budget.
+# Only members passing the in-kernel validity gate walk (score < cap, with
+# cap = band_validity_cap <= 2*GAP_OPEN + GAP_EXT*(3k+3) = 6k+18 for any
+# admissible job: a_up <= k+1, b_up <= 2k+2 since admission requires the
+# end-diagonal range to intersect the band). A walking member's iteration
+# count decomposes as
+#   #diag + #D        <= ei               <= max_rows   (each decrements ci)
+#   scored I chars    <= (cap-GO)/GE      <= 3k+6       (each costs GAP_EXT)
+#   free-begin I tail <= start diagonal   <= k+1        (walk stays in band)
+#   goF/goE entries   <= #gap runs        <= cap/GO     <= k+3
+# so iterations <= max_rows + 5k + 10 when walking alone (k=127: +645).
+# Every bucket below budgets max_rows + ~>=1000, covering the alone-worst
+# case with slack. The residual risk is MULTI-member frontier desync (the
+# row sweep stalls on whichever member holds the frontier; stalls sum over
+# members in the worst case) — overruns there mark the member failed (host
+# ladder re-runs it; exactness is unconditional), they cannot produce a
+# wrong cigar. tests/test_affine_device.py pins the alone-worst boundary.
 _T_WORDS = {256: 128, 1024: 256, 2048: 384, 4096: 512}
 
 
@@ -417,20 +448,28 @@ def affine_cigars_device_tb(jobs: List[Tuple[str, str, int, int, int, int]],
         if not (0 < m <= LP_MAX and 0 < n <= LT_MAX):
             failed.append(idx)
             continue
-        reach = max(abs(n - m), pb, pe, tb, te)
         k = None
         for cand in (K_DEV, K_WIDE):
             if m > (LP_MAX_NARROW if cand == K_DEV else LP_MAX_WIDE):
                 continue
-            if reach + 16 > cand:
+            # the allowed end-diagonal range [n-m-te, n-m+pe] must
+            # intersect the band [-(k+1), k], else no end cell is even
+            # representable
+            if (n - m + pe) < -(cand + 1) or (n - m - te) > cand:
+                continue
+            cap = band_validity_cap(m, n, pb, pe, tb, te, cand)
+            if cap <= 0:
                 continue
             if dist_hints is not None and dist_hints[idx] is not None:
                 # score >= 2e always (gap-extend 2/edit is the floor), so
-                # 2e past the band-validity threshold is a certain
-                # escalation: don't waste the device pass
-                thr = GAP_OPEN + GAP_EXT * (cand + 1 - reach)
-                if 2 * int(dist_hints[idx]) >= thr:
+                # 2e at/past the validity cap is a certain escalation:
+                # don't waste the device pass
+                if 2 * int(dist_hints[idx]) >= cap:
                     continue
+            elif abs(n - m) + 16 > cand:
+                # no hint: require slack around the length-difference
+                # diagonal so typical edit wander stays in band
+                continue
             k = cand
             break
         if k is None:
@@ -452,8 +491,7 @@ def affine_cigars_device_tb(jobs: List[Tuple[str, str, int, int, int, int]],
             m, n = len(p), len(t)
             score, ei, ej, ok = (int(end[bi, 0]), int(end[bi, 1]),
                                  int(end[bi, 2]), int(end[bi, 3]))
-            reach = max(abs(n - m), pb, pe, tb, te)
-            if not ok or score >= GAP_OPEN + GAP_EXT * (k + 1 - reach):
+            if not ok or score >= band_validity_cap(m, n, pb, pe, tb, te, k):
                 failed.append(idx)
                 continue
             row = codes_all[bi]

@@ -21,6 +21,7 @@ from .align_np import (
     _BIG,
     _codes,
     affine_align_ends_free_cigar,
+    band_validity_cap,
 )
 
 
@@ -321,9 +322,8 @@ def _native_ladder(jobs, out: List[str], groups: dict) -> List[str]:
         cigs, scores = affine_banded_cigar_batch(njobs, ks)
         for bi, idx in enumerate(members):
             p, t, pbv, pev, tbv, tev = jobs[idx]
-            reach = max(abs(len(t) - len(p)), pbv, pev, tbv, tev)
-            if exact[bi] or (
-                    scores[bi] < GAP_OPEN + GAP_EXT * (ks[bi] + 1 - reach)):
+            if exact[bi] or (scores[bi] < band_validity_cap(
+                    len(p), len(t), pbv, pev, tbv, tev, ks[bi])):
                 out[idx] = cigs[bi]
             else:
                 groups.setdefault(2 * k, []).append(idx)
@@ -421,8 +421,8 @@ def affine_cigars_multi(jobs: Sequence[Tuple[str, str, int, int, int, int]],
                 Ev = _MemberView(E[bi], k)
                 Fv = _MemberView(F[bi], k)
                 score, ei, ej = _end_cell(Hv, int(m[bi]), int(n[bi]), pev, tev)
-                reach = max(abs(int(n[bi]) - int(m[bi])), pbv, pev, tbv, tev)
-                if score < GAP_OPEN + GAP_EXT * (k + 1 - reach):
+                if score < band_validity_cap(int(m[bi]), int(n[bi]),
+                                             pbv, pev, tbv, tev, k):
                     out[idx] = _traceback(Hv, Ev, Fv, pats[bi], texts[bi],
                                           int(m[bi]), int(n[bi]), ei, ej)
                 else:
@@ -589,8 +589,8 @@ def affine_cigars_batch(pattern: str,
             Ev = _MemberView(E[bi], k)
             Fv = _MemberView(F[bi], k)
             score, ei, ej = _end_cell(Hv, m, int(n[bi]), pev, tev)
-            member_reach = max(abs(int(n[bi]) - m), pbv, pev, tbv, tev)
-            if score < GAP_OPEN + GAP_EXT * (k + 1 - member_reach):
+            if score < band_validity_cap(m, int(n[bi]), pbv, pev,
+                                         tbv, tev, k):
                 out.append(_traceback(Hv, Ev, Fv, a, texts[bi], m,
                                       int(n[bi]), ei, ej))
             else:

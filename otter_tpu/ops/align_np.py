@@ -94,6 +94,45 @@ def edit_distance_ends_free(pattern: str, text: str,
 MISMATCH, GAP_OPEN, GAP_EXT = 4, 6, 2
 
 
+def band_validity_cap(m: int, n: int, pb: int, pe: int, tb: int, te: int,
+                      k: int) -> int:
+    """Minimum possible score of any ends-free gap-affine path that touches
+    a cell OUTSIDE the banded DP's diagonal window j - i in [-(k+1), k].
+
+    A banded score strictly below this cap is provably the global optimum —
+    and every globally optimal path then lies entirely inside the band, so
+    the banded traceback is *band-independent*: any wider band (or the full
+    matrix) walks the identical cigar. This makes ladder stopping points and
+    the device kernel's fixed buckets interchangeable without output drift.
+
+    Derivation: only I/D moves change the diagonal d = j - i; matches and
+    mismatches keep it. A path starts at d in [-pb, tb] (free begins are
+    start-cell choices, not moves) and ends at d in [n-m-te, n-m+pe] (free
+    ends likewise). Touching d >= k+1 therefore needs total insertions
+    >= (k+1) - tb and, to re-enter an allowed end diagonal, total deletions
+    >= (k+1) - (n-m+pe) when that is positive (a path may END above the
+    band when the free-end range reaches past it, needing no return gap).
+    I-runs and D-runs are distinct gap runs, each paying GAP_OPEN, and every
+    gap char pays GAP_EXT. Symmetrically for exits below (d <= -(k+2)).
+    The cap is the cheaper escape. When a free start diagonal itself lies
+    outside the band the cap is 0 (nothing is provable).
+
+    This is tight in the reach directions and strictly dominates the old
+    conservative bound GAP_OPEN + GAP_EXT*(k+1-reach): the exact regime
+    where e.g. a 100 bp net deletion (score 206) is provable at k=127
+    (cap 328) instead of forcing a k=256 escalation.
+    """
+    a_up = (k + 1) - tb
+    a_dn = (k + 2) - pb
+    if a_up <= 0 or a_dn <= 0:
+        return 0
+    b_up = max(0, (k + 1) - (n - m + pe))
+    c_up = GAP_OPEN * (2 if b_up > 0 else 1) + GAP_EXT * (a_up + b_up)
+    b_dn = max(0, (n - m - te) + (k + 2))
+    c_dn = GAP_OPEN * (2 if b_dn > 0 else 1) + GAP_EXT * (a_dn + b_dn)
+    return min(c_up, c_dn)
+
+
 def _affine_matrices(a: np.ndarray, b: np.ndarray,
                      pb: int = 0, tb: int = 0
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -249,11 +288,11 @@ def affine_align_ends_free_cigar(pattern: str, text: str,
     """
     a, b = _codes(pattern), _codes(text)
     m, n = len(a), len(b)
-    # adaptive banding: a path leaving the +-k diagonal band needs total gap
-    # length > k, so if the banded score beats GAP_OPEN + GAP_EXT*(k+1-reach)
-    # (reach = diagonal displacement available "for free" from length
-    # difference / free ends) it is exact. Otherwise double k; fall back to
-    # the full matrices when the band stops being smaller.
+    # adaptive banding: any path leaving the +-k diagonal band costs at
+    # least band_validity_cap(...), so a banded score below the cap is
+    # exact (and band-independent — see the cap's docstring). Otherwise
+    # double k; fall back to the full matrices when the band stops being
+    # smaller.
     reach = max(abs(n - m), pb, pe, tb, te)
     # k_start lets batched callers hand over the band at which their ladder
     # already failed, skipping the re-climb
@@ -271,7 +310,7 @@ def affine_align_ends_free_cigar(pattern: str, text: str,
         E = _BandView(Eb, k)
         F = _BandView(Fb, k)
         score, ei, ej = _affine_end_cell(H, m, n, pe, te)
-        if score < GAP_OPEN + GAP_EXT * (k + 1 - reach):
+        if score < band_validity_cap(m, n, pb, pe, tb, te, k):
             break
         k *= 2
     ops = []

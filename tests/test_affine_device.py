@@ -118,6 +118,89 @@ def test_device_affine_tb_dist_hints_route_bands():
             assert cigs[i] == want[i], i
 
 
+def test_band_validity_cap_is_sound_and_band_independent():
+    """Randomized soundness check of band_validity_cap: whenever the banded
+    score beats the cap, it must equal the full-matrix optimum AND the
+    banded traceback must be identical to the full-matrix traceback (the
+    band-independence property the device kernel relies on)."""
+    from otter_tpu.ops.align_np import (
+        _affine_end_cell,
+        _affine_matrices,
+        _codes,
+        band_validity_cap,
+    )
+    from otter_tpu.ops.align_batch import (
+        _banded_batch_multi,
+        _end_cell,
+        _MemberView,
+        _traceback,
+    )
+
+    rng = random.Random(5)
+    checked = 0
+    for trial in range(120):
+        m = rng.randrange(20, 90)
+        p = "".join(rng.choice("ACGT") for _ in range(m))
+        t = list(p)
+        # random edits incl. occasional large indels that stress the cap
+        for _ in range(rng.randrange(0, 4)):
+            pos = rng.randrange(0, max(1, len(t) - 1))
+            r = rng.random()
+            if r < 0.4:
+                t[pos] = rng.choice("ACGT")
+            elif r < 0.7:
+                t.insert(pos, "".join(rng.choice("ACGT")
+                                      for _ in range(rng.randrange(1, 12))))
+            else:
+                del t[pos : pos + rng.randrange(1, 12)]
+        t = "".join("".join(x) for x in t)
+        frees = [0, 0, 0, 0]
+        if rng.random() < 0.5:
+            frees[rng.randrange(4)] = rng.randrange(0, 15)
+        pb, pe, tb, te = frees
+        a, b = _codes(p), _codes(t)
+        n = len(b)
+        k = max(rng.choice([8, 12, 16, 24]), abs(n - m) + 2)
+        H, E, F, ms, ns = _banded_batch_multi(
+            [a], [b], k, np.array([pb]), np.array([tb]))
+        Hv = _MemberView(H[0], k)
+        Ev = _MemberView(E[0], k)
+        Fv = _MemberView(F[0], k)
+        score, ei, ej = _end_cell(Hv, m, n, pe, te)
+        cap = band_validity_cap(m, n, pb, pe, tb, te, k)
+        if score >= cap:
+            continue
+        checked += 1
+        Hf, Ef, Ff = _affine_matrices(a, b, pb=pb, tb=tb)
+        fscore, fei, fej = _affine_end_cell(Hf, m, n, pe, te)
+        assert score == fscore, (trial, score, fscore)
+        banded_cig = _traceback(Hv, Ev, Fv, a, b, m, n, ei, ej)
+        full_cig = _traceback(Hf, Ef, Ff, a, b, m, n, fei, fej)
+        assert banded_cig == full_cig, trial
+    assert checked >= 30  # the cap must actually certify a good fraction
+
+
+def test_device_affine_tb_walk_budget_boundary():
+    """Alone-worst walk accounting (_T_WORDS proof): a valid member whose
+    walk spends the free-begin I tail + scored gaps + full diagonal still
+    finishes on device — and deep-pe jobs far past the old loose bound
+    (score >> GAP_OPEN + GAP_EXT*(k+1-reach)) are certified by the tight
+    cap instead of burning a guaranteed-failed pass."""
+    rng = random.Random(123)
+    p = "".join(rng.choice("ACGT") for _ in range(250))
+    # free text begin (walked as the I tail) + a 20bp del + a 15bp ins
+    pre = "".join(rng.choice("ACGT") for _ in range(60))
+    t = list(p)
+    del t[100:120]
+    t.insert(200, "".join(rng.choice("ACGT") for _ in range(15)))
+    text = pre + "".join("".join(x) for x in t)
+    jobs = [(p, text, 0, 0, 60, 0)]
+    cigs, failed = affine_cigars_device_tb(jobs, interpret=True)
+    assert failed == []
+    want = [affine_align_ends_free_cigar(j[0], j[1], *j[2:]) for j in jobs]
+    assert cigs == want
+
+
 def test_multi_with_device_flag_falls_back_cleanly():
     """With the flag on but no TPU (CPU test env), the host path still
     produces complete, correct results."""
