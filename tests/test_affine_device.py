@@ -201,6 +201,90 @@ def test_device_affine_tb_walk_budget_boundary():
     assert cigs == want
 
 
+def _scatter_mutate(rng, p, n_mismatch, dels, inss):
+    """Apply n_mismatch scattered substitutions plus the given (pos, len)
+    deletions/insertions to p; returns the mutated text."""
+    t = list(p)
+    for pos, ln in dels:
+        del t[pos : pos + ln]
+    for pos, ln in inss:
+        t.insert(pos, "".join(rng.choice("ACGT") for _ in range(ln)))
+    flat = list("".join("".join(x) for x in t))
+    for _ in range(n_mismatch):
+        pos = rng.randrange(len(flat))
+        flat[pos] = rng.choice([b for b in "ACGT" if b != flat[pos]])
+    return "".join(flat)
+
+
+def test_device_affine_ckpt_kernel_ont_regime():
+    """k=255 checkpointed kernel: a high-error member (score ~800, beyond
+    k=127's validity cap) gets its cigar from the device, byte-identical
+    to the host ladder. This is the WFA regime the nibble kernels
+    mathematically exclude (VERDICT r2 missing #1)."""
+    from otter_tpu.ops.align_np import edit_distance_ends_free
+
+    rng = random.Random(7)
+    p = "".join(rng.choice("ACGT") for _ in range(950))
+    t = _scatter_mutate(rng, p, 50, [(200, 150)], [(500, 150)])
+    jobs = [(p, t, 0, 0, 0, 0)]
+    hints = [edit_distance_ends_free(*jobs[0])]
+    cigs, failed = affine_cigars_device_tb(jobs, interpret=True,
+                                           dist_hints=hints)
+    want = [affine_align_ends_free_cigar(j[0], j[1], *j[2:]) for j in jobs]
+    assert failed == []
+    assert cigs == want
+
+
+def test_device_affine_ckpt_kernel_k511():
+    """k=511 checkpointed kernel: 250 bp indel wander whose score exceeds
+    even k=255's cap; the hint routes straight to k=511."""
+    from otter_tpu.ops.align_np import edit_distance_ends_free
+
+    rng = random.Random(8)
+    p = "".join(rng.choice("ACGT") for _ in range(700))
+    t = _scatter_mutate(rng, p, 25, [(100, 250)], [(380, 250)])
+    jobs = [(p, t, 0, 0, 0, 0)]
+    hints = [edit_distance_ends_free(*jobs[0])]
+    cigs, failed = affine_cigars_device_tb(jobs, interpret=True,
+                                           dist_hints=hints)
+    want = [affine_align_ends_free_cigar(j[0], j[1], *j[2:]) for j in jobs]
+    assert failed == []
+    assert cigs == want
+
+
+def test_device_affine_escalates_bands_without_hints():
+    """Without dist hints a high-error job starts at k=63, fails its
+    validity cap, and escalates on device (k=127 -> k=255) instead of
+    falling back to the host ladder."""
+    rng = random.Random(9)
+    p = "".join(rng.choice("ACGT") for _ in range(400))
+    t = _scatter_mutate(rng, p, 30, [(60, 140)], [(200, 140)])
+    jobs = [(p, t, 0, 0, 0, 0)]
+    cigs, failed = affine_cigars_device_tb(jobs, interpret=True)
+    want = [affine_align_ends_free_cigar(j[0], j[1], *j[2:]) for j in jobs]
+    assert failed == []
+    assert cigs == want
+
+
+def test_device_affine_ckpt_multiblock_boundary():
+    """A >256-row pattern in the checkpointed kernel crosses block
+    boundaries: the walk reads bits recomputed from different checkpoints
+    (exactness across the block seam)."""
+    from otter_tpu.ops.align_np import edit_distance_ends_free
+
+    rng = random.Random(10)
+    p = "".join(rng.choice("ACGT") for _ in range(1100))
+    # edits placed either side of the row-256/512/768 block seams
+    t = _scatter_mutate(rng, p, 40, [(250, 130), (760, 10)], [(520, 160)])
+    jobs = [(p, t, 0, 0, 0, 0)]
+    hints = [edit_distance_ends_free(*jobs[0])]
+    cigs, failed = affine_cigars_device_tb(jobs, interpret=True,
+                                           dist_hints=hints)
+    want = [affine_align_ends_free_cigar(j[0], j[1], *j[2:]) for j in jobs]
+    assert failed == []
+    assert cigs == want
+
+
 def test_multi_with_device_flag_falls_back_cleanly():
     """With the flag on but no TPU (CPU test env), the host path still
     produces complete, correct results."""
