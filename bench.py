@@ -135,7 +135,109 @@ def bench_regions():
             result.update(bench_genotype(tmp, bam, bed, n_regions))
         except Exception as e:  # genotype leg must never kill the bench
             result["genotype_error"] = f"{type(e).__name__}: {e}"
+        try:
+            from bench_e2e import bench_genotype_cohort
+
+            result.update(bench_genotype_cohort(tmp))
+        except Exception as e:
+            result["genotype64_error"] = f"{type(e).__name__}: {e}"
         return result
+
+
+def bench_device_kernels():
+    """Forced device-kernel rates (the adaptive routing keeps these OFF
+    through high-RTT tunnels; this leg records what the hardware actually
+    does, so the routing decision is a measured number in the driver JSON,
+    not a code comment).
+
+    - device gap-affine with on-device traceback, ONT-regime members
+      (2.3 kb, ~7% error -> k=255 checkpointed kernel) vs the threaded
+      native C++ ladder on identical jobs, byte-parity asserted
+    - device POA heaviest-path DP (graphs prebuilt on host) vs the native
+      C++ batch PPOA (graph build + DP), byte-parity asserted
+    """
+    rng = random.Random(20260820)
+
+    def rand_seq(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    def mut(s, rate):
+        o = []
+        for ch in s:
+            x = rng.random()
+            if x < rate * 0.4:
+                o.append(rng.choice([b for b in "ACGT" if b != ch]))
+            elif x < rate * 0.7:
+                o.extend([ch, rng.choice("ACGT")])
+            elif x < rate:
+                pass
+            else:
+                o.append(ch)
+        return "".join(o)
+
+    out = {}
+    from otter_tpu.kernels.affine_pallas import affine_cigars_device_tb
+    from otter_tpu.ops.align_batch import (affine_cigars_multi,
+                                           edit_ends_free_batch)
+
+    jobs = []
+    for _ in range(48):
+        p = rand_seq(2300)
+        jobs.append((p, mut(p, 0.07), 0, 0, 0, 0))
+    hints = [int(d) for d in edit_ends_free_batch(jobs)]
+    cigs_dev, failed = affine_cigars_device_tb(jobs, dist_hints=hints)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cigs_dev, failed = affine_cigars_device_tb(jobs, dist_hints=hints)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    n_done = sum(1 for c in cigs_dev if c)
+    t0 = time.perf_counter()
+    cigs_nat = affine_cigars_multi(jobs, use_device=False, dist_hints=hints)
+    dt_nat = time.perf_counter() - t0
+    out["device_affine_cigars_per_sec"] = round(n_done / best, 1)
+    out["native_affine_cigars_per_sec"] = round(len(jobs) / dt_nat, 1)
+    out["device_affine_jobs_done"] = n_done
+    out["device_affine_parity"] = all(
+        c == w for c, w in zip(cigs_dev, cigs_nat) if c)
+
+    from otter_tpu.ops.align_np import affine_align_cigar
+    from otter_tpu.ops.poa import Ppoa
+    from otter_tpu.ops.poa_device import poa_consensus_device_batch
+    from otter_tpu.native import poa_consensus_batch
+
+    ndata = []
+    poas = []
+    for _ in range(12):
+        base = rand_seq(1200)
+        members = []
+        poa = Ppoa(base)
+        for _m in range(6):
+            seq = mut(base, 0.04)
+            cigar = affine_align_cigar(base, seq)
+            poa.insert_alignment(seq, cigar, True, True)
+            members.append((seq, cigar, True, True))
+        c = float(np.float32((len(members) + 1) * np.float32(0.4)))
+        poa.adjust_weights(c, float(np.float32(0.3)))
+        poas.append(poa)
+        ndata.append((base, members))
+    cvals = [float(np.float32((len(m) + 1) * np.float32(0.4)))
+             for _b, m in ndata]
+    seqs_dev = poa_consensus_device_batch(poas)  # warmup/compile
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        seqs_dev = poa_consensus_device_batch(poas)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    t0 = time.perf_counter()
+    seqs_nat = poa_consensus_batch(ndata, cvals, float(np.float32(0.3)))
+    dt_nat = time.perf_counter() - t0
+    out["device_poa_consensus_per_sec"] = round(len(poas) / best, 1)
+    out["native_poa_consensus_per_sec"] = round(len(ndata) / dt_nat, 1)
+    out["device_poa_parity"] = seqs_dev == seqs_nat
+    return out
 
 
 def _emit(result):
@@ -147,7 +249,8 @@ def child_main():
     """Run the requested legs, printing a CUMULATIVE JSON line after each
     completed leg (the parent keeps the last parseable line it saw, so a
     deadline kill mid-leg still preserves everything finished before it)."""
-    legs = os.environ.get("OTTER_BENCH_LEGS", "kernel,regions").split(",")
+    legs = os.environ.get("OTTER_BENCH_LEGS",
+                          "kernel,regions,device").split(",")
     result = {}
     # the child owns backend init (the parent never touches the tunnel);
     # measured round-trip latency sizes the workload: a degraded tunnel
@@ -192,6 +295,12 @@ def child_main():
             result.update(bench_regions())
         except Exception as e:  # never let the e2e leg kill the kernel leg
             result["regions_error"] = f"{type(e).__name__}: {e}"
+        _emit(result)
+    if "device" in legs and plat0 in ("tpu", "axon"):
+        try:
+            result.update(bench_device_kernels())
+        except Exception as e:  # forced-kernel leg must never kill the rest
+            result["device_error"] = f"{type(e).__name__}: {e}"
         _emit(result)
     return 0
 

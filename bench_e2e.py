@@ -181,6 +181,81 @@ def bench_genotype(tmp, bam, bed, n_regions, n_samples=3):
             "genotype_samples": n_samples}
 
 
+def build_cohort_fixture(tmp, n_samples=64, n_regions=32, seed=5):
+    """Directly fabricate a merged cohort BAM (otter-SAM allele records
+    with per-sample @RG tags) — the joint-genotype input shape of
+    genotype.cpp:173-192 at real cohort scale, without paying n_samples
+    assemble runs."""
+    from fixtures import make_bam, read_record, write_fasta
+    from otter_tpu.io.bai import index_bam
+    from otter_tpu.io.bam import BAM_CMATCH
+
+    rng = random.Random(seed)
+    span = 2500
+    ref_len = 1000 + n_regions * span + 2000
+    ref = "".join(rng.choice("ACGT") for _ in range(ref_len))
+    bed = os.path.join(tmp, "cohort_regions.bed")
+    records = []
+    with open(bed, "w") as fh:
+        for r in range(n_regions):
+            start = 1000 + r * span
+            end = start + 120
+            fh.write(f"chr1\t{start}\t{end}\n")
+            region = f"chr1:{start}-{end}"
+            base = ref[start:end]
+            exp = base + "CAG" * rng.randrange(10, 30)
+            for s in range(n_samples):
+                for hap, seq in enumerate((base, exp) if s % 2 else
+                                          (base, base)):
+                    sv = list(seq)
+                    for _ in range(rng.randrange(0, 3)):
+                        p = rng.randrange(len(sv))
+                        sv[p] = rng.choice("ACGT")
+                    records.append(read_record(
+                        f"a{r}_{s}_{hap}", 0, start, "".join(sv),
+                        [(len(sv), BAM_CMATCH)],
+                        tags=[("ta", "Z", region), ("RG", "Z", f"S{s}"),
+                              ("tc", "i", 20), ("ac", "i", 10),
+                              ("sc", "i", 8), ("se", "f", 0.01),
+                              ("ic", "i", 1)]))
+    bam = os.path.join(tmp, "cohort64.bam")
+    extra = "\n".join(f"@RG\tID:S{s}" for s in range(n_samples))
+    make_bam(bam, [("chr1", ref_len)], records, pg_of="1,0",
+             extra_header=extra)
+    index_bam(bam)
+    fa = os.path.join(tmp, "cohort_ref.fa")
+    write_fasta(fa, [("chr1", ref)])
+    return bam, bed, fa
+
+
+def bench_genotype_cohort(tmp, n_samples=64, n_regions=32):
+    """Cohort-scale joint genotyping (n = 2*samples+1 allele matrices per
+    region — the regime the reference's genotype scaling story is about,
+    otterclust.cpp:367-420). Times the batched pipeline and asserts the
+    VCF byte-identical to the sequential pure-host oracle."""
+    from otter_tpu.config import OtterOpts
+    from otter_tpu.models.genotype import genotype
+
+    bam, bed, fa = build_cohort_fixture(tmp, n_samples, n_regions)
+
+    def run_gt(device):
+        params = OtterOpts()
+        params.device = device
+        out = io.StringIO()
+        t0 = time.perf_counter()
+        genotype(params, bam, bed, fa, out=out)
+        return time.perf_counter() - t0, out.getvalue()
+
+    run_gt("auto")  # warm
+    best = min(run_gt("auto")[0] for _ in range(2))
+    _dt_host, vcf_host = run_gt("host")
+    dt, vcf = run_gt("auto")
+    best = min(best, dt)
+    return {"genotype64_regions_per_sec": round(n_regions / best, 2),
+            "genotype64_samples": n_samples,
+            "genotype64_vcf_identical": vcf == vcf_host}
+
+
 def main():
     from otter_tpu.utils.preflight import wait_for_device
 

@@ -1256,3 +1256,169 @@ void otter_myers_pack_packed(const uint8_t* buf, const int64_t* offs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Average-linkage NN-chain hierarchical clustering (hclust-cpp semantics).
+//
+// Exact float64 parity with otter_tpu/ops/hclust.py::nn_chain_average_ref +
+// to_r_dendrogram (itself a port of include/hclust-cpp NN_chain_core +
+// generate_R_dendrogram<false> as used by src/otterclust.cpp:182,336): same
+// linked-list scan order (lowest-index nearest neighbour wins ties), same
+// Lance-Williams average update written as two explicit products plus an
+// add (the build uses -ffp-contract=off so no FMA contraction can change
+// the rounding vs numpy), same stable sort by height and union-find
+// R-convention relabeling. Threaded batch variant for the cohort genotype
+// path (one matrix per region, n = 2*samples+1).
+// ---------------------------------------------------------------------------
+
+namespace hclust_nn {
+
+static void hclust_one(const double* cond, int32_t n,
+                       int64_t* merge, double* height) {
+  if (n < 2) return;
+  const size_t ncond = size_t(n) * (n - 1) / 2;
+  std::vector<double> D(cond, cond + ncond);
+  std::vector<double> members(n, 1.0);
+  std::vector<int32_t> succ(n), pred(n);
+  for (int32_t i = 0; i < n; ++i) { succ[i] = i + 1; pred[i] = i - 1; }
+  int32_t start = 0;
+  auto didx = [n](int32_t a, int32_t b) -> size_t {
+    if (a > b) std::swap(a, b);
+    return ((size_t(2 * n - 3 - a) * a) >> 1) + b - 1;
+  };
+  std::vector<int32_t> m1v, m2v;
+  std::vector<double> mh;
+  m1v.reserve(n - 1); m2v.reserve(n - 1); mh.reserve(n - 1);
+  std::vector<int32_t> chain(n);
+  int32_t tip = 0, idx1 = 0, idx2 = 0;
+  double mind = 0.0;
+  for (int32_t it = 0; it < n - 1; ++it) {
+    if (tip <= 3) {
+      idx1 = start;
+      chain[0] = idx1;
+      tip = 1;
+      idx2 = succ[idx1];
+      mind = D[didx(idx1, idx2)];
+      for (int32_t i = succ[idx2]; i < n; i = succ[i]) {
+        const double d = D[didx(idx1, i)];
+        if (d < mind) { mind = d; idx2 = i; }
+      }
+    } else {
+      tip -= 3;
+      idx1 = chain[tip - 1];
+      idx2 = chain[tip];
+      mind = D[didx(idx1, idx2)];
+    }
+    for (;;) {
+      chain[tip] = idx2;
+      for (int32_t i = start; i < idx2; i = succ[i]) {
+        const double d = D[didx(i, idx2)];
+        if (d < mind) { mind = d; idx1 = i; }
+      }
+      for (int32_t i = succ[idx2]; i < n; i = succ[i]) {
+        const double d = D[didx(idx2, i)];
+        if (d < mind) { mind = d; idx1 = i; }
+      }
+      idx2 = idx1;
+      idx1 = chain[tip];
+      tip += 1;
+      if (idx2 == chain[tip - 2]) break;
+    }
+    m1v.push_back(idx1); m2v.push_back(idx2); mh.push_back(mind);
+    if (idx1 > idx2) std::swap(idx1, idx2);
+    const double size1 = members[idx1], size2 = members[idx2];
+    members[idx2] += members[idx1];
+    {  // unlink idx1 from the active list
+      const int32_t p = pred[idx1], s = succ[idx1];
+      if (p < 0) start = s; else succ[p] = s;
+      if (s < n) pred[s] = p;
+    }
+    const double s = size1 / (size1 + size2);
+    const double t = size2 / (size1 + size2);
+    int32_t i = start;
+    for (; i < idx1; i = succ[i]) {
+      const size_t kk = didx(i, idx2);
+      const double x = s * D[didx(i, idx1)];
+      const double y = t * D[kk];
+      D[kk] = x + y;
+    }
+    for (; i < idx2; i = succ[i]) {
+      const size_t kk = didx(i, idx2);
+      const double x = s * D[didx(idx1, i)];
+      const double y = t * D[kk];
+      D[kk] = x + y;
+    }
+    for (i = succ[idx2]; i < n; i = succ[i]) {
+      const size_t kk = didx(idx2, i);
+      const double x = s * D[didx(idx1, i)];
+      const double y = t * D[kk];
+      D[kk] = x + y;
+    }
+  }
+  // R-convention output: stable sort by height, union-find relabel
+  const int32_t nm = n - 1;
+  std::vector<int32_t> order(nm);
+  for (int32_t i = 0; i < nm; ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int32_t a, int32_t b) { return mh[a] < mh[b]; });
+  std::vector<int32_t> parent(2 * n - 1);
+  for (int32_t i = 0; i < 2 * n - 1; ++i) parent[i] = i;
+  auto findroot = [&](int32_t x) -> int32_t {
+    int32_t root = x;
+    while (parent[root] != root) root = parent[root];
+    while (parent[x] != root) { const int32_t nx = parent[x]; parent[x] = root; x = nx; }
+    return root;
+  };
+  int32_t next_cluster = n;
+  for (int32_t oi = 0; oi < nm; ++oi) {
+    const int32_t mi = order[oi];
+    int32_t node1 = findroot(m1v[mi]);
+    int32_t node2 = findroot(m2v[mi]);
+    parent[node1] = next_cluster;
+    parent[node2] = next_cluster;
+    ++next_cluster;
+    if (node1 > node2) std::swap(node1, node2);
+    merge[size_t(oi) * 2 + 0] =
+        node1 < n ? -int64_t(node1 + 1) : int64_t(node1 - n + 1);
+    merge[size_t(oi) * 2 + 1] =
+        node2 < n ? -int64_t(node2 + 1) : int64_t(node2 - n + 1);
+    height[oi] = mh[mi];
+  }
+}
+
+}  // namespace hclust_nn
+
+extern "C" {
+
+void otter_hclust_average(const double* condensed, int32_t n,
+                          int64_t* merge, double* height) {
+  hclust_nn::hclust_one(condensed, n, merge, height);
+}
+
+// Batch over matrices: condensed_all holds each matrix's condensed values
+// back to back (offsets[i]..offsets[i+1]); merge/height outputs are likewise
+// concatenated ((ns[i]-1)*2 and ns[i]-1 entries per matrix).
+void otter_hclust_average_batch(const double* condensed_all,
+                                const int64_t* cond_off, const int32_t* ns,
+                                int32_t n_mats, int64_t* merge_all,
+                                const int64_t* merge_off, double* height_all,
+                                const int64_t* height_off,
+                                int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  auto worker = [&](int32_t t) {
+    for (int32_t b = t; b < n_mats; b += n_threads) {
+      hclust_nn::hclust_one(condensed_all + cond_off[b], ns[b],
+                            merge_all + merge_off[b],
+                            height_all + height_off[b]);
+    }
+  };
+  if (n_threads == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+  }
+}
+
+}  // extern "C"

@@ -791,19 +791,20 @@ class EditDistanceEngine:
         ladder, no escalation retries. Everything else falls back to the
         vectorized host batch DP.
         """
-        from ..ops.align_batch import edit_ends_free_batch
+        return self.ends_free_collect(self.ends_free_async(jobs))
+
+    def ends_free_async(self, jobs):
+        """Dispatch half of ends_free(): every striped-Myers bucket chunk
+        is launched asynchronously so the device (and tunnel traffic) runs
+        while the caller does host work; finish with ends_free_collect.
+        Non-pallas backends return a sync handle (collect computes)."""
         from .myers import is_acgt
         from .myers_pallas import PAIRS_PER_PROG
-        from .myers_striped import myers_striped_ends_free
+        from .myers_striped import myers_striped_ends_free_async
 
-        if self.mesh is not None and self.mode == "jnp":
-            # mesh execution: the fixed-k banded passes shard the pair
-            # axis over the mesh (reassignment + consensus band-seed
-            # dispatches ride the same data-parallel axis as the distance
-            # matrices; the doubling ladder and validity stay on host)
-            return edit_ends_free_batch(
-                jobs, banded_runner=self._ends_free_mesh_runner)
-
+        if self.mode != "pallas" or (self.mesh is not None
+                                     and self.mode == "jnp"):
+            return ("sync", jobs)
         out = np.zeros(len(jobs), dtype=np.int64)
         host: List[int] = []
         buckets: dict = {}
@@ -812,8 +813,7 @@ class EditDistanceEngine:
             if p == t:
                 continue
             one_sided = not ((pb or pe) and (tb or te))
-            if (self.mode == "pallas" and one_sided
-                    and min(len(p), len(t)) > 0
+            if (one_sided and min(len(p), len(t)) > 0
                     and max(len(p), len(t)) <= self.MYERS_TEXT_CAP
                     and is_acgt(p) and is_acgt(t)):
                 # bucket by the padded length of the free side (the Myers
@@ -825,20 +825,46 @@ class EditDistanceEngine:
                 buckets.setdefault(tl, []).append(idx)
             else:
                 host.append(idx)
+        launches = []
         for tl, members in sorted(buckets.items()):
             for c0 in range(0, len(members), PAIRS_PER_PROG):
                 chunk = members[c0 : c0 + PAIRS_PER_PROG]
                 sub = [jobs[i] for i in chunk]
                 try:
-                    d = myers_striped_ends_free(sub, interpret=self.interpret,
-                                                text_len=tl)
+                    h = myers_striped_ends_free_async(
+                        sub, interpret=self.interpret, text_len=tl)
                 except Exception:
                     host.extend(chunk)
                     continue
                 mlen_max = max(min(len(j[0]), len(j[1])) for j in sub)
                 self.cells += len(sub) * mlen_max * tl
-                for bi, idx in enumerate(chunk):
-                    out[idx] = int(d[bi])
+                launches.append((chunk, h))
+        return ("live", jobs, out, host, launches)
+
+    def ends_free_collect(self, handle) -> np.ndarray:
+        from ..ops.align_batch import edit_ends_free_batch
+        from .myers_striped import myers_striped_ends_free_collect
+
+        if handle[0] == "sync":
+            jobs = handle[1]
+            if self.mesh is not None and self.mode == "jnp":
+                # mesh execution: the fixed-k banded passes shard the pair
+                # axis over the mesh (reassignment + consensus band-seed
+                # dispatches ride the same data-parallel axis as the
+                # distance matrices; the doubling ladder and validity stay
+                # on host)
+                return edit_ends_free_batch(
+                    jobs, banded_runner=self._ends_free_mesh_runner)
+            return edit_ends_free_batch(jobs)
+        _t, jobs, out, host, launches = handle
+        for chunk, h in launches:
+            try:
+                d = myers_striped_ends_free_collect(h)
+            except Exception:
+                host.extend(chunk)
+                continue
+            for bi, idx in enumerate(chunk):
+                out[idx] = int(d[bi])
         if host:
             d = edit_ends_free_batch([jobs[i] for i in host])
             for bi, idx in enumerate(host):

@@ -248,6 +248,15 @@ def _striped_run(pairs: List[Tuple[str, str]], text_len: int,
                  interpret: bool = False) -> np.ndarray:
     """Shared striped-Myers driver. pairs are already (pattern, text)
     oriented; tb_arr/te_arr are per-pair free text begin/end lengths."""
+    return _striped_collect(_striped_launch(pairs, text_len, tb_arr, te_arr,
+                                            interpret=interpret))
+
+
+def _striped_launch(pairs: List[Tuple[str, str]], text_len: int,
+                    tb_arr: np.ndarray, te_arr: np.ndarray,
+                    interpret: bool = False):
+    """Dispatch half of _striped_run: returns a handle whose device work is
+    in flight; materialize with _striped_collect (the only D2H)."""
     PAIRS = TB * LANES
     mlen_max = max(min(len(a), len(b)) for a, b in pairs)
     n_words_total = (mlen_max + 31) // 32
@@ -287,11 +296,16 @@ def _striped_run(pairs: List[Tuple[str, str]], text_len: int,
             first_stripe=(s == 0), interpret=interpret)
         cin = (ca, cp, cm)
         captured_per_stripe.append(captured)
-    # one materialization: stack on device, then pick per member
-    stacked = np.asarray(jnp.stack(captured_per_stripe))  # (S, B, 128)
+    return (jnp.stack(captured_per_stripe), sel_word, n_stripes, len(pairs))
+
+
+def _striped_collect(handle) -> np.ndarray:
+    """One materialization: stack arrived on device; pick per member."""
+    stacked_dev, sel_word, n_stripes, n_pairs = handle
+    stacked = np.asarray(stacked_dev)  # (S, B, 128)
     stacked = stacked.reshape(n_stripes, -1)
     stripe_of = sel_word // STRIPE_WORDS
-    out = stacked[stripe_of[: len(pairs)], np.arange(len(pairs))]
+    out = stacked[stripe_of[:n_pairs], np.arange(n_pairs)]
     return out.astype(np.int64)
 
 
@@ -335,6 +349,18 @@ def myers_striped_ends_free(jobs: List[Tuple[str, str, int, int, int, int]],
     te turns the final capture into a running min of the bottom row over the
     last te+1 columns.
     """
+    return myers_striped_ends_free_collect(
+        myers_striped_ends_free_async(jobs, interpret=interpret,
+                                      text_len=text_len))
+
+
+def myers_striped_ends_free_async(jobs: List[Tuple[str, str, int, int,
+                                                   int, int]],
+                                  interpret: bool = False,
+                                  text_len: int | None = None):
+    """Dispatch half of myers_striped_ends_free — the device work is in
+    flight when this returns; materialize (one D2H) with
+    myers_striped_ends_free_collect."""
     oriented: List[Tuple[str, str]] = []
     tbs = np.zeros(len(jobs), dtype=np.int32)
     tes = np.zeros(len(jobs), dtype=np.int32)
@@ -353,9 +379,17 @@ def myers_striped_ends_free(jobs: List[Tuple[str, str, int, int, int, int]],
         else:
             oriented.append((p, t))
             tbs[i], tes[i] = tb, te
+    h = None
     if oriented:
         if text_len is None:
             text_len = max(len(t) for _, t in oriented)
-        out[live] = _striped_run(oriented, text_len, tbs[live], tes[live],
-                                 interpret=interpret)
+        h = _striped_launch(oriented, text_len, tbs[live], tes[live],
+                            interpret=interpret)
+    return out, live, h
+
+
+def myers_striped_ends_free_collect(handle) -> np.ndarray:
+    out, live, h = handle
+    if h is not None:
+        out[live] = _striped_collect(h)
     return out

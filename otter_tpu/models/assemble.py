@@ -235,7 +235,18 @@ def _dispatch_batch(params: OtterOpts, batch: List[RegionWork],
     """Pool every region's pair workload and launch it asynchronously;
     returns a staged handle for _finish_batch. While the caller finishes a
     previous batch on the host, the device (and tunnel traffic) runs this
-    one's distance matrices in the background."""
+    one's distance matrices in the background.
+
+    The reassignment workload rides the SAME chain: the (unassigned i,
+    labeled spanning j) pair set depends only on the valid/invalid read
+    partition — not on the cluster labels (reassignment_jobs scans
+    labels[i] < 0 / labels[j] >= 0, which is exactly invalid/valid) — so
+    its End2End pairs are appended to the pooled distance dispatch and its
+    ends-free jobs launch asynchronously here, instead of costing a
+    separate post-clustering device round trip per batch
+    (assemble.cpp:43's full-overlap model; VERDICT r2 #6)."""
+    from ..ops.consensus import reassignment_jobs
+
     all_pairs = []
     spans = []  # (work, coords, start_index)
     for work in batch:
@@ -245,18 +256,36 @@ def _dispatch_batch(params: OtterOpts, batch: List[RegionWork],
         coords, pairs = _region_pairs(work)
         spans.append((work, coords, len(all_pairs)))
         all_pairs.extend(pairs)
+    # reassignment pools (pair set is label-independent; see docstring)
+    reassign_infos: List = [None] * len(spans)
+    pool_ef: list = []
+    e2e_base = len(all_pairs)
+    for si, (work, _c, _s) in enumerate(spans):
+        if not work.invalid_indeces:
+            continue
+        pseudo = [-1] * len(work.reads)
+        for i in work.valid_indeces:
+            pseudo[i] = 0
+        pre, e2e_p, e2e_k, ef_j, ef_k, ef_n = reassignment_jobs(
+            work.reads, pseudo)
+        reassign_infos[si] = (pre, e2e_p, e2e_k, ef_j, ef_k, ef_n,
+                              len(all_pairs), len(pool_ef))
+        all_pairs.extend(e2e_p)
+        pool_ef.extend(ef_j)
     with metrics.phase("device_dispatch"):
         handle = (dist_backend.engine.distances_async(all_pairs)
                   if all_pairs else None)
-    metrics.add("pair_alignments", len(all_pairs))
-    return spans, all_pairs, handle
+        ef_handle = (dist_backend.engine.ends_free_async(pool_ef)
+                     if pool_ef else None)
+    metrics.add("pair_alignments", len(all_pairs) + len(pool_ef))
+    return spans, all_pairs, handle, reassign_infos, ef_handle, e2e_base
 
 
 def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
                   pool=None) -> None:
     """Collect a _dispatch_batch handle and run the host half (cluster,
     reassignment, consensus, emission) for its regions in order."""
-    spans, all_pairs, handle = staged
+    spans, all_pairs, handle, reassign_infos, ef_handle, e2e_base = staged
     from ..ops.consensus import consensus_apply_batched
 
     # non-pair spans (haplotag 0/1 grids, single-allele) fill on host first:
@@ -419,39 +448,23 @@ def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
         region_dens = {si: d
                        for (si, _v, _b), d in zip(kde_regions, dens_list)}
 
-    # phase 1: cluster every region on host, pooling reassignment jobs so
-    # the whole batch costs two more device round trips (e2e + ends-free)
-    # instead of several per region (tunnel latency dominates small calls)
-    from ..ops.consensus import reassignment_jobs
-
+    # phase 1: cluster every region on host. The reassignment pools were
+    # dispatched WITH the distance chain in _dispatch_batch (their pair
+    # set is label-independent); the e2e results arrived in the same
+    # materialization as ``dists`` above, and the ends-free handle only
+    # needs its collect — no post-clustering device round trip remains.
     region_jobs = []
-    pool_e2e: list = []
-    pool_ef: list = []
     for si, ((work, coords, start), distmatrix) in enumerate(
             zip(spans, matrices)):
         with metrics.phase("cluster_consensus"), \
                 metrics.phase("cluster_labels"):
             clustmsg, labels = cluster_labels(params, work, distmatrix,
                                               densities=region_dens.get(si))
-            info = None
-            if work.invalid_indeces:
-                pre, e2e_p, e2e_k, ef_j, ef_k, ef_n = reassignment_jobs(
-                    work.reads, labels)
-                info = (pre, e2e_p, e2e_k, ef_j, ef_k, ef_n,
-                        len(pool_e2e), len(pool_ef))
-                pool_e2e.extend(e2e_p)
-                pool_ef.extend(ef_j)
-        region_jobs.append((work, distmatrix, clustmsg, labels, info))
+        region_jobs.append((work, distmatrix, clustmsg, labels,
+                            reassign_infos[si]))
     with metrics.phase("device_dispatch"):
-        # launch the End2End pool asynchronously, run the ends-free pool
-        # while it's in flight, then collect: the two dispatches share one
-        # device round-trip latency instead of paying it twice
-        e2e_h = (dist_backend.engine.distances_async(pool_e2e)
-                 if pool_e2e else None)
-        ef_d = dist_backend.engine.ends_free(pool_ef) if pool_ef else []
-        e2e_d = (dist_backend.engine.distances_collect(e2e_h)
-                 if e2e_h is not None else [])
-    metrics.add("pair_alignments", len(pool_e2e) + len(pool_ef))
+        ef_d = (dist_backend.engine.ends_free_collect(ef_handle)
+                if ef_handle is not None else [])
 
     staged = []
     all_tasks = []
@@ -459,7 +472,7 @@ def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
         pre = None
         if info is not None:
             pre, e2e_p, e2e_k, ef_j, ef_k, ef_n, eo, fo = info
-            for key, d, (x, y) in zip(e2e_k, e2e_d[eo : eo + len(e2e_p)],
+            for key, d, (x, y) in zip(e2e_k, dists[eo : eo + len(e2e_p)],
                                       e2e_p):
                 pre[key] = d / float(max(len(x), len(y)))
             for key, d, nrm in zip(ef_k, ef_d[fo : fo + len(ef_j)], ef_n):

@@ -93,10 +93,14 @@ def output_vcf_line(offset_l: int, offset_r: int, region: BED, si: SampleIndex,
     out.write("".join(parts))
 
 
-def genotype_region(params: OtterOpts, region: BED, bam: BamReader,
-                    faidx: Optional[Faidx], si: SampleIndex, refindex: int,
-                    out: TextIO) -> None:
-    """(genotype.cpp:80-165)"""
+def _genotype_prep(params: OtterOpts, region: BED, bam: BamReader,
+                   faidx: Optional[Faidx], si: SampleIndex, refindex: int,
+                   out: TextIO):
+    """Everything in genotype_region before clustering: allele parse, ref
+    allele fetch, sample->local-allele mapping. Returns None when the
+    region is fully handled here (warning, or the no-reference TSV mode);
+    otherwise (anallele_block, allele_sample_indeces, ref_allele_index,
+    sample2localindeces)."""
     anallele_block, allele_sample_indeces = parse_analleles(
         params, bam, region, si.sample2index)
     if len(anallele_block) != len(allele_sample_indeces):
@@ -108,7 +112,7 @@ def genotype_region(params: OtterOpts, region: BED, bam: BamReader,
         sys.stderr.write(
             f"({antimestamp()}): [WARNING] no alleles found for "
             f"{region.to_sc_string()}\n")
-        return
+        return None
     ref_allele_index = -1
     if faidx is not None:
         refseq = faidx.fetch(region.chr, region.start - si.offset_l,
@@ -135,10 +139,26 @@ def genotype_region(params: OtterOpts, region: BED, bam: BamReader,
                 a2 = len(anallele_block[pair[1]].seq)
                 out.write(f"{region.to_sc_string()}\t{si.index2sample[i]}\t"
                           f"{min(a1, a2)}\t{max(a1, a2)}\n")
+        return None
+    return (anallele_block, allele_sample_indeces, ref_allele_index,
+            sample2localindeces)
+
+
+def genotype_region(params: OtterOpts, region: BED, bam: BamReader,
+                    faidx: Optional[Faidx], si: SampleIndex, refindex: int,
+                    out: TextIO, precomputed: Optional[dict] = None,
+                    prep=None) -> None:
+    """(genotype.cpp:80-165)"""
+    if prep is None:
+        prep = _genotype_prep(params, region, bam, faidx, si, refindex, out)
+    if prep is None:
         return
+    (anallele_block, allele_sample_indeces, ref_allele_index,
+     sample2localindeces) = prep
     genotypes = [Genotype() for _ in range(len(anallele_block))]
     acc_gt, gt_reps = anallele_cluster(params.max_error, params.max_cosdis,
-                                       anallele_block, genotypes)
+                                       anallele_block, genotypes,
+                                       precomputed=precomputed)
     if acc_gt != len(gt_reps):
         sys.stderr.write(
             f"({antimestamp()}): ERROR unexpected representative alleles "
@@ -164,13 +184,258 @@ def genotype_region(params: OtterOpts, region: BED, bam: BamReader,
 def genotype_process(params: OtterOpts, bam_path: str, regions: List[BED],
                      reference: str, si: SampleIndex, refindex: int,
                      out: TextIO) -> None:
-    bam = BamReader(bam_path, load_index=True)
-    faidx = Faidx(reference) if reference else None
-    for region in regions:
-        genotype_region(params, region, bam, faidx, si, refindex, out)
-    bam.close()
-    if faidx is not None:
-        faidx.close()
+    """Sequential at -t 1; a region thread pool otherwise (the reference
+    parallelizes genotype over regions with a stdout mutex,
+    genotype.cpp:71-78 — we emit in REGION ORDER instead, so -t N output
+    is byte-identical to -t 1). Each worker owns its BamReader/Faidx
+    (per-thread handles, the BS_thread_pool pattern); the clustering math
+    it runs is pure numpy + the native NN-chain, both thread-safe."""
+    if (reference and len(regions) > 1
+            and getattr(params, "device", "host") != "host"):
+        genotype_process_batched(params, bam_path, regions, reference, si,
+                                 refindex, out)
+        return
+    n_threads = max(1, int(getattr(params, "threads", 1) or 1))
+    if n_threads <= 1 or len(regions) <= 1:
+        bam = BamReader(bam_path, load_index=True)
+        faidx = Faidx(reference) if reference else None
+        for region in regions:
+            genotype_region(params, region, bam, faidx, si, refindex, out)
+        bam.close()
+        if faidx is not None:
+            faidx.close()
+        return
+    results = _pooled_regions(params, bam_path, regions, reference, si,
+                              refindex, n_threads, prep_only=False)
+    for text, _prep in results:
+        if text:
+            out.write(text)
+
+
+def _pooled_regions(params: OtterOpts, bam_path: str, regions: List[BED],
+                    reference: str, si: SampleIndex, refindex: int,
+                    n_threads: int, prep_only: bool):
+    """Region thread pool with per-thread BamReader/Faidx handles (the
+    reference's BS_thread_pool pattern, genotype.cpp:71-78). Returns
+    per-region (emitted_text, prep) in region order; with prep_only the
+    workers stop before clustering (the batched pipeline takes over)."""
+    import io as _io
+    import threading
+
+    results: List[Optional[tuple]] = [None] * len(regions)
+    nxt = [0]
+    lock = threading.Lock()
+
+    def worker() -> None:
+        bam = BamReader(bam_path, load_index=True)
+        faidx = Faidx(reference) if reference else None
+        try:
+            while True:
+                with lock:
+                    i = nxt[0]
+                    if i >= len(regions):
+                        return
+                    nxt[0] += 1
+                buf = _io.StringIO()
+                if prep_only:
+                    prep = _genotype_prep(params, regions[i], bam, faidx,
+                                          si, refindex, buf)
+                    results[i] = (buf.getvalue(), prep)
+                else:
+                    genotype_region(params, regions[i], bam, faidx, si,
+                                    refindex, buf)
+                    results[i] = (buf.getvalue(), None)
+        finally:
+            bam.close()
+            if faidx is not None:
+                faidx.close()
+
+    threads = [threading.Thread(target=worker)
+               for _ in range(max(1, min(n_threads, len(regions))))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return results
+
+
+# f32 batched-einsum error bound: a 65-term f32 dot accumulates ~65*2^-24
+# relative error; scaled values reach 1000, so the absolute error stays
+# under ~4e-3. The 1e-2 guard recomputes every pair the device could have
+# mis-rounded (a few percent) with the scalar f64 oracle.
+_ROUND_GUARD_F32 = 1e-2
+
+
+def genotype_process_batched(params: OtterOpts, bam_path: str,
+                             regions: List[BED], reference: str,
+                             si: SampleIndex, refindex: int,
+                             out: TextIO) -> None:
+    """Assemble-style pooled genotype pipeline (otterclust.cpp:367-420,
+    463-527 semantics, batched across regions):
+
+      1. threaded region prep (allele parse + ref fetch), per-thread
+         handles;
+      2. ONE vectorized k-mer usage pass over every allele of every
+         region (seqs/kmer.py::kusage_batch);
+      3. the per-region length distances vectorized on host (elementwise
+         f64, exact) and ALL regions' cosine similarity matrices as ONE
+         pooled GEMM dispatch — a padded (R, n_max, 65) einsum on the
+         device (f32) when it is direct-attached or forced
+         (OTTER_TPU_GENOTYPE_DEVICE=1), the host f64 BLAS batch
+         otherwise; both are certified pair-wise against the scalar-dot
+         oracle (ops/cluster.py::kusage_cosine_condensed), so the VCF is
+         byte-identical to the sequential host path either way;
+      4. per-region hclust (native C++ NN-chain) + joint labels + VCF
+         line, emitted in region order.
+    """
+    from ..ops.cluster import _ROUND_GUARD, kusage_cosine_condensed
+    from ..seqs.kmer import kusage_batch
+    from ..utils import metrics
+    import numpy as np
+
+    n_threads = max(1, int(getattr(params, "threads", 1) or 1))
+    with metrics.phase("genotype_prep"):
+        results = _pooled_regions(params, bam_path, regions, reference, si,
+                                  refindex, n_threads, prep_only=True)
+    live = [i for i, (_t, prep) in enumerate(results) if prep is not None]
+    with metrics.phase("genotype_kusage"):
+        all_seqs: List[str] = []
+        spans = {}
+        for i in live:
+            block = results[i][1][0]
+            spans[i] = (len(all_seqs), len(block))
+            all_seqs.extend(a.seq for a in block)
+        kus_all = kusage_batch(3, all_seqs)
+    # pooled cosine GEMM: device f32 einsum over the padded region batch,
+    # host f64 BLAS otherwise; certification makes them byte-equivalent
+    scaled_by_region = {}
+    Vs = {}
+    norms_by_region = {}
+    for i in live:
+        s0, cnt = spans[i]
+        kus = kus_all[s0 : s0 + cnt]
+        Vs[i] = np.stack([ku.vec for ku in kus])
+        norms_by_region[i] = np.asarray([ku.vnorm for ku in kus])
+    mesh_mode = getattr(params, "device", "") == "mesh"
+    use_device = mesh_mode or _genotype_device_default(params)
+    guard = _ROUND_GUARD
+    if use_device and live:
+        try:
+            with metrics.phase("genotype_cosine_device"):
+                import jax
+                import jax.numpy as jnp
+
+                n_max = max(Vs[i].shape[0] for i in live)
+                width = Vs[live[0]].shape[1]
+                R = len(live)
+                if mesh_mode:
+                    # region-sharded pooled GEMM over the device mesh:
+                    # the region axis splits across chips, XLA runs each
+                    # shard's einsum locally (no collectives needed)
+                    import os as _os
+
+                    from ..parallel.mesh import make_mesh
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    ndev = int(_os.environ.get("OTTER_TPU_MESH_DEVICES",
+                                               "0") or 0) \
+                        or len(jax.devices())
+                    mesh = make_mesh(ndev)
+                    R = ((len(live) + ndev - 1) // ndev) * ndev
+                Vp = np.zeros((R, n_max, width), dtype=np.float32)
+                for bi, i in enumerate(live):
+                    Vp[bi, : Vs[i].shape[0]] = Vs[i]
+                xv = jnp.asarray(Vp)
+                if mesh_mode:
+                    xv = jax.device_put(
+                        Vp, NamedSharding(mesh, P("dp", None, None)))
+                S = jnp.einsum("rne,rme->rnm", xv, xv,
+                               preferred_element_type=jnp.float32)
+                S = np.asarray(S, dtype=np.float64)
+                for bi, i in enumerate(live):
+                    n = Vs[i].shape[0]
+                    nr = norms_by_region[i]
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        scaled_by_region[i] = (
+                            S[bi, :n, :n] / np.outer(nr, nr)) * 1000.0
+                guard = _ROUND_GUARD_F32
+        except Exception:
+            scaled_by_region = {}
+            guard = _ROUND_GUARD
+    if not scaled_by_region:
+        with metrics.phase("genotype_cosine_host"):
+            for i in live:
+                V = Vs[i]
+                nr = norms_by_region[i]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    scaled_by_region[i] = (
+                        (V @ V.T) / np.outer(nr, nr)) * 1000.0
+    with metrics.phase("genotype_finish"):
+        import io as _io
+
+        for i, region in enumerate(regions):
+            text, prep = results[i]
+            if text:
+                out.write(text)
+            if prep is None:
+                continue
+            s0, cnt = spans[i]
+            V = Vs[i]
+            nr = norms_by_region[i]
+            kvals = kusage_cosine_condensed(scaled_by_region[i], V, nr,
+                                            guard)
+            block = prep[0]
+            lens = np.asarray([len(a.seq) for a in block],
+                              dtype=np.float64)
+            iu, ju = np.triu_indices(len(block), k=1)
+            mx = np.maximum(lens[iu], lens[ju])
+            lvals = np.abs(lens[iu] - lens[ju]) / np.maximum(mx, 1.0)
+            pre = {"length_values": lvals, "kusage_values": kvals,
+                   "kusages": kus_all[s0 : s0 + cnt]}
+            buf = _io.StringIO()
+            genotype_region(params, region, None, None, si, refindex,
+                            buf, precomputed=pre, prep=prep)
+            out.write(buf.getvalue())
+
+
+_GENOTYPE_DEVICE_DECISION: Optional[bool] = None
+
+
+def _genotype_device_default(params: OtterOpts) -> bool:
+    """Route the pooled cosine GEMM to the device? Forced by
+    OTTER_TPU_GENOTYPE_DEVICE=1/0; otherwise only when jax is live and the
+    round trip is direct-attach-fast (<5 ms) — through a tunnel the host
+    BLAS wins (the matrices are tiny; the dispatch is pure latency)."""
+    import os
+
+    global _GENOTYPE_DEVICE_DECISION
+    env = os.environ.get("OTTER_TPU_GENOTYPE_DEVICE", "")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    if _GENOTYPE_DEVICE_DECISION is None:
+        try:
+            # never let this decision INITIALIZE the backend: through a
+            # flaky tunnel that can hang the process for minutes
+            # (CLAUDE.md quirks). Only measure when a backend is already
+            # live in-process; otherwise host BLAS (the right answer for
+            # tunnels regardless).
+            if "jax" not in sys.modules:
+                _GENOTYPE_DEVICE_DECISION = False
+            else:
+                from jax._src import xla_bridge
+
+                if not xla_bridge._backends:
+                    _GENOTYPE_DEVICE_DECISION = False
+                else:
+                    from ..utils.preflight import device_roundtrip_ms
+
+                    _GENOTYPE_DEVICE_DECISION = device_roundtrip_ms() < 5.0
+        except Exception:
+            _GENOTYPE_DEVICE_DECISION = False
+    return _GENOTYPE_DEVICE_DECISION
 
 
 def genotype(params: OtterOpts, bam_path: str, bed: str, reference: str,

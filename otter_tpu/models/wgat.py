@@ -150,15 +150,55 @@ def wga_bam_genotyper(params: OtterOpts, bam_path: str,
     hdr.close()
     sys.stderr.write(
         f"({antimestamp()}): Parallelising across {len(ref_chrms)} contigs\n")
-    bam = BamReader(bam_path, load_index=True)
-    if bam.index is None:
-        sys.stderr.write(
-            f"({antimestamp()}): [WARNING] index not found for {bam_path}; "
-            f"using linear scan\n")
-    for chrom_region, chrom_name in zip(ref_chrms, chrom_names):
-        wga_bam_genotyper_process(params, bed_regions, bed_tree, chrom_region,
-                                  chrom_name, bam, out)
-    bam.close()
+    n_threads = max(1, int(getattr(params, "threads", 1) or 1))
+    if n_threads <= 1 or len(ref_chrms) <= 1:
+        bam = BamReader(bam_path, load_index=True)
+        if bam.index is None:
+            sys.stderr.write(
+                f"({antimestamp()}): [WARNING] index not found for "
+                f"{bam_path}; using linear scan\n")
+        for chrom_region, chrom_name in zip(ref_chrms, chrom_names):
+            wga_bam_genotyper_process(params, bed_regions, bed_tree,
+                                      chrom_region, chrom_name, bam, out)
+        bam.close()
+        return
+    # contig thread pool with per-thread BamReader handles (the
+    # reference's parallelize_loop over contigs + stdout mutex,
+    # wgat.cpp:148; emission here is in CONTIG ORDER, so -t N output is
+    # byte-identical to -t 1)
+    import io as _io
+    import threading
+
+    results: List[Optional[str]] = [None] * len(ref_chrms)
+    nxt = [0]
+    lock = threading.Lock()
+
+    def worker() -> None:
+        bam = BamReader(bam_path, load_index=True)
+        try:
+            while True:
+                with lock:
+                    i = nxt[0]
+                    if i >= len(ref_chrms):
+                        return
+                    nxt[0] += 1
+                buf = _io.StringIO()
+                wga_bam_genotyper_process(params, bed_regions, bed_tree,
+                                          ref_chrms[i], chrom_names[i],
+                                          bam, buf)
+                results[i] = buf.getvalue()
+        finally:
+            bam.close()
+
+    threads = [threading.Thread(target=worker)
+               for _ in range(min(n_threads, len(ref_chrms)))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for text in results:
+        if text:
+            out.write(text)
 
 
 def wgat(params: OtterOpts, input_path: str, bed_file: str,

@@ -39,8 +39,10 @@ def build_native(force: bool = False) -> str:
     if not force and os.path.exists(lib):
         return lib
     tmp = lib + f".tmp{os.getpid()}"
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-pthread", "-o", tmp, _SRC]
+    # -ffp-contract=off: float parity paths (hclust Lance-Williams, POA
+    # weights) must round like numpy, which never fuses mul+add into FMA
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-std=c++17",
+           "-shared", "-fPIC", "-pthread", "-o", tmp, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, lib)  # atomic vs concurrent builders
     return lib
@@ -129,6 +131,24 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_int32),      # nlen
                 ctypes.POINTER(ctypes.c_uint32),     # sel
                 ctypes.POINTER(ctypes.c_int32),      # minit
+            ]
+            lib.otter_hclust_average.restype = None
+            lib.otter_hclust_average.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.otter_hclust_average_batch.restype = None
+            lib.otter_hclust_average_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_double),     # condensed_all
+                ctypes.POINTER(ctypes.c_int64),      # cond_off
+                ctypes.POINTER(ctypes.c_int32),      # ns
+                ctypes.c_int32,                      # n_mats
+                ctypes.POINTER(ctypes.c_int64),      # merge_all
+                ctypes.POINTER(ctypes.c_int64),      # merge_off
+                ctypes.POINTER(ctypes.c_double),     # height_all
+                ctypes.POINTER(ctypes.c_int64),      # height_off
+                ctypes.c_int32,                      # n_threads
             ]
             lib.otter_myers_pack_packed.restype = None
             lib.otter_myers_pack_packed.argtypes = [
@@ -535,3 +555,57 @@ def myers_pack_packed(pairs: List[Tuple[str, str]], n_words: int,
         nlen.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         minit.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return (ppack.view(np.int32), tpack.view(np.int32), nlen, minit, n_prog)
+
+
+def hclust_average_native(condensed: np.ndarray, n: int):
+    """Average-linkage NN-chain via the native library; exact f64 parity
+    with ops/hclust.py::hclust_average (ties included — same scan order,
+    same non-contracted Lance-Williams rounding). Returns (merge, height)."""
+    lib = get_lib()
+    cond = np.ascontiguousarray(condensed, dtype=np.float64)
+    merge = np.zeros((max(0, n - 1), 2), dtype=np.int64)
+    height = np.zeros(max(0, n - 1), dtype=np.float64)
+    if n >= 2:
+        lib.otter_hclust_average(
+            cond.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+            merge.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            height.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return merge, height
+
+
+def hclust_average_native_batch(mats, n_threads: int = 0):
+    """Batched native hclust: ``mats`` is a list of (condensed, n); returns
+    a list of (merge, height). Threaded across matrices (the cohort
+    genotype path runs one matrix per region)."""
+    lib = get_lib()
+    if not mats:
+        return []
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    conds = [np.ascontiguousarray(c, dtype=np.float64) for c, _n in mats]
+    ns = np.array([n for _c, n in mats], dtype=np.int32)
+    cond_off = np.zeros(len(mats) + 1, dtype=np.int64)
+    np.cumsum([c.size for c in conds], out=cond_off[1:])
+    blob = (np.concatenate(conds) if conds else
+            np.zeros(0, dtype=np.float64))
+    nm = np.maximum(ns - 1, 0).astype(np.int64)
+    height_off = np.zeros(len(mats) + 1, dtype=np.int64)
+    np.cumsum(nm, out=height_off[1:])
+    merge_off = height_off * 2
+    merge_all = np.zeros(int(merge_off[-1]), dtype=np.int64)
+    height_all = np.zeros(int(height_off[-1]), dtype=np.float64)
+    lib.otter_hclust_average_batch(
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cond_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ns.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(mats), merge_all.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        merge_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        height_all.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        height_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_threads)
+    out = []
+    for i in range(len(mats)):
+        h0, h1 = int(height_off[i]), int(height_off[i + 1])
+        out.append((merge_all[2 * h0 : 2 * h1].reshape(-1, 2),
+                    height_all[h0:h1]))
+    return out

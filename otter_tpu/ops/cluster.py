@@ -16,11 +16,18 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..seqs.kmer import Kusage, seq2kcounts
+from ..seqs.kmer import Kusage, kusage_batch, seq2kcounts
 from ..seqs.model import AnAllele, AnRead
 from .distmat import DistMatrix
 from .hclust import cutree_cdist, cutree_k, hclust_average
 from .kde import kde_densities, kde_grid, kde_maximas
+
+
+# GEMM-vs-scalar-dot accumulation differences are a few ulps of a value
+# <= 1000 (~1e-13 absolute); 1e-9 leaves ~4 orders of magnitude of margin
+# while flagging only ~4e-9 of uniformly-distributed pairs for the scalar
+# recompute
+_ROUND_GUARD = 1e-9
 
 
 @dataclass
@@ -192,7 +199,7 @@ def otter_hclust(ignore_haps: bool, max_alleles: int, bandwidth_short: float,
         return
 
     n = len(indeces)
-    merge, height = hclust_average(n, distmatrix.values)
+    merge, height = _hclust_fast(n, distmatrix.values)
     dist_final = dists.dist1 if dists.dist1 == bandwidth else dists.cut0 + 0.0025
     labels = cutree_cdist(n, merge, height, dist_final).tolist()
     total_alleles = 0
@@ -284,7 +291,17 @@ def length_dist(x: int, y: int) -> float:
 
 def _hclust_route(n: int, condensed: np.ndarray, cdist: float
                   ) -> Tuple[np.ndarray, np.ndarray]:
-    """Average linkage for the cohort paths: device when provably safe.
+    """Average linkage for the cohort paths: native C++ NN-chain by
+    default (exact f64 parity with the python oracle — same algorithm,
+    same scan order, -ffp-contract=off so rounding matches numpy; see
+    native/otter_native.cpp::hclust_one and test_hclust.py's randomized
+    tie-heavy parity sweep), device when provably safe.
+
+    Real cohort matrices are full of ties (cosine distances round to 3
+    decimals, length distances repeat), so the tie-free device guard below
+    almost always falls back — the native path is what actually serves the
+    n = 2*samples+1 cohort regime. Pure-host oracle runs (no jax in the
+    process, OTTER_TPU_NATIVE_HCLUST=0) keep the python NN-chain.
 
     The device formulation (ops/hclust_device.py) matches the host NN-chain
     only on tie-free matrices, and it runs in float32, so it is used only
@@ -307,24 +324,39 @@ def _hclust_route(n: int, condensed: np.ndarray, cdist: float
     engine warm; pure-host runs never touch the backend)."""
     env = os.environ.get("OTTER_TPU_HCLUST_DEVICE", "")
     if n < 2 or env == "0":
-        return hclust_average(n, condensed)
+        return _hclust_fast(n, condensed)
     if env != "1" and (n < 64 or "jax" not in sys.modules):
-        return hclust_average(n, condensed)
+        return _hclust_fast(n, condensed)
     v32 = np.asarray(condensed, dtype=np.float32)
     if np.unique(v32).size != v32.size:
-        return hclust_average(n, condensed)
+        return _hclust_fast(n, condensed)
     try:
         from .hclust_device import hclust_average_device
         merge, height = hclust_average_device(
             np.asarray(condensed, dtype=np.float64), n)
     except Exception:
-        return hclust_average(n, condensed)
+        return _hclust_fast(n, condensed)
     h = np.asarray(height, dtype=np.float64)
     tol = max(1e-4, n * 1e-6) * max(1.0, abs(cdist))
     if h.size and (np.any(np.diff(h) <= 0.0)
                    or np.any(np.abs(h - cdist) <= tol)):
-        return hclust_average(n, condensed)
+        return _hclust_fast(n, condensed)
     return merge, h
+
+
+def _hclust_fast(n: int, condensed: np.ndarray
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Native C++ NN-chain when a non-host backend is live (the same
+    jax-in-process proxy the device route uses); python oracle otherwise."""
+    if (n >= 2 and "jax" in sys.modules
+            and os.environ.get("OTTER_TPU_NATIVE_HCLUST", "1") == "1"):
+        try:
+            from ..native import hclust_average_native
+
+            return hclust_average_native(condensed, n)
+        except Exception:
+            pass
+    return hclust_average(n, condensed)
 
 
 def cluter_to_e(max_error: float, total_alleles: int,
@@ -380,7 +412,11 @@ def anallele_cluster_length(max_error: float, alleles: List[AnAllele],
 
 def generate_kusage(k: int, alleles: List[AnAllele],
                     indeces: List[int]) -> List[Kusage]:
-    return [Kusage(seq2kcounts(k, alleles[i].seq)) for i in indeces]
+    """Batched counts + diversity (seqs/kmer.py::kusage_batch) —
+    bit-identical to per-allele Kusage(seq2kcounts(...)) (parity-tested in
+    tests/test_heuristics.py) at vector speed; seq2kcounts stays the
+    scalar oracle."""
+    return kusage_batch(k, [alleles[i].seq for i in indeces])
 
 
 def anallele_cluster_kusage(max_error: float, k: int, alleles: List[AnAllele],
@@ -390,25 +426,45 @@ def anallele_cluster_kusage(max_error: float, k: int, alleles: List[AnAllele],
     reference's round-to-3-decimals and NaN->dist-1.0 handling."""
     kusages = generate_kusage(k, alleles, indeces)
     # vectorized cosine-dissimilarity matrix: one GEMM over the usage
-    # vectors instead of n^2/2 python dot calls. GEMM accumulation order
-    # can differ from per-pair np.dot by ~1 ulp pre-rounding; the
-    # round-to-3-decimals makes a flip require a value within ~1e-13 of a
-    # .0005 boundary (PARITY.md float-summation note applies).
+    # vectors instead of n^2/2 python dot calls, certified against the
+    # scalar-dot oracle (kusage_cosine_condensed)
     n = len(kusages)
     V = np.stack([ku.vec for ku in kusages])  # (n, 4^k + 1)
     norms = np.asarray([ku.vnorm for ku in kusages])
     dots = V @ V.T
     with np.errstate(invalid="ignore", divide="ignore"):
-        sims = dots / np.outer(norms, norms)
-    sims = sims * 1000.0
-    sims = np.where(sims >= 0, np.floor(sims + 0.5),
-                    np.ceil(sims - 0.5)) / 1000.0  # C++ std::round
-    sims = np.where(np.isnan(np.outer(norms, norms)), 0.0, sims)
-    iu, ju = np.triu_indices(n, k=1)
-    distmatrix.values = 1.0 - sims[iu, ju]
+        scaled = (dots / np.outer(norms, norms)) * 1000.0
+    distmatrix.values = kusage_cosine_condensed(scaled, V, norms,
+                                                _ROUND_GUARD)
     clusters = cluter_to_e(max_error, len(kusages), distmatrix)
     out_clusters, reps = remap_cluster_indeces(distmatrix, indeces, clusters)
     return kusages, out_clusters, reps
+
+
+def kusage_cosine_condensed(scaled: np.ndarray, V: np.ndarray,
+                            norms: np.ndarray, guard: float) -> np.ndarray:
+    """Condensed 1 - round3(cosine) distances from a PRE-ROUND scaled
+    (n, n) similarity matrix computed by ANY backend (host f64 GEMM,
+    cross-region batched einsum, device f32), certified against the
+    scalar-dot oracle: entries within ``guard`` of a .5 round-to-3-decimals
+    boundary are recomputed with the per-pair f64 np.dot, so every backend
+    yields the byte-identical condensed matrix as long as its error is
+    below the guard (f64 GEMM ~1e-13 vs guard 1e-9; device f32 ~5e-4 vs
+    guard 2e-3). NaN norms (total==0 alleles) round to similarity 0.0,
+    the reference's handling."""
+    n = V.shape[0]
+    iu, ju = np.triu_indices(n, k=1)
+    sv = np.asarray(scaled, dtype=np.float64)[iu, ju].copy()
+    finite = np.isfinite(sv)
+    near = finite & (np.abs(np.abs(sv - np.floor(sv)) - 0.5) < guard)
+    if np.any(near):
+        for p in np.nonzero(near)[0]:
+            i, j = int(iu[p]), int(ju[p])
+            dot = float(np.dot(V[i], V[j]))
+            sv[p] = (dot / (norms[i] * norms[j])) * 1000.0
+    sims = np.where(sv >= 0, np.floor(sv + 0.5), np.ceil(sv - 0.5)) / 1000.0
+    sims = np.where(np.isnan(norms[iu] * norms[ju]), 0.0, sims)
+    return 1.0 - sims
 
 
 def _cpp_round(x: float) -> float:
@@ -418,17 +474,31 @@ def _cpp_round(x: float) -> float:
 
 
 def anallele_cluster(max_error_l: float, max_error_c: float,
-                     alleles: List[AnAllele], genotypes: List[Genotype]
+                     alleles: List[AnAllele], genotypes: List[Genotype],
+                     precomputed: Optional[dict] = None
                      ) -> Tuple[int, List[int]]:
     """Joint (length x kusage) allele clustering (:463-527).
 
     Returns (total final clusters, representative allele per cluster).
+    ``precomputed`` (the batched genotype pipeline) may carry
+    ``length_values`` / ``kusage_values`` condensed distance matrices and
+    ``kusages``; they must be byte-identical to what this function would
+    compute (the device path certifies, models/genotype.py) — everything
+    downstream (hclust, cutree, joint labels, medoids) is shared code.
     """
     allele_indeces = list(range(len(alleles)))
+    pre = precomputed or {}
 
     distmatrix_length = DistMatrix(len(allele_indeces))
-    length_clusters, length_reps = anallele_cluster_length(
-        max_error_l, alleles, allele_indeces, distmatrix_length)
+    if "length_values" in pre:
+        distmatrix_length.values = pre["length_values"]
+        length_clusters = cluter_to_e(max_error_l, len(allele_indeces),
+                                      distmatrix_length)
+        length_clusters, length_reps = remap_cluster_indeces(
+            distmatrix_length, allele_indeces, length_clusters)
+    else:
+        length_clusters, length_reps = anallele_cluster_length(
+            max_error_l, alleles, allele_indeces, distmatrix_length)
     if len(length_reps) != len(length_clusters):
         sys.stderr.write(
             f"[ERROR] unexpected number of representative alleles "
@@ -439,8 +509,16 @@ def anallele_cluster(max_error_l: float, max_error_c: float,
             genotypes[j].gt_l = i
 
     distmatrix_kusage = DistMatrix(len(allele_indeces))
-    kusages, kusage_clusters, kusage_reps = anallele_cluster_kusage(
-        max_error_c, 3, alleles, allele_indeces, distmatrix_kusage)
+    if "kusage_values" in pre:
+        distmatrix_kusage.values = pre["kusage_values"]
+        kusages = pre["kusages"]
+        kusage_clusters = cluter_to_e(max_error_c, len(allele_indeces),
+                                      distmatrix_kusage)
+        kusage_clusters, kusage_reps = remap_cluster_indeces(
+            distmatrix_kusage, allele_indeces, kusage_clusters)
+    else:
+        kusages, kusage_clusters, kusage_reps = anallele_cluster_kusage(
+            max_error_c, 3, alleles, allele_indeces, distmatrix_kusage)
     if len(kusage_reps) != len(kusage_clusters):
         sys.stderr.write(
             f"[ERROR] unexpected representative alleles "

@@ -11,7 +11,7 @@ path; ``seq2kcounts`` keeps scalar parity semantics.
 from __future__ import annotations
 
 import math
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -69,6 +69,7 @@ class Kusage:
         if total == 0:
             self.vec = np.full_like(kcounts, np.nan)
         self.vnorm = float(np.sqrt(np.sum(self.vec * self.vec)))
+        self._hsdiv: Optional[float] = None
 
     def cosine_sim(self, other: "Kusage") -> float:
         x_dot_y = float(np.dot(self.vec, other.vec))
@@ -76,8 +77,73 @@ class Kusage:
 
     def hsdiv(self) -> float:
         """Hill-Shannon diversity exp(-sum p ln p) (anseqs.cpp:134-147)."""
+        if self._hsdiv is not None:
+            return self._hsdiv
         acc = 0.0
         for v in self.vec:
             if v > 0:
                 acc += v * math.log(v)
         return math.pow(math.e, -acc)
+
+
+def seq2kcounts_np(k: int, seqs: List[str]) -> np.ndarray:
+    """Vectorized seq2kcounts over an allele batch: (n, 4^k + 1) float64,
+    bit-identical to the scalar version (integer counts are exact).
+
+    One pass over the concatenated codes; windows that straddle a sequence
+    boundary are masked out, invalid k-mers land in the last bucket, and
+    sequences shorter than k contribute nothing — the scalar semantics."""
+    n = len(seqs)
+    max_index = int(4 ** k)
+    width = max_index + 1
+    counts = np.zeros((n, width), dtype=np.float64)
+    if n == 0:
+        return counts
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    total = int(lens.sum())
+    if total < k:
+        return counts
+    blob = "".join(seqs)
+    codes = _NT2CODE[np.frombuffer(blob.encode(), dtype=np.uint8)]
+    win = np.lib.stride_tricks.sliding_window_view(codes, k)
+    valid = (win < 4).all(axis=1)
+    pow4 = (4 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+    idx = win.astype(np.int64) @ pow4
+    idx = np.where(valid, idx, max_index)
+    owner = np.repeat(np.arange(n, dtype=np.int64), lens)
+    sid = owner[: total - k + 1]
+    inseq = sid == owner[k - 1 :]
+    flat = sid[inseq] * width + idx[inseq]
+    binc = np.bincount(flat, minlength=n * width)
+    counts += binc.reshape(n, width)
+    return counts
+
+
+def kusage_batch(k: int, seqs: List[str]) -> List[Kusage]:
+    """Kusage objects for an allele batch with vectorized counts and
+    vectorized (but bit-identical) Hill-Shannon diversity.
+
+    The scalar hsdiv loop uses math.log (libm); numpy's SIMD np.log
+    differs by ~1 ulp on some inputs, so the vectorized form computes
+    math.log only over the UNIQUE usage values (typically a few hundred
+    across a cohort region) and gathers — exact parity at vector speed.
+    The accumulation rides np.cumsum, whose sequential order matches the
+    scalar loop (interleaved zero terms add exactly)."""
+    counts = seq2kcounts_np(k, seqs)
+    kus = [Kusage(counts[i]) for i in range(len(seqs))]
+    if kus:
+        vecs = np.stack([ku.vec for ku in kus])
+        flat = vecs.ravel()
+        pos = flat > 0  # NaN rows (total==0) compare False, like the scalar
+        vals = flat[pos]
+        if vals.size:
+            uniq, inv = np.unique(vals, return_inverse=True)
+            logs = np.array([math.log(float(u)) for u in uniq])
+            term = np.zeros_like(flat)
+            term[pos] = vals * logs[inv]
+        else:
+            term = np.zeros_like(flat)
+        acc = np.cumsum(term.reshape(vecs.shape), axis=1)[:, -1]
+        for ku, a in zip(kus, acc):
+            ku._hsdiv = math.pow(math.e, -float(a))
+    return kus

@@ -132,3 +132,38 @@ def test_shard_regions_partition():
     # degenerate cases
     assert shard_regions(regions, 0, 1) == regions
     assert [shard_regions([], i, 4) for i in range(4)] == [[], [], [], []]
+
+
+def test_cohort_vcf_threaded_identical(cohort):
+    """-t 4 genotype (region thread pool, per-thread readers, ordered
+    emission) must be byte-identical to -t 1. Ref: genotype.cpp:71-78."""
+    params = OtterOpts()
+    out1 = io.StringIO()
+    genotype(params, cohort["bam"], cohort["bed"], cohort["fa"], out=out1)
+    params4 = OtterOpts()
+    params4.init_threads(4)
+    out4 = io.StringIO()
+    genotype(params4, cohort["bam"], cohort["bed"], cohort["fa"], out=out4)
+    assert out1.getvalue() == out4.getvalue()
+
+
+def test_cohort_vcf_batched_paths_identical(cohort, monkeypatch):
+    """The assemble-style batched genotype pipeline (pooled kusage pass +
+    pooled cosine GEMM + native hclust) and its forced-device variant
+    (f32 einsum + certified rounding) must both be byte-identical to the
+    sequential pure-host oracle."""
+    params_h = OtterOpts()
+    params_h.device = "host"
+    out_h = io.StringIO()
+    genotype(params_h, cohort["bam"], cohort["bed"], cohort["fa"], out=out_h)
+
+    params_b = OtterOpts()  # device=auto -> batched host-BLAS pipeline
+    out_b = io.StringIO()
+    genotype(params_b, cohort["bam"], cohort["bed"], cohort["fa"], out=out_b)
+    assert out_b.getvalue() == out_h.getvalue()
+
+    monkeypatch.setenv("OTTER_TPU_GENOTYPE_DEVICE", "1")
+    params_d = OtterOpts()
+    out_d = io.StringIO()
+    genotype(params_d, cohort["bam"], cohort["bed"], cohort["fa"], out=out_d)
+    assert out_d.getvalue() == out_h.getvalue()

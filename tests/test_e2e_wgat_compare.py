@@ -142,3 +142,40 @@ def test_wgat_non_bam_warns_and_emits_nothing(tmp_path, capsys):
     assert out.getvalue() == ""
     err = capsys.readouterr().err
     assert "WARNING" in err and "unsupported input" in err
+
+
+def test_wgat_threaded_identical(tmp_path):
+    """-t 4 wgat (contig thread pool, per-thread readers, contig-ordered
+    emission) is byte-identical to -t 1. Ref: wgat.cpp:148."""
+    rng = random.Random(9)
+    refs = []
+    recs = []
+    bed_lines = []
+    for c in range(4):
+        name = f"chr{c + 1}"
+        ref = "".join(rng.choice("ACGT") for _ in range(3000))
+        refs.append((name, 3000))
+        contig = ref[200:2800]
+        recs.append(read_record(f"ctg_{c}", c, 200, contig,
+                                [(len(contig), BAM_CMATCH)]))
+        for r in range(3):
+            s = 500 + 600 * r
+            bed_lines.append(f"{name}\t{s}\t{s + 80}\n")
+    tmp = tmp_path
+    bam = str(tmp / "asm_multi.bam")
+    make_bam(bam, refs, recs)
+    bed = str(tmp / "rois.bed")
+    with open(bed, "w") as fh:
+        fh.writelines(bed_lines)
+    outs = {}
+    for t in (1, 4):
+        p = OtterOpts()
+        p.read_group = "ASM1"
+        p.init_threads(t)
+        out = io.StringIO()
+        wgat(p, bam, bed, out=out)
+        outs[t] = out.getvalue()
+    assert outs[1] == outs[4]
+    body = [l for l in outs[1].splitlines()
+            if l and not l.startswith("@")]
+    assert len(body) == 12  # 4 contigs x 3 regions, all spanning

@@ -137,3 +137,41 @@ def test_nn_chain_vectorized_matches_scalar_ref():
         a = nn_chain_average(n, cond.copy())
         b = nn_chain_average_ref(n, cond.copy())
         assert a == b, (trial, n)
+
+
+def test_native_hclust_exact_parity_with_ties():
+    """Native C++ NN-chain vs the python oracle on tie-heavy matrices (the
+    cohort regime: cosine distances rounded to 3 decimals, repeated length
+    distances). Merges, heights, and cut labels must be IDENTICAL — the
+    native path serves the cohort genotype route unguarded."""
+    import random
+
+    import numpy as np
+
+    from otter_tpu.native import (hclust_average_native,
+                                  hclust_average_native_batch)
+    from otter_tpu.ops.hclust import cutree_cdist, hclust_average
+
+    rng = random.Random(77)
+    mats = []
+    for trial in range(40):
+        n = rng.choice([2, 3, 5, 17, 33, 129])
+        m = n * (n - 1) // 2
+        if trial % 2 == 0:
+            # rounded-cosine style: few distinct values -> massive ties
+            vals = np.array([rng.randrange(0, 25) / 1000.0
+                             for _ in range(m)])
+        else:
+            vals = np.array([rng.random() for _ in range(m)])
+            vals[rng.randrange(m)] = vals[rng.randrange(m)]  # one dup
+        mats.append((vals, n))
+    batch = hclust_average_native_batch(mats)
+    for (vals, n), (bm, bh) in zip(mats, batch):
+        merge_p, height_p = hclust_average(n, vals)
+        merge_n, height_n = hclust_average_native(vals, n)
+        assert np.array_equal(merge_p, merge_n), n
+        assert np.array_equal(height_p, height_n), n  # bitwise f64
+        assert np.array_equal(bm, merge_n) and np.array_equal(bh, height_n)
+        for cd in (0.003, 0.01, 0.3):
+            assert np.array_equal(cutree_cdist(n, merge_p, height_p, cd),
+                                  cutree_cdist(n, merge_n, height_n, cd))

@@ -215,3 +215,65 @@ def test_kde_densities_batched_byte_identical():
     for v, b, got in zip(value_lists, bws, batched):
         want = kde_densities(np.asarray(v), b, xs)
         assert np.array_equal(want, got)
+
+
+def test_kusage_batch_bitwise_parity():
+    """Vectorized counts + unique-log hsdiv vs the scalar oracle: vec,
+    vnorm, and hsdiv must be BIT-identical (the batch path serves both
+    host and device genotype routes)."""
+    import random
+
+    import numpy as np
+
+    from otter_tpu.seqs.kmer import Kusage, kusage_batch, seq2kcounts
+
+    rng = random.Random(3)
+    seqs = []
+    for _ in range(40):
+        n = rng.randrange(0, 300)
+        s = "".join(rng.choice("ACGTN") for _ in range(n))
+        seqs.append(s)
+    seqs.extend(["", "A", "AC", "NNN", "ACG"])
+    batch = kusage_batch(3, seqs)
+    for s, kb in zip(seqs, batch):
+        ko = Kusage(seq2kcounts(3, s))
+        assert np.array_equal(kb.vec, ko.vec, equal_nan=True), s
+        assert (kb.vnorm == ko.vnorm
+                or (np.isnan(kb.vnorm) and np.isnan(ko.vnorm))), s
+        assert kb.hsdiv() == ko.hsdiv(), s
+
+
+def test_kusage_gemm_round_guard():
+    """The cosine GEMM certify-or-fallback: the condensed distances from
+    anallele_cluster_kusage must equal the per-pair scalar-dot + C++-round
+    oracle exactly."""
+    import random
+
+    import numpy as np
+
+    from otter_tpu.ops.cluster import _cpp_round, anallele_cluster_kusage
+    from otter_tpu.ops.distmat import DistMatrix
+    from otter_tpu.seqs.kmer import Kusage, seq2kcounts
+    from otter_tpu.seqs.model import AnAllele
+
+    rng = random.Random(4)
+    alleles = []
+    for _ in range(30):
+        n = rng.randrange(3, 200)
+        alleles.append(AnAllele(
+            seq="".join(rng.choice("ACGT") for _ in range(n))))
+    alleles.append(AnAllele(seq="AC"))  # total==0 -> NaN row
+    idx = list(range(len(alleles)))
+    dm = DistMatrix(len(idx))
+    anallele_cluster_kusage(0.01, 3, alleles, idx, dm)
+    kus = [Kusage(seq2kcounts(3, a.seq)) for a in alleles]
+    n = len(idx)
+    p = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sim = kus[i].cosine_sim(kus[j])
+            import math as _m
+            sim = (_cpp_round(sim * 1000.0) / 1000.0
+                   if not _m.isnan(sim) else 0.0)
+            assert dm.values[p] == 1.0 - sim, (i, j)
+            p += 1
