@@ -382,21 +382,10 @@ def kde_decision_certified_scaled_batch(scaled_list, value_lists, bandwidths,
             # term, the sum, and the oracle's own recomputed cell are all
             # EXACTLY +0.0 (skipping them is bit-identical, not an
             # approximation). Typically prunes the deep tails/valleys,
-            # which are most of a unimodal region's tiny cells. Only worth
-            # the per-row searchsorted overhead when each pruned cell
-            # saves a long reduction (big value counts).
-            T = tiny[rows]
-            if n_val < 512:
-                rr, cc = np.nonzero(T)
-                rsel = np.asarray(rows, dtype=np.int64)[rr]
-                V = np.stack([np.asarray(value_lists[gen[bi]],
-                                         dtype=np.float64) for bi in rows])
-                z = (xs[cc][:, None] - V[rr]) / bw[rsel][:, None]
-                raw[rsel, cc] = np.sum(
-                    _INV_SQRT_2PI * np.exp(-(z * z) / 2.0), axis=1) \
-                    / (bw[rsel] * n_val)
-                continue
-            T = T.copy()
+            # which are most of a unimodal region's tiny cells; the
+            # per-row sort + searchsorted cost (~µs) is far below the
+            # exp reductions it saves at any value count.
+            T = tiny[rows].copy()
             for r_i, bi in enumerate(rows):
                 sv = np.sort(np.asarray(value_lists[gen[bi]],
                                         dtype=np.float64))

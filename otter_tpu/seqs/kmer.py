@@ -119,6 +119,49 @@ def seq2kcounts_np(k: int, seqs: List[str]) -> np.ndarray:
     return counts
 
 
+def kcounts_device(k: int, seqs: List[str]) -> np.ndarray:
+    """K-mer counts on the accelerator (SURVEY §2.1's "k-mer usage on TPU"
+    plan; reference scalar loop anseqs.cpp:149-166): padded code windows
+    become base-4 indices, and the histogram is a one-hot (n, W, 4^k+1)
+    segment scatter-add — a matmul-shaped reduction the MXU handles.
+    Counts are small integers, exactly representable in f32 far below
+    2^24, so the result is BIT-IDENTICAL to the scalar/vectorized host
+    counts — no certification needed; vec/vnorm/hsdiv computed from them
+    downstream are byte-equal regardless of backend.
+    OTTER_TPU_KMER_DEVICE=1 routes kusage_batch through this."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(seqs)
+    max_index = int(4 ** k)
+    width = max_index + 1
+    if n == 0:
+        return np.zeros((0, width), dtype=np.float64)
+    lmax = max(max(len(s) for s in seqs), k)
+    codes = np.full((n, lmax), 4, dtype=np.int32)
+    lens = np.zeros(n, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        codes[i, : len(s)] = _NT2CODE[np.frombuffer(s.encode(),
+                                                    dtype=np.uint8)]
+        lens[i] = len(s)
+    c = jnp.asarray(codes)
+    nw = lmax - k + 1
+    idx = jnp.zeros((n, nw), dtype=jnp.int32)
+    bad = jnp.zeros((n, nw), dtype=bool)
+    for j in range(k):
+        cj = c[:, j : j + nw]
+        idx = idx * 4 + jnp.where(cj < 4, cj, 0)
+        bad = bad | (cj >= 4)
+    idx = jnp.where(bad, max_index, idx)
+    # windows starting past len-k contribute nothing (weight 0)
+    inwin = (jnp.arange(nw)[None, :] < (jnp.asarray(lens) - (k - 1))[:, None])
+    onehot = jax.nn.one_hot(idx, width, dtype=jnp.float32)
+    counts = jnp.einsum("nwv,nw->nv", onehot,
+                        inwin.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    return np.asarray(counts, dtype=np.float64)
+
+
 def kusage_batch(k: int, seqs: List[str]) -> List[Kusage]:
     """Kusage objects for an allele batch with vectorized counts and
     vectorized (but bit-identical) Hill-Shannon diversity.
@@ -129,7 +172,16 @@ def kusage_batch(k: int, seqs: List[str]) -> List[Kusage]:
     across a cohort region) and gathers — exact parity at vector speed.
     The accumulation rides np.cumsum, whose sequential order matches the
     scalar loop (interleaved zero terms add exactly)."""
-    counts = seq2kcounts_np(k, seqs)
+    import os
+
+    counts = None
+    if os.environ.get("OTTER_TPU_KMER_DEVICE", "") == "1" and seqs:
+        try:
+            counts = kcounts_device(k, seqs)
+        except Exception:
+            counts = None
+    if counts is None:
+        counts = seq2kcounts_np(k, seqs)
     kus = [Kusage(counts[i]) for i in range(len(seqs))]
     if kus:
         vecs = np.stack([ku.vec for ku in kus])

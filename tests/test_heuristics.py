@@ -277,3 +277,36 @@ def test_kusage_gemm_round_guard():
                    if not _m.isnan(sim) else 0.0)
             assert dm.values[p] == 1.0 - sim, (i, j)
             p += 1
+
+
+def test_kcounts_device_bitwise_parity():
+    """Device one-hot scatter-add k-mer counts are integer-exact and
+    bit-identical to the scalar oracle (SURVEY §2.1 k-mer-on-TPU plan)."""
+    import random
+
+    import numpy as np
+
+    from otter_tpu.seqs.kmer import kcounts_device, seq2kcounts
+
+    rng = random.Random(11)
+    seqs = ["".join(rng.choice("ACGTN") for _ in range(rng.randrange(0, 400)))
+            for _ in range(25)] + ["", "AC", "NN" * 40, "ACG"]
+    got = kcounts_device(3, seqs)
+    for s, row in zip(seqs, got):
+        assert np.array_equal(row, seq2kcounts(3, s)), s
+
+
+def test_kusage_batch_device_env_route(monkeypatch):
+    """OTTER_TPU_KMER_DEVICE=1 routes kusage_batch through the device
+    counts with unchanged results."""
+    import numpy as np
+
+    from otter_tpu.seqs.kmer import kusage_batch
+
+    seqs = ["ACGTACGTAC", "TTTTT", "", "ACGNNNACG"]
+    base = kusage_batch(3, seqs)
+    monkeypatch.setenv("OTTER_TPU_KMER_DEVICE", "1")
+    dev = kusage_batch(3, seqs)
+    for a, b in zip(base, dev):
+        assert np.array_equal(a.vec, b.vec, equal_nan=True)
+        assert a.hsdiv() == b.hsdiv()
