@@ -27,8 +27,8 @@ Band variants k=63 (W=128) and k=127 (W=256) cover HiFi- and mixed-error
 consensus jobs with full per-row traceback bits in VMEM; k=255 and k=511
 (the WFA high-error regime: 2.3 kb ONT members at e~150 score ~750) run
 through the CHECKPOINTED kernel (_affine_tb_ckpt_kernel), which stores
-H/E/F rows every 256 rows and recomputes traceback bits block-by-block
-during the walk. Jobs are bucketed by (band, pattern rows) so short jobs
+H and F rows every 256 rows (E is row-local — no carry needed) and
+recomputes traceback bits block-by-block during the walk. Jobs are bucketed by (band, pattern rows) so short jobs
 never pay a long bucket's DP, and failed members escalate to the next
 admissible band on device before falling back to the host ladder
 (ops/align_batch.py) — exactness is never sacrificed.
@@ -62,8 +62,8 @@ TBA = 32                 # members per program (int8 row-tile alignment)
 # the wide bands fit the same VMEM at full row depth.
 LP_MAX_NARROW = 4096     # k=63  (W=128):  4096/2*32*128 = 8 MiB
 LP_MAX_WIDE = 2048       # k=127 (W=256):  2048/2*32*256 = 8 MiB
-LP_MAX_ONT = 4096        # k=255 (W=512):  ckpt 3 MiB + block bits 2 MiB
-LP_MAX_XWIDE = 2048      # k=511 (W=1024): ckpt 3 MiB + block bits 4 MiB
+LP_MAX_ONT = 4096        # k=255 (W=512):  H/F ckpt 2 MiB + block bits 2 MiB
+LP_MAX_XWIDE = 4096      # k=511 (W=1024): H/F ckpt 4 MiB + block bits 4 MiB
 LP_MAX = LP_MAX_NARROW   # overall device cap
 LT_MAX = 4096            # max text length handled on device
 _CKPT_BLK = 256          # checkpoint block rows (sqrt(32*rows) optimum)
@@ -359,7 +359,7 @@ def affine_tb_pallas(a, bpad, mn, k: int, max_rows: int, t_words: int,
 
 
 def _affine_tb_ckpt_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref,
-                           bits_scr, ckh_scr, cke_scr, ckf_scr,
+                           bits_scr, ckh_scr, ckf_scr,
                            ci_scr, cj_scr, st_scr,
                            *, k: int, max_rows: int, t_words: int):
     """Checkpointed variant for wide bands (k=255/511, the WFA high-error
@@ -389,7 +389,6 @@ def _affine_tb_ckpt_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref,
         (j0 >= 0) & (j0 <= n2),
         jnp.where(j0 <= tb2, 0, GAP_OPEN + GAP_EXT * (j0 - tb2)), _INF)
     H0 = jnp.broadcast_to(H0, (TBA, W)).astype(jnp.int32)
-    E0 = jnp.full((TBA, W), _INF, dtype=jnp.int32)
     F0 = jnp.full((TBA, W), _INF, dtype=jnp.int32)
     colv0 = jnp.full((TBA, 128), _INF, dtype=jnp.int32)
     coli0 = jnp.zeros((TBA, 128), dtype=jnp.int32)
@@ -402,9 +401,12 @@ def _affine_tb_ckpt_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref,
 
     inf_col = jnp.full((TBA, 1), _INF, dtype=jnp.int32)
 
-    def dp_row(i, H, E, F, window, a_col):
+    def dp_row(i, H, F, window, a_col):
         """One DP row; returns (H_row, E_row, F_rowm, bits). Identical math
-        to _affine_tb_kernel's inner body."""
+        to _affine_tb_kernel's inner body. E needs no carry at all: the
+        E recurrence is row-local (prefix-min over B within the row — the
+        no-gap-chaining property), so checkpoints store only H and F,
+        which is what lets k=511 reach 4096 rows in budget."""
         j = i + w_idx - k1
         sub = jnp.where(window == a_col, 0, MISMATCH).astype(jnp.int32)
         Hup = jnp.concatenate([H[:, 1:], inf_col], axis=1)
@@ -436,26 +438,24 @@ def _affine_tb_ckpt_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref,
 
     # block-0 checkpoint = the initial state (uniform slot-b loads later)
     ckh_scr[pl.ds(0, TBA), :] = H0
-    cke_scr[pl.ds(0, TBA), :] = E0
     ckf_scr[pl.ds(0, TBA), :] = F0
 
     window0 = bpad_ref[:, 0:W]
     n_chunks = (max_rows + 127) // 128
 
     def outer(c, carry):
-        H, E, F, window, colv, coli = carry
+        H, F, window, colv, coli = carry
         base = pl.multiple_of(c * 128, 128)
         a_chunk = a_ref[:, pl.ds(base, 128)]
         b_chunk = bpad_ref[:, pl.ds(base + W, 128)]
 
         def inner(r, carry2):
-            H, E, F, window, colv, coli = carry2
+            H, F, window, colv, coli = carry2
             i = c * 128 + r + 1
             a_col = sel(a_chunk, r)
-            H_row, E_row, F_rowm, _bits = dp_row(i, H, E, F, window, a_col)
+            H_row, _E_row, F_rowm, _bits = dp_row(i, H, F, window, a_col)
             keep = i <= m2
             H = jnp.where(keep, H_row, H)
-            E = jnp.where(keep, E_row, E)
             F = jnp.where(keep, F_rowm, F)
             wcol = n2 - i + k1
             hv = jnp.min(jnp.where(w_idx == wcol, H_row, _INF), axis=1,
@@ -470,16 +470,15 @@ def _affine_tb_ckpt_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref,
             def _():
                 cbase = pl.multiple_of(ib * TBA, TBA)
                 ckh_scr[pl.ds(cbase, TBA), :] = H
-                cke_scr[pl.ds(cbase, TBA), :] = E
                 ckf_scr[pl.ds(cbase, TBA), :] = F
             nxt = sel(b_chunk, r)
             window = jnp.concatenate([window[:, 1:], nxt], axis=1)
-            return H, E, F, window, colv, coli
+            return H, F, window, colv, coli
 
-        return jax.lax.fori_loop(0, 128, inner, (H, E, F, window, colv, coli))
+        return jax.lax.fori_loop(0, 128, inner, (H, F, window, colv, coli))
 
-    H, E, F, _w, colv, coli = jax.lax.fori_loop(
-        0, n_chunks, outer, (H0, E0, F0, window0, colv0, coli0))
+    H, F, _w, colv, coli = jax.lax.fori_loop(
+        0, n_chunks, outer, (H0, F0, window0, colv0, coli0))
 
     # ---- end cell (identical tie order to _affine_tb_kernel) ----
     jw = w_idx - k1 + m2
@@ -530,7 +529,6 @@ def _affine_tb_ckpt_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref,
         def _():
             cbase = pl.multiple_of(block * TBA, TBA)
             Hc = ckh_scr[pl.ds(cbase, TBA), :]
-            Ec = cke_scr[pl.ds(cbase, TBA), :]
             Fc = ckf_scr[pl.ds(cbase, TBA), :]
             wstart = pl.multiple_of(block * BLK, 128)
             window_c = bpad_ref[:, pl.ds(wstart, W)]
@@ -541,11 +539,11 @@ def _affine_tb_ckpt_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref,
                 b_chunk = bpad_ref[:, pl.ds(rbase + W, 128)]
 
                 def rinner(r, carry3):
-                    H, E, F, window = carry3
+                    H, F, window = carry3
                     i = block * BLK + c2 * 128 + r + 1
                     a_col = sel(a_chunk, r)
-                    H_row, E_row, F_rowm, bits = dp_row(i, H, E, F, window,
-                                                        a_col)
+                    H_row, _E_row, F_rowm, bits = dp_row(i, H, F, window,
+                                                         a_col)
                     ril = i - 1 - blo
                     half = ril - (ril // 2) * 2
                     bbase = pl.multiple_of((ril // 2) * TBA, TBA)
@@ -557,15 +555,14 @@ def _affine_tb_ckpt_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref,
                     bits_scr[pl.ds(bbase, TBA), :] = packed.astype(jnp.int8)
                     keep = i <= m2
                     H = jnp.where(keep, H_row, H)
-                    E = jnp.where(keep, E_row, E)
                     F = jnp.where(keep, F_rowm, F)
                     nxt = sel(b_chunk, r)
                     window = jnp.concatenate([window[:, 1:], nxt], axis=1)
-                    return H, E, F, window
+                    return H, F, window
 
                 return jax.lax.fori_loop(0, 128, rinner, carry2)
 
-            jax.lax.fori_loop(0, BLK // 128, router, (Hc, Ec, Fc, window_c))
+            jax.lax.fori_loop(0, BLK // 128, router, (Hc, Fc, window_c))
 
         # block 0 additionally sweeps the row-0 insertion tails (rcur == 0)
         lo = jnp.where(block > 0, blo, -1).astype(jnp.int32)
@@ -680,7 +677,6 @@ def affine_tb_ckpt_pallas(a, bpad, mn, k: int, max_rows: int, t_words: int,
         ),
         scratch_shapes=[
             pltpu.VMEM(((_CKPT_BLK // 2) * TBA, W), jnp.int8),
-            pltpu.VMEM((n_blocks * TBA, W), jnp.int32),
             pltpu.VMEM((n_blocks * TBA, W), jnp.int32),
             pltpu.VMEM((n_blocks * TBA, W), jnp.int32),
             pltpu.VMEM((TBA, 128), jnp.int32),
