@@ -23,15 +23,18 @@ Design (all DP state stays on chip):
   * D2H per member is ~t_words int32 words (+16B end info) — hundreds of
     bytes, not the ~1 byte/DP-cell of a backpointer-output design.
 
-Band variants k=63 (W=128) and k=127 (W=256) cover HiFi- and mixed-error
-consensus jobs with full per-row traceback bits in VMEM; k=255 and k=511
-(the WFA high-error regime: 2.3 kb ONT members at e~150 score ~750) run
-through the CHECKPOINTED kernel (_affine_tb_ckpt_kernel), which stores
-H and F rows every 256 rows (E is row-local — no carry needed) and
-recomputes traceback bits block-by-block during the walk. Jobs are bucketed by (band, pattern rows) so short jobs
+Band variants k=63 (W=128) and k=127 (W=256) keep full per-row traceback
+bits in VMEM up to 4096/2048 rows; everything beyond — the WFA high-error
+regime (2.3 kb ONT members at e~150 score ~750, bands k=255/511) AND
+long-read members to 16 kb at any band — runs the CHECKPOINTED kernel
+(_affine_tb_ckpt_kernel), which stores H and F rows every 256 rows (E is
+row-local, no carry needed) and recomputes traceback bits block-by-block
+during the walk. Jobs are bucketed by (band, pattern rows) so short jobs
 never pay a long bucket's DP, and failed members escalate to the next
 admissible band on device before falling back to the host ladder
-(ops/align_batch.py) — exactness is never sacrificed.
+(ops/align_batch.py) — exactness is never sacrificed. Measured on TPU
+v5e (2026-08-20): 16x 15 kb 0.3%-error members 338 ms steady vs 430 ms
+native; 16x 7 kb 2% members 116 ms vs 320 ms; byte parity throughout.
 """
 
 from __future__ import annotations
@@ -62,10 +65,14 @@ TBA = 32                 # members per program (int8 row-tile alignment)
 # the wide bands fit the same VMEM at full row depth.
 LP_MAX_NARROW = 4096     # k=63  (W=128):  4096/2*32*128 = 8 MiB
 LP_MAX_WIDE = 2048       # k=127 (W=256):  2048/2*32*256 = 8 MiB
-LP_MAX_ONT = 4096        # k=255 (W=512):  H/F ckpt 2 MiB + block bits 2 MiB
+LP_MAX_ONT = 8192        # k=255 (W=512):  H/F ckpt 4 MiB + block bits 2 MiB
 LP_MAX_XWIDE = 4096      # k=511 (W=1024): H/F ckpt 4 MiB + block bits 4 MiB
-LP_MAX = LP_MAX_NARROW   # overall device cap
-LT_MAX = 4096            # max text length handled on device
+# Rows past the nibble caps run the checkpointed kernel at ANY band (its
+# VMEM grows only ~linearly in rows via the H/F checkpoints): 16 kb
+# patterns at k=63/127 cost ~2.5/5 MiB of scratch — full long-read member
+# coverage, not just the ONT bands.
+LP_MAX = 16384           # overall device row cap (k=63/127 ckpt kernel)
+LT_MAX = 16384           # max text length handled on device
 _CKPT_BLK = 256          # checkpoint block rows (sqrt(32*rows) optimum)
 
 _INF = 1 << 28
@@ -741,15 +748,18 @@ def _unpack_codes(obuf: np.ndarray, t_words: int) -> np.ndarray:
 
 
 def _rows_bucket(m: int) -> int:
-    for cap in (256, 1024, 2048):
+    for cap in (256, 1024, 2048, 4096, 8192):
         if m <= cap:
             return cap
-    return 4096
+    return 16384
 
 
-# per-band pattern-row caps and kernel choice
-_ROWS_CAP = {K_DEV: LP_MAX_NARROW, K_WIDE: LP_MAX_WIDE,
+# per-band pattern-row caps (VMEM-derived, see constants above); rows
+# beyond the nibble kernels' caps run the checkpointed kernel at any band
+_ROWS_CAP = {K_DEV: LP_MAX, K_WIDE: LP_MAX,
              K_ONT: LP_MAX_ONT, K_XWIDE: LP_MAX_XWIDE}
+# nibble (full-bits) kernel caps; (k, rows) beyond these -> ckpt kernel
+_NIBBLE_CAP = {K_DEV: LP_MAX_NARROW, K_WIDE: LP_MAX_WIDE}
 
 
 def _t_words(max_rows: int, k: int) -> int:
@@ -774,10 +784,10 @@ def _t_words(max_rows: int, k: int) -> int:
     alone-worst boundary. The word set is fixed so engine compiles stay
     bounded."""
     need = max_rows + 5 * k + 10 + 1000
-    for w in (128, 256, 384, 512, 640):
+    for w in (128, 256, 384, 512, 640, 768, 1152):
         if 16 * w >= need:
             return w
-    return 640
+    return 1152
 
 
 def _admissible_bands(m: int, n: int, pb: int, pe: int, tb: int, te: int,
@@ -800,6 +810,13 @@ def _admissible_bands(m: int, n: int, pb: int, pe: int, tb: int, te: int,
             continue
         if hint is not None:
             if 2 * int(hint) >= cap:
+                continue
+            # giant-row buckets (>4096 rows) compile for minutes and run
+            # long DPs: demand the realistic score ESTIMATE fit, not just
+            # the 2e lower bound (mixed-error scores run ~5e; a doomed
+            # pass there wastes a huge compile+DP, exactness unaffected —
+            # the ladder serves whatever is skipped)
+            if m > 4096 and 5 * int(hint) >= cap:
                 continue
         elif abs(n - m) + 16 > cand:
             continue
@@ -849,7 +866,9 @@ def affine_cigars_device_tb(jobs: List[Tuple[str, str, int, int, int, int]],
             t_words = _t_words(max_rows, k)
             sub = [jobs[i] for i in idxs]
             a, bpad, mn = pack_affine_jobs(sub, max_rows, k)
-            run = affine_tb_ckpt_pallas if k >= K_ONT else affine_tb_pallas
+            nib = _NIBBLE_CAP.get(k)
+            run = (affine_tb_pallas if nib is not None and max_rows <= nib
+                   else affine_tb_ckpt_pallas)
             obuf, end = run(jnp.asarray(a), jnp.asarray(bpad),
                             jnp.asarray(mn), k, max_rows, t_words,
                             interpret=interpret)

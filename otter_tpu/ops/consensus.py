@@ -313,6 +313,19 @@ def consensus_apply_batched(tasks: List["PoaTask"], engine=None) -> None:
     from ..utils import metrics
 
     use_device = _affine_device_default(engine)
+    if (not use_device and engine is not None
+            and getattr(engine, "mode", "") == "pallas"
+            and os.environ.get("OTTER_TPU_AFFINE_DEVICE", "") != "0"):
+        # Long-job volume overrides the RTT-based default: the native
+        # ladder's cost grows quadratically with band width on long noisy
+        # members while the device kernels' wide bands (k=255/511
+        # checkpointed) run the whole batch in a few dispatches — measured
+        # 2026-08-20 on the ONT stress profile (288x 2.3 kb members, 6%
+        # error, 28 ms tunnel RTT): device 0.39 s vs native 1.0 s,
+        # byte-identical. Short batches keep the native ladder through
+        # tunnels (device loses on pure round-trip latency there).
+        long_dp = sum(len(j[0]) for j in flat if len(j[0]) >= 1024)
+        use_device = long_dp >= 100_000
     dist_hints = None
     # Band-seed hints are one extra device round trip; they pay for
     # themselves when the cigars come from the device kernel (the hint

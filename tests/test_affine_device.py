@@ -285,6 +285,30 @@ def test_device_affine_ckpt_multiblock_boundary():
     assert cigs == want
 
 
+def test_ckpt_kernel_equals_nibble_kernel_same_bucket():
+    """The checkpointed kernel now also serves NARROW bands for rows past
+    the nibble caps (16 kb long-read members). At shapes both kernels
+    support they must produce identical packed walks and end info — same
+    DP, same tie order, same budgets."""
+    import numpy as np
+
+    from otter_tpu.kernels.affine_pallas import (_t_words,
+                                                 affine_tb_ckpt_pallas,
+                                                 affine_tb_pallas,
+                                                 pack_affine_jobs)
+
+    rng = random.Random(21)
+    jobs = _jobs(rng, 6, lo=120, hi=250)
+    k, max_rows = 63, 256
+    a, bpad, mn = pack_affine_jobs(jobs, max_rows, k)
+    tw = _t_words(max_rows, k)
+    o1, e1 = affine_tb_pallas(a, bpad, mn, k, max_rows, tw, interpret=True)
+    o2, e2 = affine_tb_ckpt_pallas(a, bpad, mn, k, max_rows, tw,
+                                   interpret=True)
+    assert np.array_equal(np.asarray(e1), np.asarray(e2))
+    assert np.array_equal(np.asarray(o1), np.asarray(o2))
+
+
 def test_multi_with_device_flag_falls_back_cleanly():
     """With the flag on but no TPU (CPU test env), the host path still
     produces complete, correct results."""
