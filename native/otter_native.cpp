@@ -1422,3 +1422,179 @@ void otter_hclust_average_batch(const double* condensed_all,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Genotype allele feeder: raw BAM record stream -> per-record seq + RG +
+// the ta/tc/ac/sc/PS/HP/se/ic tags (seqs/extract.py::parse_anallele,
+// reference anseqs.cpp:462-511). Region overlap matches io/bam.py::fetch
+// (pos < qend, ref_end > qstart, mapped); records whose ta tag differs
+// from the target region string are dropped here, exactly like the python
+// walk. Record order is stream order (== fetch order).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct AnalleleBatch {
+  std::vector<char> seqs, rgs;
+  std::vector<int64_t> seq_off{0}, rg_off{0};
+  std::vector<int32_t> tc, ac, sc, ps, hp, ic;
+  std::vector<double> se;
+  std::vector<uint8_t> has_se;
+};
+
+// first string value of a 2-char tag (types Z and A), python's
+// isinstance(v, str) gate
+bool aux_string(const uint8_t* p, const uint8_t* end, char t0, char t1,
+                const char** sp, int64_t* slen) {
+  while (p + 3 <= end) {
+    const char a = char(p[0]), b = char(p[1]), type = char(p[2]);
+    const uint8_t* v = p + 3;
+    int64_t vsize = aux_value_size(v, end, type);
+    if (vsize < 0) return false;
+    if (a == t0 && b == t1) {
+      if (type == 'Z') {
+        *sp = reinterpret_cast<const char*>(v);
+        *slen = vsize - 1;  // strip NUL
+        return true;
+      }
+      if (type == 'A') {
+        *sp = reinterpret_cast<const char*>(v);
+        *slen = 1;
+        return true;
+      }
+      return false;  // numeric type: python's isinstance(str) is False
+    }
+    p = v + vsize;
+  }
+  return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* otter_analleles_parse(const uint8_t* buf, int64_t size, int32_t tid,
+                            int64_t qstart, int64_t qend,
+                            const char* target, int64_t target_len) {
+  auto* out = new AnalleleBatch();
+  std::vector<uint32_t> cig_exp;
+  int64_t off = 0;
+  while (off + 4 <= size) {
+    uint32_t block_size;
+    std::memcpy(&block_size, buf + off, 4);
+    off += 4;
+    if (off + block_size > size || block_size < 32) break;
+    const uint8_t* r = buf + off;
+    off += block_size;
+    int32_t ref_id, pos, l_seq;
+    std::memcpy(&ref_id, r, 4);
+    std::memcpy(&pos, r + 4, 4);
+    const uint8_t l_read_name = r[8];
+    uint16_t n_cigar_op, flag16;
+    std::memcpy(&n_cigar_op, r + 12, 2);
+    std::memcpy(&flag16, r + 14, 2);
+    std::memcpy(&l_seq, r + 16, 4);
+    if (ref_id != tid) continue;
+    if (flag16 & 0x4) continue;
+    const uint8_t* p = r + 32;
+    p += l_read_name;
+    const uint32_t* cig = reinterpret_cast<const uint32_t*>(p);
+    int64_t n_cig = n_cigar_op;
+    p += 4 * n_cigar_op;
+    const uint8_t* nyb = p;
+    p += (l_seq + 1) / 2 + l_seq;  // + qual
+    const uint8_t* aux_end = r + block_size;
+    bool placeholder = n_cig == 2 && (cig[0] & 0xF) == 4 &&
+                       int32_t(cig[0] >> 4) == l_seq && (cig[1] & 0xF) == 3;
+    if (placeholder) {
+      CgTag cg = find_cg_tag(p, aux_end);
+      if (cg.ops) {
+        cig_exp.assign(reinterpret_cast<const uint32_t*>(cg.ops),
+                       reinterpret_cast<const uint32_t*>(cg.ops) + cg.count);
+        cig = cig_exp.data();
+        n_cig = cg.count;
+      }
+    }
+    int64_t refspan = 0;
+    for (int64_t i = 0; i < n_cig; ++i) {
+      const uint32_t op = cig[i] & 0xF;
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+        refspan += cig[i] >> 4;
+    }
+    if (!(pos < qend && pos + refspan > qstart)) continue;
+    // ta tag must equal the target region string
+    const char* ta = nullptr;
+    int64_t ta_len = 0;
+    if (!aux_string(p, aux_end, 't', 'a', &ta, &ta_len)) {
+      if (target_len != 0) continue;  // parsed_region "" != target
+    } else if (ta_len != target_len ||
+               std::memcmp(ta, target, size_t(target_len)) != 0) {
+      continue;
+    }
+    // RG sample name ("" when absent, python errors upstream on unknown)
+    const char* rg = nullptr;
+    int64_t rg_len = 0;
+    aux_string(p, aux_end, 'R', 'G', &rg, &rg_len);
+    if (rg_len) out->rgs.insert(out->rgs.end(), rg, rg + rg_len);
+    out->rg_off.push_back(int64_t(out->rgs.size()));
+    // seq ("N" when empty)
+    if (l_seq == 0) {
+      out->seqs.push_back('N');
+    } else {
+      const size_t s0 = out->seqs.size();
+      out->seqs.resize(s0 + size_t(l_seq));
+      for (int32_t i = 0; i < l_seq; ++i) {
+        const uint8_t code = (i & 1) ? (nyb[i >> 1] & 0xF) : (nyb[i >> 1] >> 4);
+        out->seqs[s0 + i] = kNt16[code];
+      }
+    }
+    out->seq_off.push_back(int64_t(out->seqs.size()));
+    double v = 0.0;
+    out->tc.push_back(aux_numeric(p, aux_end, 't', 'c', &v) ? int32_t(v) : 1);
+    out->ac.push_back(aux_numeric(p, aux_end, 'a', 'c', &v) ? int32_t(v) : 1);
+    out->sc.push_back(aux_numeric(p, aux_end, 's', 'c', &v) ? int32_t(v) : 1);
+    out->ps.push_back(aux_numeric(p, aux_end, 'P', 'S', &v) ? int32_t(v)
+                                                            : -1);
+    out->hp.push_back(aux_numeric(p, aux_end, 'H', 'P', &v) ? int32_t(v)
+                                                            : -1);
+    out->ic.push_back(aux_numeric(p, aux_end, 'i', 'c', &v) ? int32_t(v) : 1);
+    const bool hs = aux_numeric(p, aux_end, 's', 'e', &v);
+    out->se.push_back(hs ? v : 0.0);
+    out->has_se.push_back(hs ? 1 : 0);
+  }
+  return out;
+}
+
+int64_t otter_analleles_count(void* h) {
+  return int64_t(static_cast<AnalleleBatch*>(h)->tc.size());
+}
+
+void otter_analleles_blob_sizes(void* h, int64_t* seq_total,
+                                int64_t* rg_total) {
+  auto* b = static_cast<AnalleleBatch*>(h);
+  *seq_total = int64_t(b->seqs.size());
+  *rg_total = int64_t(b->rgs.size());
+}
+
+void otter_analleles_columns(void* h, int32_t* tc, int32_t* ac, int32_t* sc,
+                             int32_t* ps, int32_t* hp, int32_t* ic,
+                             double* se, int64_t* seq_off, int64_t* rg_off,
+                             char* seqs, char* rgs) {
+  auto* b = static_cast<AnalleleBatch*>(h);
+  const size_t n = b->tc.size();
+  std::memcpy(tc, b->tc.data(), n * 4);
+  std::memcpy(ac, b->ac.data(), n * 4);
+  std::memcpy(sc, b->sc.data(), n * 4);
+  std::memcpy(ps, b->ps.data(), n * 4);
+  std::memcpy(hp, b->hp.data(), n * 4);
+  std::memcpy(ic, b->ic.data(), n * 4);
+  std::memcpy(se, b->se.data(), n * 8);
+  std::memcpy(seq_off, b->seq_off.data(), (n + 1) * 8);
+  std::memcpy(rg_off, b->rg_off.data(), (n + 1) * 8);
+  if (!b->seqs.empty()) std::memcpy(seqs, b->seqs.data(), b->seqs.size());
+  if (!b->rgs.empty()) std::memcpy(rgs, b->rgs.data(), b->rgs.size());
+}
+
+void otter_analleles_free(void* h) { delete static_cast<AnalleleBatch*>(h); }
+
+}  // extern "C"

@@ -609,3 +609,49 @@ def hclust_average_native_batch(mats, n_threads: int = 0):
         out.append((merge_all[2 * h0 : 2 * h1].reshape(-1, 2),
                     height_all[h0:h1]))
     return out
+
+
+def analleles_parse(raw: bytes, tid: int, qstart: int, qend: int,
+                    target: str):
+    """Genotype allele feeder (otter_native.cpp::otter_analleles_parse):
+    raw BAM record stream -> (seqs, rgs, tc, ac, sc, ps, hp, ic, se)
+    with parse_anallele's exact filter/tag semantics, in fetch order."""
+    lib = get_lib()
+    lib.otter_analleles_parse.restype = ctypes.c_void_p
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    tgt = target.encode()
+    h = lib.otter_analleles_parse(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(raw)), tid,
+        ctypes.c_int64(qstart), ctypes.c_int64(qend),
+        ctypes.c_char_p(tgt), ctypes.c_int64(len(tgt)))
+    try:
+        lib.otter_analleles_count.restype = ctypes.c_int64
+        n = lib.otter_analleles_count(ctypes.c_void_p(h))
+        seq_total = ctypes.c_int64()
+        rg_total = ctypes.c_int64()
+        lib.otter_analleles_blob_sizes(ctypes.c_void_p(h),
+                                       ctypes.byref(seq_total),
+                                       ctypes.byref(rg_total))
+        cols = {k: np.zeros(n, dtype=np.int32)
+                for k in ("tc", "ac", "sc", "ps", "hp", "ic")}
+        se = np.zeros(n, dtype=np.float64)
+        seq_off = np.zeros(n + 1, dtype=np.int64)
+        rg_off = np.zeros(n + 1, dtype=np.int64)
+        seqs = ctypes.create_string_buffer(max(1, seq_total.value))
+        rgs = ctypes.create_string_buffer(max(1, rg_total.value))
+        lib.otter_analleles_columns(
+            ctypes.c_void_p(h),
+            *[cols[k].ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+              for k in ("tc", "ac", "sc", "ps", "hp", "ic")],
+            se.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            seq_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rg_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            seqs, rgs)
+        seq_blob = seqs.raw[: seq_total.value].decode("ascii")
+        rg_blob = rgs.raw[: rg_total.value].decode("ascii")
+        out_seqs = [seq_blob[seq_off[i] : seq_off[i + 1]] for i in range(n)]
+        out_rgs = [rg_blob[rg_off[i] : rg_off[i + 1]] for i in range(n)]
+        return out_seqs, out_rgs, cols, se
+    finally:
+        lib.otter_analleles_free(ctypes.c_void_p(h))

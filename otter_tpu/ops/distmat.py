@@ -30,6 +30,7 @@ class DistMatrix:
 
     def set_dist(self, i: int, j: int, d: float) -> None:
         self.values[self._index(i, j)] = d
+        self._square_cache = None  # in-place write: identity check blind
 
     def get_dist(self, i: int, j: int) -> float:
         return float(self.values[self._index(i, j)])
@@ -58,8 +59,14 @@ class DistMatrix:
         return dm
 
     def to_square(self) -> np.ndarray:
+        # cached per values-array identity: medoid calls cluster-by-cluster
+        # on the same matrix, and rebuilding the square dominates them
+        cached = getattr(self, "_square_cache", None)
+        if cached is not None and cached[0] is self.values:
+            return cached[1]
         sq = np.zeros((self.n, self.n), dtype=np.float64)
         iu = np.triu_indices(self.n, k=1)
         sq[iu] = self.values
         sq += sq.T
+        self._square_cache = (self.values, sq)
         return sq

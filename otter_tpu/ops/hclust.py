@@ -244,11 +244,13 @@ def hclust_average(n: int, condensed: np.ndarray
 
 def cutree_k(n: int, merge: np.ndarray, nclust: int) -> np.ndarray:
     """Labels 0..nclust-1 (fastcluster.cpp cutree_k semantics incl. the
-    all-zero result when nclust > n or nclust < 2)."""
+    all-zero result when nclust > n or nclust < 2). The per-merge
+    last_merge relabel scans are numpy boolean assignments — identical
+    relabeling, O(n) vector ops instead of python loops."""
     labels = np.zeros(n, dtype=np.int64)
     if nclust > n or nclust < 2:
         return labels
-    last_merge = [0] * n
+    last_merge = np.zeros(n, dtype=np.int64)
     for k in range(1, n - nclust + 1):
         m1 = int(merge[k - 1, 0])
         m2 = int(merge[k - 1, 1])
@@ -261,25 +263,22 @@ def cutree_k(n: int, merge: np.ndarray, nclust: int) -> np.ndarray:
                 m1 = m2
             else:
                 j = -m2
-            for l in range(n):
-                if last_merge[l] == m1:
-                    last_merge[l] = k
+            last_merge[last_merge == m1] = k
             last_merge[j - 1] = k
         else:
-            for l in range(n):
-                if last_merge[l] in (m1, m2):
-                    last_merge[l] = k
+            last_merge[(last_merge == m1) | (last_merge == m2)] = k
     label = 0
     z = [-1] * n
     for j in range(n):
-        if last_merge[j] == 0:
+        lm = int(last_merge[j])
+        if lm == 0:
             labels[j] = label
             label += 1
         else:
-            if z[last_merge[j]] < 0:
-                z[last_merge[j]] = label
+            if z[lm] < 0:
+                z[lm] = label
                 label += 1
-            labels[j] = z[last_merge[j]]
+            labels[j] = z[lm]
     return labels
 
 

@@ -151,10 +151,63 @@ def parse_anallele(target_region: str, sample2index: Dict[str, int],
 def parse_analleles(params: OtterOpts, bam: BamReader, bed: BED,
                     sample2index: Dict[str, int]
                     ) -> Tuple[List[AnAllele], List[int]]:
-    """All alleles of a region from a merged otter BAM (anseqs.cpp:513-524)."""
+    """All alleles of a region from a merged otter BAM (anseqs.cpp:513-524).
+
+    Device pipelines route through the native C++ allele feeder
+    (otter_native.cpp::otter_analleles_parse — same ta/RG/tag semantics in
+    fetch order, no per-record python aux walk); host mode keeps this
+    python oracle. OTTER_TPU_NATIVE_ANALLELES=0 disables."""
+    if (params.device != "host"
+            and os.environ.get("OTTER_TPU_NATIVE_ANALLELES", "1") == "1"):
+        got = _parse_analleles_native(bam, bed, sample2index)
+        if got is not None:
+            return got
     anallele_block: List[AnAllele] = []
     allele_sample_indeces: List[int] = []
     for rec in bam.fetch(bed.chr, bed.start, bed.end):
         parse_anallele(bed.to_sc_string(), sample2index, rec,
                        anallele_block, allele_sample_indeces)
+    return anallele_block, allele_sample_indeces
+
+
+def _parse_analleles_native(bam: BamReader, bed: BED,
+                            sample2index: Dict[str, int]):
+    """Native allele-feeder path; None -> caller falls back to the oracle."""
+    try:
+        from ..native import analleles_parse
+    except Exception:
+        return None
+    try:
+        got = bam.fetch_raw(bed.chr, bed.start, bed.end)
+    except Exception:
+        return None
+    if got is None:
+        if bam.tid(bed.chr) < 0:
+            sys.stderr.write(
+                f"({antimestamp()}): WARNING: query failed at region "
+                f"{bed.chr}:{bed.start}-{bed.end}\n")
+            return [], []
+        return None
+    tid, raw = got
+    seqs, rgs, cols, se = analleles_parse(raw, tid, bed.start, bed.end,
+                                          bed.to_sc_string())
+    anallele_block: List[AnAllele] = []
+    allele_sample_indeces: List[int] = []
+    for i, (seq, rg) in enumerate(zip(seqs, rgs)):
+        idx = sample2index.get(rg)
+        if idx is None:
+            sys.stderr.write(
+                f"({antimestamp()}): ERROR unrecognized sample-name "
+                f"(read-group): {rg}\n")
+            raise SystemExit(1)
+        allele_sample_indeces.append(idx)
+        anallele_block.append(AnAllele(
+            seq=seq,
+            scov=int(cols["sc"][i]),
+            acov=int(cols["ac"][i]),
+            tcov=int(cols["tc"][i]),
+            se=float(se[i]),
+            ic=int(cols["ic"][i]),
+            hpt=Haplotag(int(cols["ps"][i]), int(cols["hp"][i])),
+        ))
     return anallele_block, allele_sample_indeces

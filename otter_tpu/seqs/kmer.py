@@ -104,14 +104,19 @@ def seq2kcounts_np(k: int, seqs: List[str]) -> np.ndarray:
     if total < k:
         return counts
     blob = "".join(seqs)
-    codes = _NT2CODE[np.frombuffer(blob.encode(), dtype=np.uint8)]
-    win = np.lib.stride_tricks.sliding_window_view(codes, k)
-    valid = (win < 4).all(axis=1)
-    pow4 = (4 ** np.arange(k - 1, -1, -1)).astype(np.int64)
-    idx = win.astype(np.int64) @ pow4
-    idx = np.where(valid, idx, max_index)
+    codes = _NT2CODE[np.frombuffer(blob.encode(),
+                                   dtype=np.uint8)].astype(np.int64)
+    # rolling-shift window indices (no sliding-window copy, no matmul)
+    nw = total - k + 1
+    bad = codes[:nw] >= 4
+    idx = np.where(bad, 0, codes[:nw])
+    for j in range(1, k):
+        cj = codes[j : j + nw]
+        idx = idx * 4 + np.where(cj < 4, cj, 0)
+        bad |= cj >= 4
+    idx[bad] = max_index
     owner = np.repeat(np.arange(n, dtype=np.int64), lens)
-    sid = owner[: total - k + 1]
+    sid = owner[:nw]
     inseq = sid == owner[k - 1 :]
     flat = sid[inseq] * width + idx[inseq]
     binc = np.bincount(flat, minlength=n * width)
@@ -182,9 +187,30 @@ def kusage_batch(k: int, seqs: List[str]) -> List[Kusage]:
             counts = None
     if counts is None:
         counts = seq2kcounts_np(k, seqs)
-    kus = [Kusage(counts[i]) for i in range(len(seqs))]
+    # batched Kusage construction: vec = counts/total and
+    # vnorm = sqrt(sum(vec*vec)) computed array-wise are elementwise /
+    # row-reduction identical to the per-allele scalar __init__ (same
+    # IEEE ops per cell; row-wise np.sum matches the 1-D pairwise tree —
+    # measured in tests), so the objects are bit-equal without 2n python
+    # numpy-call round trips
+    n_all = len(seqs)
+    kus: List[Kusage] = []
+    if n_all:
+        totals = counts.sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vecs_all = np.where(totals[:, None] != 0,
+                                counts / np.where(totals[:, None] == 0, 1.0,
+                                                  totals[:, None]),
+                                np.nan)
+        vnorms = np.sqrt(np.sum(vecs_all * vecs_all, axis=1))
+        for i in range(n_all):
+            ku = Kusage.__new__(Kusage)
+            ku.vec = vecs_all[i]
+            ku.vnorm = float(vnorms[i])
+            ku._hsdiv = None
+            kus.append(ku)
     if kus:
-        vecs = np.stack([ku.vec for ku in kus])
+        vecs = vecs_all
         flat = vecs.ravel()
         pos = flat > 0  # NaN rows (total==0) compare False, like the scalar
         vals = flat[pos]

@@ -125,3 +125,54 @@ def test_vcf2mat(cohort, tmp_path):
         assert int(f[1]) == i
         assert 0.0 <= float(f[2]) <= 1.0  # GC
         assert len(f) == 5 + 4 ** 3 + 1  # region, idx, gc, len, hsd + 65 kmers
+
+
+def test_native_analleles_feeder_parity(tmp_path):
+    """The C++ allele feeder must reproduce the python parse_anallele walk
+    field-for-field, including missing tags, empty-seq -> 'N', and
+    ta-mismatch drops. Ref: anseqs.cpp:462-524."""
+    import random
+
+    from fixtures import make_bam, read_record
+    from otter_tpu.config import OtterOpts
+    from otter_tpu.io.bai import index_bam
+    from otter_tpu.io.bam import BAM_CMATCH, BamReader
+    from otter_tpu.io.bed import BED
+    from otter_tpu.seqs.extract import parse_analleles
+
+    rng = random.Random(13)
+    region = "chr1:500-600"
+    records = []
+    for i in range(12):
+        seq = "".join(rng.choice("ACGT") for _ in range(rng.randrange(5, 80)))
+        tags = [("ta", "Z", region), ("RG", "Z", f"S{i % 3}")]
+        if i % 2 == 0:
+            tags += [("tc", "i", 7 + i), ("ac", "i", 3), ("sc", "i", 2),
+                     ("se", "f", 0.125), ("ic", "i", 2)]
+        if i % 3 == 0:
+            tags += [("PS", "i", 42), ("HP", "i", 1 + i % 2)]
+        if i == 5:
+            tags[0] = ("ta", "Z", "chr1:999-1000")  # wrong region: dropped
+        records.append(read_record(f"a{i}", 0, 500, seq,
+                                   [(len(seq), BAM_CMATCH)], tags=tags))
+    bam_path = str(tmp_path / "alleles.bam")
+    extra = "\n".join(f"@RG\tID:S{s}" for s in range(3))
+    make_bam(bam_path, [("chr1", 2000)], records, pg_of="1,0",
+             extra_header=extra)
+    index_bam(bam_path)
+    s2i = {f"S{s}": s for s in range(3)}
+    bed = BED("chr1", 500, 600)
+    rd = BamReader(bam_path, load_index=True)
+    ph = OtterOpts()
+    ph.device = "host"
+    blk_h, idx_h = parse_analleles(ph, rd, bed, s2i)
+    pa = OtterOpts()  # device=auto -> native feeder
+    blk_n, idx_n = parse_analleles(pa, rd, bed, s2i)
+    rd.close()
+    assert idx_h == idx_n
+    assert len(blk_h) == len(blk_n) == 11
+    for a, b in zip(blk_h, blk_n):
+        assert (a.seq, a.scov, a.acov, a.tcov, a.se, a.ic,
+                a.hpt.ps, a.hpt.hp) == \
+               (b.seq, b.scov, b.acov, b.tcov, b.se, b.ic,
+                b.hpt.ps, b.hpt.hp)
