@@ -96,10 +96,16 @@ def bench_tpu(pairs):
 def bench_cpu_single(pairs):
     from otter_tpu.native import edit_distance_batch
 
-    t0 = time.perf_counter()
-    dists, cells = edit_distance_batch(pairs, 1)
-    dt = time.perf_counter() - t0
-    return cells / dt, dists
+    # best-of-2: concurrent load on a small box depresses the single run,
+    # which silently inflates vs_baseline
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        dists, cells = edit_distance_batch(pairs, 1)
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best = dt
+    return cells / best, dists
 
 
 def bench_regions():
@@ -141,6 +147,12 @@ def bench_regions():
             result.update(bench_genotype_cohort(tmp))
         except Exception as e:
             result["genotype64_error"] = f"{type(e).__name__}: {e}"
+        try:
+            from bench_e2e import bench_ont
+
+            result.update(bench_ont(tmp))
+        except Exception as e:
+            result["ont_error"] = f"{type(e).__name__}: {e}"
         return result
 
 

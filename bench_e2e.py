@@ -256,6 +256,121 @@ def bench_genotype_cohort(tmp, n_samples=64, n_regions=32):
             "genotype64_vcf_identical": vcf == vcf_host}
 
 
+def build_ont_fixture(tmp, n_regions=16, err=0.06, cov=18, expansion=720,
+                      seed=42):
+    """BASELINE's ONT stress shape: 2.3 kb het expansions at ~6% read
+    error — the gap-affine consensus regime (94%% of reference wall)."""
+    from fixtures import make_bam, read_record
+    from otter_tpu.io.bam import BAM_CDEL, BAM_CINS, BAM_CMATCH
+
+    rng = random.Random(seed)
+
+    def noisy(piece, out, cig):
+        def emit(op, ln):
+            if ln <= 0:
+                return
+            if cig and cig[-1][1] == op:
+                cig[-1] = (cig[-1][0] + ln, op)
+            else:
+                cig.append((ln, op))
+
+        consumed = 0
+        for ch in piece:
+            x = rng.random()
+            if x < err * 0.4:
+                out.append(rng.choice([b for b in "ACGT" if b != ch]))
+                emit(BAM_CMATCH, 1)
+            elif x < err * 0.7:
+                out.append(ch)
+                out.append(rng.choice("ACGT"))
+                emit(BAM_CMATCH, 1)
+                emit(BAM_CINS, 1)
+            elif x < err:
+                emit(BAM_CDEL, 1)
+            else:
+                out.append(ch)
+                emit(BAM_CMATCH, 1)
+            consumed += 1
+        return consumed
+
+    span = 6000
+    ref_len = 1000 + n_regions * span + 2000
+    ref = "".join(rng.choice("ACGT") for _ in range(ref_len))
+    records = []
+    bed = os.path.join(tmp, "ont_regions.bed")
+    with open(bed, "w") as fh:
+        for r in range(n_regions):
+            start = 1000 + r * span
+            end = start + 150
+            fh.write(f"chr1\t{start}\t{end}\n")
+            alleles = [ref[start:end], ref[start:end] + "CAG" * expansion]
+            for allele in alleles:
+                for _c in range(cov // 2):
+                    lf = rng.randint(300, 500)
+                    rf = rng.randint(300, 500)
+                    out = []
+                    cig = []
+                    noisy(ref[start - lf : start], out, cig)
+                    consumed = noisy(allele, out, cig)
+                    extra = consumed - 150
+                    if extra > 0:
+                        trimmed = []
+                        need = extra
+                        for ln, op in reversed(cig):
+                            if need > 0 and op == BAM_CMATCH:
+                                take = min(ln, need)
+                                need -= take
+                                trimmed.append((take, BAM_CINS))
+                                if take < ln:
+                                    trimmed.append((ln - take, op))
+                            else:
+                                trimmed.append((ln, op))
+                        cig = list(reversed(trimmed))
+                    elif extra < 0:
+                        cig.append((-extra, BAM_CDEL))
+                    noisy(ref[end : end + rf], out, cig)
+                    records.append(read_record(
+                        f"o{r}_{len(records)}", 0, start - lf,
+                        "".join(out), cig, tags=[("rq", "f", 0.99)]))
+    bam = os.path.join(tmp, "ont_reads.bam")
+    make_bam(bam, [("chr1", ref_len)], records)
+    return bam, bed
+
+
+def bench_ont(tmp):
+    """ONT stress leg: device-affine consensus (checkpointed wide bands,
+    volume-routed) vs the forced-native ladder, byte-compared."""
+    from otter_tpu.config import OtterOpts
+    from otter_tpu.models.assemble import assemble
+
+    bam, bed = build_ont_fixture(tmp)
+    n_regions = 16
+
+    def run_ont(env):
+        for k, v in env.items():
+            os.environ[k] = v
+        try:
+            params = OtterOpts()
+            params.read_group = "ONT1"
+            params.device = "auto"
+            out = io.StringIO()
+            t0 = time.perf_counter()
+            assemble(bam, bed, "", False, params, out=out)
+            return time.perf_counter() - t0, out.getvalue()
+        finally:
+            for k in env:
+                os.environ.pop(k, None)
+
+    run_ont({})  # warm (compiles the wide-band buckets)
+    best = min(run_ont({})[0] for _ in range(2))
+    dt, out_auto = run_ont({})
+    best = min(best, dt)
+    dt_nat, out_nat = run_ont({"OTTER_TPU_AFFINE_DEVICE": "0"})
+    return {"ont_regions_per_sec": round(n_regions / best, 2),
+            "ont_native_regions_per_sec": round(n_regions / dt_nat, 2),
+            "ont_outputs_identical": out_auto == out_nat}
+
+
 def main():
     from otter_tpu.utils.preflight import wait_for_device
 

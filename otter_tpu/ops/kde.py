@@ -406,8 +406,15 @@ def kde_decision_certified_scaled_batch(scaled_list, value_lists, bandwidths,
             V = np.stack([np.asarray(value_lists[gen[bi]], dtype=np.float64)
                           for bi in rows])
             z = (xs[cc][:, None] - V[rr]) / bw[rsel][:, None]
-            vals = np.sum(_INV_SQRT_2PI * np.exp(-(z * z) / 2.0), axis=1) \
-                / (bw[rsel] * n_val)
+            zz = z * z
+            # exp(-zz/2) rounds to exactly +0.0 once zz/2 > 745.2
+            # (ln 2^-1075); masking at zz > 1530 (20 e-orders of margin)
+            # skips the exp for the far terms while the retained entries
+            # are computed on the identical inputs — bit-identical sums
+            near = zz <= 1530.0
+            terms = np.zeros_like(zz)
+            terms[near] = _INV_SQRT_2PI * np.exp(-zz[near] / 2.0)
+            vals = np.sum(terms, axis=1) / (bw[rsel] * n_val)
             raw[rsel, cc] = vals
     total = np.sum(raw, axis=1)
     bad = ~np.isfinite(total) | (total <= 0.0)
