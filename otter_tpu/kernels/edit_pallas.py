@@ -802,8 +802,7 @@ class EditDistanceEngine:
         from .myers_pallas import PAIRS_PER_PROG
         from .myers_striped import myers_striped_ends_free_async
 
-        if self.mode != "pallas" or (self.mesh is not None
-                                     and self.mode == "jnp"):
+        if self.mode != "pallas":
             return ("sync", jobs)
         out = np.zeros(len(jobs), dtype=np.int64)
         host: List[int] = []

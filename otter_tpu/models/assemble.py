@@ -226,12 +226,12 @@ def process_region_batch(params: OtterOpts, batch: List[RegionWork],
                          dist_backend, out: TextIO, pool=None) -> None:
     """Merge many regions' pair workloads into one device dispatch, then
     finish each region in order."""
-    staged = _dispatch_batch(params, batch, dist_backend)
+    staged = _dispatch_batch(params, batch, dist_backend, pool=pool)
     _finish_batch(params, staged, dist_backend, out, pool=pool)
 
 
 def _dispatch_batch(params: OtterOpts, batch: List[RegionWork],
-                    dist_backend):
+                    dist_backend, pool=None):
     """Pool every region's pair workload and launch it asynchronously;
     returns a staged handle for _finish_batch. While the caller finishes a
     previous batch on the host, the device (and tunnel traffic) runs this
@@ -256,12 +256,16 @@ def _dispatch_batch(params: OtterOpts, batch: List[RegionWork],
         coords, pairs = _region_pairs(work)
         spans.append((work, coords, len(all_pairs)))
         all_pairs.extend(pairs)
-    # reassignment pools (pair set is label-independent; see docstring)
+    # reassignment pools (pair set is label-independent; see docstring).
+    # With the -t worker-process pool the finish path re-derives these on
+    # host inside the workers (finish_region_worker) — skip the device
+    # pre-dispatch entirely there instead of paying for unused work.
     reassign_infos: List = [None] * len(spans)
     pool_ef: list = []
     e2e_base = len(all_pairs)
+    use_pool = params.threads > 1 and pool is not None
     for si, (work, _c, _s) in enumerate(spans):
-        if not work.invalid_indeces:
+        if use_pool or not work.invalid_indeces:
             continue
         pseudo = [-1] * len(work.reads)
         for i in work.valid_indeces:
@@ -605,14 +609,16 @@ def _assemble_batched(params: OtterOpts, bam_path: str,
                 # work, then finish the PREVIOUS batch on the host while
                 # the device/tunnel chews on this one. Emission stays in
                 # BED order (finish order == dispatch order).
-                staged = _dispatch_batch(params, pending, dist_backend)
+                staged = _dispatch_batch(params, pending, dist_backend,
+                                         pool=pool)
                 if in_flight is not None:
                     _finish_batch(params, in_flight, dist_backend, out,
                                   pool=pool)
                 in_flight = staged
                 pending = []
         if pending:
-            staged = _dispatch_batch(params, pending, dist_backend)
+            staged = _dispatch_batch(params, pending, dist_backend,
+                                     pool=pool)
             if in_flight is not None:
                 _finish_batch(params, in_flight, dist_backend, out, pool=pool)
             in_flight = staged

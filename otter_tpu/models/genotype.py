@@ -216,47 +216,36 @@ def _pooled_regions(params: OtterOpts, bam_path: str, regions: List[BED],
                     reference: str, si: SampleIndex, refindex: int,
                     n_threads: int, prep_only: bool):
     """Region thread pool with per-thread BamReader/Faidx handles (the
-    reference's BS_thread_pool pattern, genotype.cpp:71-78). Returns
-    per-region (emitted_text, prep) in region order; with prep_only the
-    workers stop before clustering (the batched pipeline takes over)."""
+    reference's BS_thread_pool pattern, genotype.cpp:71-78; shared
+    exception-propagating pool in utils/pool.py). Returns per-region
+    (emitted_text, prep) in region order; with prep_only the workers stop
+    before clustering (the batched pipeline takes over)."""
     import io as _io
-    import threading
 
-    results: List[Optional[tuple]] = [None] * len(regions)
-    nxt = [0]
-    lock = threading.Lock()
+    from ..utils.pool import ordered_thread_map
 
-    def worker() -> None:
-        bam = BamReader(bam_path, load_index=True)
-        faidx = Faidx(reference) if reference else None
-        try:
-            while True:
-                with lock:
-                    i = nxt[0]
-                    if i >= len(regions):
-                        return
-                    nxt[0] += 1
-                buf = _io.StringIO()
-                if prep_only:
-                    prep = _genotype_prep(params, regions[i], bam, faidx,
-                                          si, refindex, buf)
-                    results[i] = (buf.getvalue(), prep)
-                else:
-                    genotype_region(params, regions[i], bam, faidx, si,
-                                    refindex, buf)
-                    results[i] = (buf.getvalue(), None)
-        finally:
-            bam.close()
-            if faidx is not None:
-                faidx.close()
+    def make_ctx():
+        return (BamReader(bam_path, load_index=True),
+                Faidx(reference) if reference else None)
 
-    threads = [threading.Thread(target=worker)
-               for _ in range(max(1, min(n_threads, len(regions))))]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    return results
+    def run_item(ctx, i):
+        bam, faidx = ctx
+        buf = _io.StringIO()
+        if prep_only:
+            prep = _genotype_prep(params, regions[i], bam, faidx,
+                                  si, refindex, buf)
+            return (buf.getvalue(), prep)
+        genotype_region(params, regions[i], bam, faidx, si, refindex, buf)
+        return (buf.getvalue(), None)
+
+    def close_ctx(ctx):
+        bam, faidx = ctx
+        bam.close()
+        if faidx is not None:
+            faidx.close()
+
+    return ordered_thread_map(len(regions), n_threads, make_ctx, run_item,
+                              close_ctx)
 
 
 # f32 batched-einsum error bound: a 65-term f32 dot accumulates ~65*2^-24
@@ -346,12 +335,19 @@ def genotype_process_batched(params: OtterOpts, bam_path: str,
                 Vp = np.zeros((R, n_max, width), dtype=np.float32)
                 for bi, i in enumerate(live):
                     Vp[bi, : Vs[i].shape[0]] = Vs[i]
-                xv = jnp.asarray(Vp)
                 if mesh_mode:
                     xv = jax.device_put(
                         Vp, NamedSharding(mesh, P("dp", None, None)))
+                else:
+                    xv = jnp.asarray(Vp)
+                # Precision.HIGHEST: the TPU MXU's default matmul
+                # precision truncates f32 operands to bfloat16, whose
+                # ~2^-8 relative error dwarfs the certification guard —
+                # the guard's 65*2^-24 error model only holds at full
+                # f32 precision
                 S = jnp.einsum("rne,rme->rnm", xv, xv,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
                 S = np.asarray(S, dtype=np.float64)
                 for bi, i in enumerate(live):
                     n = Vs[i].shape[0]

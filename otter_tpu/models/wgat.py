@@ -165,37 +165,21 @@ def wga_bam_genotyper(params: OtterOpts, bam_path: str,
     # contig thread pool with per-thread BamReader handles (the
     # reference's parallelize_loop over contigs + stdout mutex,
     # wgat.cpp:148; emission here is in CONTIG ORDER, so -t N output is
-    # byte-identical to -t 1)
+    # byte-identical to -t 1; exception-propagating pool in utils/pool.py)
     import io as _io
-    import threading
 
-    results: List[Optional[str]] = [None] * len(ref_chrms)
-    nxt = [0]
-    lock = threading.Lock()
+    from ..utils.pool import ordered_thread_map
 
-    def worker() -> None:
-        bam = BamReader(bam_path, load_index=True)
-        try:
-            while True:
-                with lock:
-                    i = nxt[0]
-                    if i >= len(ref_chrms):
-                        return
-                    nxt[0] += 1
-                buf = _io.StringIO()
-                wga_bam_genotyper_process(params, bed_regions, bed_tree,
-                                          ref_chrms[i], chrom_names[i],
-                                          bam, buf)
-                results[i] = buf.getvalue()
-        finally:
-            bam.close()
+    def run_item(bam, i):
+        buf = _io.StringIO()
+        wga_bam_genotyper_process(params, bed_regions, bed_tree,
+                                  ref_chrms[i], chrom_names[i], bam, buf)
+        return buf.getvalue()
 
-    threads = [threading.Thread(target=worker)
-               for _ in range(min(n_threads, len(ref_chrms)))]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    results = ordered_thread_map(
+        len(ref_chrms), n_threads,
+        lambda: BamReader(bam_path, load_index=True), run_item,
+        lambda bam: bam.close())
     for text in results:
         if text:
             out.write(text)

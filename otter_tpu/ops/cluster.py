@@ -449,9 +449,10 @@ def kusage_cosine_condensed(scaled: np.ndarray, V: np.ndarray,
     scalar-dot oracle: entries within ``guard`` of a .5 round-to-3-decimals
     boundary are recomputed with the per-pair f64 np.dot, so every backend
     yields the byte-identical condensed matrix as long as its error is
-    below the guard (f64 GEMM ~1e-13 vs guard 1e-9; device f32 ~5e-4 vs
-    guard 2e-3). NaN norms (total==0 alleles) round to similarity 0.0,
-    the reference's handling."""
+    below the guard (f64 GEMM ~1e-13 vs guard 1e-9; device f32 einsum at
+    Precision.HIGHEST ~4e-3 worst case vs guard 1e-2 — see
+    models/genotype.py::_ROUND_GUARD_F32). NaN norms (total==0 alleles)
+    round to similarity 0.0, the reference's handling."""
     n = V.shape[0]
     iu, ju = np.triu_indices(n, k=1)
     sv = np.asarray(scaled, dtype=np.float64)[iu, ju].copy()

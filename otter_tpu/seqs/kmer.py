@@ -83,7 +83,8 @@ class Kusage:
         for v in self.vec:
             if v > 0:
                 acc += v * math.log(v)
-        return math.pow(math.e, -acc)
+        self._hsdiv = math.pow(math.e, -acc)
+        return self._hsdiv
 
 
 def seq2kcounts_np(k: int, seqs: List[str]) -> np.ndarray:
@@ -161,6 +162,9 @@ def kcounts_device(k: int, seqs: List[str]) -> np.ndarray:
     # windows starting past len-k contribute nothing (weight 0)
     inwin = (jnp.arange(nw)[None, :] < (jnp.asarray(lens) - (k - 1))[:, None])
     onehot = jax.nn.one_hot(idx, width, dtype=jnp.float32)
+    # default (bf16) matmul precision is safe HERE, unlike the cosine
+    # einsum: 0.0/1.0 are exact in bfloat16 and the f32 accumulator keeps
+    # integer sums exact far below 2^24
     counts = jnp.einsum("nwv,nw->nv", onehot,
                         inwin.astype(jnp.float32),
                         preferred_element_type=jnp.float32)

@@ -119,3 +119,32 @@ def test_mesh_ends_free_matches_host():
     want_host = edit_ends_free_batch(jobs)
     want_scalar = [edit_distance_ends_free(*j) for j in jobs]
     assert list(got) == list(want_host) == want_scalar
+
+
+def test_ordered_thread_map_propagates_systemexit():
+    """Worker SystemExit/exceptions must re-raise in the caller (naked
+    threads swallow SystemExit via threading.excepthook, silently
+    truncating output)."""
+    import pytest
+
+    from otter_tpu.utils.pool import ordered_thread_map
+
+    def run_item(_ctx, i):
+        if i == 3:
+            raise SystemExit(1)
+        return str(i)
+
+    with pytest.raises(SystemExit):
+        ordered_thread_map(8, 4, lambda: None, run_item, lambda c: None)
+
+    def run_err(_ctx, i):
+        if i == 2:
+            raise ValueError("boom")
+        return str(i)
+
+    with pytest.raises(ValueError):
+        ordered_thread_map(8, 2, lambda: None, run_err, lambda c: None)
+
+    got = ordered_thread_map(5, 3, lambda: None,
+                             lambda _c, i: i * i, lambda c: None)
+    assert got == [0, 1, 4, 9, 16]
