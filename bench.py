@@ -141,19 +141,25 @@ def bench_regions():
             result.update(bench_genotype(tmp, bam, bed, n_regions))
         except Exception as e:  # genotype leg must never kill the bench
             result["genotype_error"] = f"{type(e).__name__}: {e}"
-        try:
-            from bench_e2e import bench_genotype_cohort
-
-            result.update(bench_genotype_cohort(tmp))
-        except Exception as e:
-            result["genotype64_error"] = f"{type(e).__name__}: {e}"
-        try:
-            from bench_e2e import bench_ont
-
-            result.update(bench_ont(tmp))
-        except Exception as e:
-            result["ont_error"] = f"{type(e).__name__}: {e}"
         return result
+
+
+def bench_cohort_leg():
+    import tempfile
+
+    from bench_e2e import bench_genotype_cohort
+
+    with tempfile.TemporaryDirectory() as tmp:
+        return bench_genotype_cohort(tmp)
+
+
+def bench_ont_leg():
+    import tempfile
+
+    from bench_e2e import bench_ont
+
+    with tempfile.TemporaryDirectory() as tmp:
+        return bench_ont(tmp)
 
 
 def bench_device_kernels():
@@ -262,7 +268,7 @@ def child_main():
     completed leg (the parent keeps the last parseable line it saw, so a
     deadline kill mid-leg still preserves everything finished before it)."""
     legs = os.environ.get("OTTER_BENCH_LEGS",
-                          "kernel,regions,device").split(",")
+                          "kernel,regions,cohort,ont,device").split(",")
     result = {}
     # the child owns backend init (the parent never touches the tunnel);
     # measured round-trip latency sizes the workload: a degraded tunnel
@@ -307,6 +313,20 @@ def child_main():
             result.update(bench_regions())
         except Exception as e:  # never let the e2e leg kill the kernel leg
             result["regions_error"] = f"{type(e).__name__}: {e}"
+        _emit(result)
+    # each remaining leg emits a cumulative line, so a deadline kill
+    # mid-leg preserves everything already finished
+    if "cohort" in legs:
+        try:
+            result.update(bench_cohort_leg())
+        except Exception as e:
+            result["genotype64_error"] = f"{type(e).__name__}: {e}"
+        _emit(result)
+    if "ont" in legs:
+        try:
+            result.update(bench_ont_leg())
+        except Exception as e:
+            result["ont_error"] = f"{type(e).__name__}: {e}"
         _emit(result)
     if "device" in legs and plat0 in ("tpu", "axon"):
         try:

@@ -842,7 +842,6 @@ class EditDistanceEngine:
 
     def ends_free_collect(self, handle) -> np.ndarray:
         from ..ops.align_batch import edit_ends_free_batch
-        from .myers_striped import myers_striped_ends_free_collect
 
         if handle[0] == "sync":
             jobs = handle[1]
@@ -856,14 +855,41 @@ class EditDistanceEngine:
                     jobs, banded_runner=self._ends_free_mesh_runner)
             return edit_ends_free_batch(jobs)
         _t, jobs, out, host, launches = handle
+        # one device-side concat + ONE host materialization across every
+        # chunk (like _myers_collect): per-chunk np.asarray would pay the
+        # tunnel's D2H latency once per chunk
+        devs = []
+        metas = []
         for chunk, h in launches:
-            try:
-                d = myers_striped_ends_free_collect(h)
-            except Exception:
-                host.extend(chunk)
+            out_c, live, hh = h
+            if hh is None:  # degenerate-only chunk: results already known
+                for bi, idx in enumerate(chunk):
+                    out[idx] = int(out_c[bi])
                 continue
-            for bi, idx in enumerate(chunk):
-                out[idx] = int(d[bi])
+            stacked_dev, sel_word, n_stripes, n_pairs = hh
+            devs.append(stacked_dev.reshape(-1))
+            metas.append((chunk, out_c, live, sel_word, n_stripes, n_pairs,
+                          stacked_dev.size))
+        if devs:
+            from .myers_striped import _striped_pick
+
+            try:
+                import jax.numpy as jnp
+
+                flat = np.asarray(jnp.concatenate(devs))
+            except Exception:
+                for chunk, *_rest in metas:
+                    host.extend(chunk)
+                metas = []
+            offset = 0
+            for (chunk, out_c, live, sel_word, n_stripes, n_pairs,
+                 size) in metas:
+                stacked = flat[offset : offset + size]
+                offset += size
+                out_c[live] = _striped_pick(stacked, sel_word, n_stripes,
+                                            n_pairs)
+                for bi, idx in enumerate(chunk):
+                    out[idx] = int(out_c[bi])
         if host:
             d = edit_ends_free_batch([jobs[i] for i in host])
             for bi, idx in enumerate(host):

@@ -302,7 +302,14 @@ def _striped_launch(pairs: List[Tuple[str, str]], text_len: int,
 def _striped_collect(handle) -> np.ndarray:
     """One materialization: stack arrived on device; pick per member."""
     stacked_dev, sel_word, n_stripes, n_pairs = handle
-    stacked = np.asarray(stacked_dev)  # (S, B, 128)
+    return _striped_pick(np.asarray(stacked_dev), sel_word, n_stripes,
+                         n_pairs)
+
+
+def _striped_pick(stacked: np.ndarray, sel_word: np.ndarray,
+                  n_stripes: int, n_pairs: int) -> np.ndarray:
+    """Host half of _striped_collect over an already-materialized (S,B,128)
+    capture stack (callers fusing many chunks into one D2H use this)."""
     stacked = stacked.reshape(n_stripes, -1)
     stripe_of = sel_word // STRIPE_WORDS
     out = stacked[stripe_of[:n_pairs], np.arange(n_pairs)]
