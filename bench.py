@@ -6,7 +6,8 @@ Prints ONE JSON line:
 
 Metric: DP cell-updates/sec of the banded edit-distance engine (the WFA2
 replacement, the reference's hottest op per SURVEY.md §3.4) on a realistic
-workload mix (HiFi-like ~1% and ONT-like ~5% error pairs at 0.5-4 kb),
+workload: region-structured all-vs-all pair sets (the reference's condensed
+distance matrices) mixing HiFi-like ~1% and ONT-like ~5% error at 1 kb,
 plus the north-star e2e metric (assemble/genotype regions/sec).
 
 Baseline: the same workload on the native C++ banded DP (single core,
@@ -44,7 +45,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                                    ".jax_cache"))
 
 
-def make_workload(rng, n_pairs=2048, length=1024, err=0.02):
+def make_workload(rng, n_pairs=2048, length=1024, err=0.02, group=13):
+    """Region-structured distance workload: groups of `group` related
+    sequences, all-vs-all pairs within each group — the shape of the
+    reference's hottest op (per-region condensed distance matrices,
+    src/analignments.cpp:117-124; a 2048-pair batch is ~31 regions of 13
+    reads). Alternating groups use HiFi-like ~1% and ONT-like ~5% error.
+    Sequence objects are shared across a group's pairs, exactly as the
+    assemble pipeline shares read.seq objects."""
     def rand_seq(n):
         return "".join(rng.choice("ACGT") for _ in range(n))
 
@@ -62,11 +70,22 @@ def make_workload(rng, n_pairs=2048, length=1024, err=0.02):
                 o.append(ch)
         return "".join(o)
 
+    per_group = group * (group - 1) // 2
     pairs = []
-    for i in range(n_pairs):
+    gi = 0
+    while len(pairs) < n_pairs:
         base = rand_seq(length)
-        rate = 0.01 if i % 2 == 0 else 0.05  # HiFi-like / ONT-like mix
-        pairs.append((base, mut(base, rate)))
+        rate = 0.01 if gi % 2 == 0 else 0.05  # HiFi-like / ONT-like mix
+        members = [mut(base, rate * 0.5) for _ in range(group)]
+        take = min(per_group, n_pairs - len(pairs))
+        got = 0
+        for i in range(group):
+            for j in range(i + 1, group):
+                if got >= take:
+                    break
+                pairs.append((members[i], members[j]))
+                got += 1
+        gi += 1
     return pairs
 
 

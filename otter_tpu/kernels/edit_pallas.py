@@ -28,6 +28,7 @@ and as a cross-check) implement the same recurrence.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -321,6 +322,22 @@ def edit_banded_pallas(a: jnp.ndarray, bpad: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def _text_bucket(mx_len: int) -> int:
+    """Myers text bucket: pow2/8 steps (multiples of 16) instead of bare
+    powers of two. Text occupancy rises from a worst case of 50% to 87.5%
+    — the text is over half the H2D bytes AND sets the kernel's strip
+    count, so a 1030 bp text pays 1152 columns, not 2048. At most 4 extra
+    compile shapes per octave (persistent compile cache keeps the one-time
+    cost off the steady path)."""
+    P = 128
+    while P < mx_len:
+        P *= 2
+    if P <= 128:
+        return P
+    step = max(16, P // 8)
+    return -(-mx_len // step) * step
+
+
 def _pack_bucket(pairs: List[Tuple[str, str]], k: int,
                  tile_b: int = TILE_B, min_len: int = 1):
     """Pattern = longer string (scan rows), text = shorter (band columns)."""
@@ -509,9 +526,7 @@ class EditDistanceEngine:
                 nw = 4
                 while nw * 32 < mn_len:
                     nw *= 2
-                tl = 128
-                while tl < mx_len:
-                    tl *= 2
+                tl = _text_bucket(mx_len)
                 eligible.setdefault((nw, tl), []).append(idx)
             else:
                 tl = 128
@@ -563,13 +578,25 @@ class EditDistanceEngine:
                 pos += take
                 sub = [pairs[i] for i in chunk]
                 try:
-                    dev = myers_dispatch(sub, nw, tl,
-                                         interpret=self.interpret,
-                                         pad_to=take)
+                    # all-vs-all pair sets reuse the same sequence objects
+                    # many times; the pool path ships each one once (the
+                    # host->device link is the measured bottleneck) and
+                    # expands on device. Returns None when dedup won't pay.
+                    dev = None
+                    if os.environ.get("OTTER_TPU_MYERS_POOL", "1") == "1":
+                        from .myers_pallas import myers_pool_dispatch
+                        dev = myers_pool_dispatch(sub, nw, tl,
+                                                  interpret=self.interpret,
+                                                  pad_to=take)
+                    if dev is None:
+                        dev = myers_dispatch(sub, nw, tl,
+                                             interpret=self.interpret,
+                                             pad_to=take)
                 except Exception:
                     rest.extend(chunk)
                     continue
-                pending.append((chunk, len(sub), nw, tl, dev))
+                pending.append((chunk, len(sub), nw, tl,
+                                len(sub) * nw * 32 * tl, dev))
         return pending, rest
 
     def _myers_collect(self, pending, out) -> List[int]:
@@ -584,16 +611,16 @@ class EditDistanceEngine:
                 import jax.numpy as jnp
                 flat_dev = jnp.concatenate(
                     [dev.reshape(-1)[:nsub]
-                     for _m, nsub, _nw, _tl, dev in pending])
+                     for _m, nsub, _nw, _tl, _c, dev in pending])
                 flat = np.asarray(flat_dev)
             except Exception:
                 rest.extend([i for m, *_ in pending for i in m])
                 return rest
             offset = 0
-            for members, nsub, nw, tl, dev in pending:
+            for members, nsub, nw, tl, cells, dev in pending:
                 d = flat[offset : offset + nsub]
                 offset += nsub
-                self.cells += nsub * nw * 32 * tl
+                self.cells += cells
                 out[np.asarray(members, dtype=np.int64)] = d
         return rest
 
@@ -645,11 +672,11 @@ class EditDistanceEngine:
         try:
             flat_dev = jnp.concatenate(
                 [dev.reshape(-1)[:nsub]
-                 for _m, nsub, _nw, _tl, dev in pending])
+                 for _m, nsub, _nw, _tl, _c, dev in pending])
         except Exception:
             return None
-        for _m, nsub, nw, tl, _dev in pending:
-            self.cells += nsub * nw * 32 * tl
+        for _m, _nsub, _nw, _tl, cells, _dev in pending:
+            self.cells += cells
         members = np.concatenate(
             [np.asarray(m, dtype=np.int64) for m, *_ in pending])
         B = len(pairs)

@@ -47,9 +47,12 @@ def _carry_out(a, b, s):
 
 
 def _strip_phase(peq_ref, sel_ref, tpack_ref, nlen, score0, out_ref,
-                 pv_ref, mv_ref, *, n_words: int, text_len: int):
+                 pv_ref, mv_ref, *, n_words: int, text_len: int,
+                 t_off: int = 0):
     """Main text loop shared by the plane-input and packed-pattern kernels:
-    peq_ref/sel_ref may be VMEM inputs or VMEM scratch (already filled)."""
+    peq_ref/sel_ref may be VMEM inputs or VMEM scratch (already filled).
+    t_off: row offset of the text planes inside tpack_ref (nonzero when the
+    fused-input kernel passes the whole per-program block)."""
     zero = jnp.int32(0)
     one = jnp.int32(1)
     C = CSTRIP
@@ -57,12 +60,16 @@ def _strip_phase(peq_ref, sel_ref, tpack_ref, nlen, score0, out_ref,
     zeros = jnp.zeros((TB, LANES), dtype=jnp.int32)
     ones = jnp.full((TB, LANES), 1, dtype=jnp.int32)
 
+    # static trip count (a dynamic bound from max(nlen) lowers to a Mosaic
+    # while-loop that cannot be software-pipelined — measured 2-3x slower
+    # than the padded static loop). Padding waste is bounded instead by the
+    # host's fine text buckets (pow2/8 steps, edit_pallas._myers_dispatch).
     n_strips = (text_len + C - 1) // C  # strips never cross a 16-char word
 
     def strip(s, carry):
         score, captured = carry
         j0 = s * C
-        trow = tpack_ref[pl.ds((j0 // 16) * TB, TB), :]
+        trow = tpack_ref[pl.ds(t_off + (j0 // 16) * TB, TB), :]
         isel = []
         for c in range(C):
             sh = jnp.broadcast_to((j0 + c) % 16 * 2, trow.shape)
@@ -182,6 +189,101 @@ def _myers_kernel_packed(ppack_ref, tpack_ref, nlen_ref, minit_ref, out_ref,
                  out_ref, pv_ref, mv_ref, n_words=n_words, text_len=text_len)
 
 
+def _myers_kernel_fused(fused_ref, out_ref, pv_ref, mv_ref, peq_ref,
+                        sel_ref, *, n_words: int, text_len: int):
+    """Packed-pattern kernel over ONE fused input plane. Remote-TPU
+    tunnels pay a fixed RPC latency per host->device transfer, so the four
+    logical inputs (ppack, tpack, nlen, minit) ship as a single (rows, 128)
+    int32 array; per program the rows are
+      [0, 2*n_words*TB)               ppack
+      [2*n_words*TB, +n_twords*TB)    tpack
+      next TB                         nlen
+      next TB                         minit
+    (see fuse_packed_planes). Math identical to _myers_kernel_packed."""
+    n_twords = (text_len + 15) // 16
+    o_t = 2 * n_words * TB
+    o_n = o_t + n_twords * TB
+    o_m = o_n + TB
+    neg1 = jnp.int32(-1)
+    zeros = jnp.zeros((TB, LANES), dtype=jnp.int32)
+    score0 = fused_ref[pl.ds(o_m, TB), :]
+    nlen = fused_ref[pl.ds(o_n, TB), :]
+    m1 = jnp.maximum(score0 - 1, 0)
+    sel_w = m1 // 32
+    sel_b = jnp.where(score0 > 0,
+                      jax.lax.shift_left(jnp.full_like(score0, 1), m1 & 31),
+                      0)
+
+    def init_word(w, _):
+        pv_ref[pl.ds(w * TB, TB), :] = jnp.full((TB, LANES), neg1, jnp.int32)
+        mv_ref[pl.ds(w * TB, TB), :] = zeros
+        p0 = fused_ref[pl.ds((2 * w) * TB, TB), :]
+        p1 = fused_ref[pl.ds((2 * w + 1) * TB, TB), :]
+        accs = [zeros, zeros, zeros, zeros]
+        for half, pw in ((0, p0), (1, p1)):
+            for c in range(16):
+                ch = jax.lax.shift_right_logical(
+                    pw, jnp.int32(2 * c)) & 3 if c else pw & 3
+                k = half * 16 + c
+                bit = jnp.int32(-(1 << 31)) if k == 31 else jnp.int32(1 << k)
+                for x in range(4):
+                    accs[x] = accs[x] | jnp.where(ch == x, bit, 0)
+        for x in range(4):
+            peq_ref[pl.ds((x * n_words + w) * TB, TB), :] = accs[x]
+        sel_ref[pl.ds(w * TB, TB), :] = jnp.where(sel_w == w, sel_b, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_words, init_word, 0)
+    _strip_phase(peq_ref, sel_ref, fused_ref, nlen, score0,
+                 out_ref, pv_ref, mv_ref, n_words=n_words,
+                 text_len=text_len, t_off=o_t)
+
+
+def fuse_packed_planes(ppack, tpack, nlen, minit, n_prog: int) -> np.ndarray:
+    """Interleave the four packed plane arrays into the fused per-program
+    row layout _myers_kernel_fused expects (ONE H2D transfer)."""
+    return np.concatenate([
+        ppack.reshape(n_prog, -1, LANES),
+        tpack.reshape(n_prog, -1, LANES),
+        nlen.reshape(n_prog, TB, LANES),
+        minit.reshape(n_prog, TB, LANES)], axis=1).reshape(-1, LANES)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_words", "text_len", "interpret"))
+def myers_pallas_fused(fused: jnp.ndarray, n_words: int, text_len: int,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Single-input packed-pattern launch; fused: (n_prog * rows_pp, 128)
+    int32 built by fuse_packed_planes."""
+    n_twords = (text_len + 15) // 16
+    rows_pp = 2 * n_words * TB + n_twords * TB + 2 * TB
+    n_prog = fused.shape[0] // rows_pp
+    kernel = functools.partial(_myers_kernel_fused, n_words=n_words,
+                               text_len=text_len)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((rows_pp, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_prog * TB, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((n_words * TB, LANES), jnp.int32),
+            pltpu.VMEM((n_words * TB, LANES), jnp.int32),
+            pltpu.VMEM((4 * n_words * TB, LANES), jnp.int32),
+            pltpu.VMEM((n_words * TB, LANES), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=n_prog * PAIRS_PER_PROG * text_len * n_words * 40,
+            bytes_accessed=fused.size * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(fused)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_words", "text_len", "interpret"))
 def myers_pallas(peq: jnp.ndarray, tpack: jnp.ndarray, nlen: jnp.ndarray,
@@ -271,6 +373,114 @@ def myers_pallas_packed(ppack: jnp.ndarray, tpack: jnp.ndarray,
     )(ppack, tpack, nlen, minit)
 
 
+# ---------------------------------------------------------------------------
+# Sequence-pool path: dedup H2D for all-vs-all pair sets
+# ---------------------------------------------------------------------------
+
+_POOL_CODE = np.zeros(256, dtype=np.uint32)
+for _b, _c in ((65, 0), (67, 1), (71, 2), (84, 3)):  # matches myers._ACGT
+    _POOL_CODE[_b] = _c
+_POOL_SHIFTS = (np.arange(16, dtype=np.uint32) * 2).astype(np.uint32)
+
+
+def pack_pool_2bit(seqs: List[str], n_words_pool: int) -> np.ndarray:
+    """(S, n_words_pool) int32, each row a sequence 2-bit packed (16 chars
+    per word, char j -> bits 2(j%16)..+1 of word j//16, padding packs as
+    'A'=0) — the same scheme pack_myers_packed uses per pair."""
+    out = np.zeros((len(seqs), n_words_pool), dtype=np.uint32)
+    for s, seq in enumerate(seqs):
+        codes = _POOL_CODE[np.frombuffer(seq.encode("latin-1"), np.uint8)]
+        n = len(codes)
+        W = (n + 15) // 16
+        buf = np.zeros(W * 16, dtype=np.uint32)
+        buf[:n] = codes
+        out[s, :W] = np.bitwise_or.reduce(
+            buf.reshape(W, 16) << _POOL_SHIFTS, axis=1)
+    return out.view(np.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_words", "text_len", "interpret"))
+def myers_pool_pallas(pool: jnp.ndarray, idx_pat: jnp.ndarray,
+                      idx_txt: jnp.ndarray, nlen: jnp.ndarray,
+                      minit: jnp.ndarray, n_words: int, text_len: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Packed-pattern Myers over a deduplicated sequence pool.
+
+    The reference's hottest call sites are all-vs-all distance matrices
+    (n(n-1)/2 pairs over n alleles, analignments.cpp:117-124), so shipping
+    per-pair planes sends every sequence ~n/2 times over the host->device
+    link — the measured bottleneck through remote-TPU tunnels (~45 MB/s).
+    This wrapper ships each unique sequence ONCE (2-bit packed pool rows)
+    plus two (B,) index arrays, and expands to the kernel's plane layout
+    with an XLA gather+transpose that never leaves HBM.
+
+    pool: (S, W_pool) int32 from pack_pool_2bit, W_pool >= max(2*n_words,
+    ceil(text_len/16)); idx_pat/idx_txt/nlen/minit: (B,) int32 with B a
+    multiple of PAIRS_PER_PROG (padding: idx 0, nlen/minit 0)."""
+    n_twords = (text_len + 15) // 16
+    B = idx_pat.shape[0]
+    n_prog = B // PAIRS_PER_PROG
+
+    def planes(x):  # (B, d) -> (n_prog * d * TB, LANES), kernel row order
+        d = x.shape[1]
+        return x.reshape(n_prog, TB, LANES, d).transpose(0, 3, 1, 2) \
+                .reshape(n_prog * d * TB, LANES)
+
+    ppack = planes(pool[idx_pat, : 2 * n_words])
+    tpack = planes(pool[idx_txt, :n_twords])
+    nlen_p = nlen.reshape(n_prog * TB, LANES)
+    minit_p = minit.reshape(n_prog * TB, LANES)
+    return myers_pallas_packed(ppack, tpack, nlen_p, minit_p,
+                               n_words, text_len, interpret=interpret)
+
+
+def myers_pool_dispatch(pairs: List[Tuple[str, str]], n_words: int,
+                        text_len: int, interpret: bool = False,
+                        pad_to: int = PAIRS_PER_PROG):
+    """Pool-dedup launch (async). Returns None when dedup would not cut
+    H2D bytes by at least ~30% (the caller then uses myers_dispatch)."""
+    n_twords = (text_len + 15) // 16
+    W_pool = max(2 * n_words, n_twords)
+    uniq: dict = {}
+    idx = np.zeros((2, len(pairs)), dtype=np.int32)
+    for bi, (x, y) in enumerate(pairs):
+        p, t = (x, y) if len(x) <= len(y) else (y, x)
+        for side, s in enumerate((p, t)):
+            h = id(s)
+            row = uniq.get(h)
+            if row is None:
+                row = uniq[h] = (len(uniq), s)
+            idx[side, bi] = row[0]
+    S = len(uniq)
+    Sp = 8
+    while Sp < S:
+        Sp *= 2
+    B = max(pad_to, PAIRS_PER_PROG)
+    # the direct path ships its PADDED plane batch, so compare at B
+    direct_bytes = B * (2 * n_words + n_twords + 2) * 4
+    pool_bytes = Sp * W_pool * 4 + B * 16
+    if pool_bytes > 0.7 * direct_bytes:
+        return None
+    seqs = [None] * S
+    for _h, (row, s) in uniq.items():
+        seqs[row] = s
+    pool = np.zeros((Sp, W_pool), dtype=np.int32)
+    pool[:S] = pack_pool_2bit(seqs, W_pool)
+    ip = np.zeros(B, dtype=np.int32)
+    it = np.zeros(B, dtype=np.int32)
+    nlen = np.zeros(B, dtype=np.int32)
+    minit = np.zeros(B, dtype=np.int32)
+    ip[: len(pairs)] = idx[0, :]
+    it[: len(pairs)] = idx[1, :]
+    nlen[: len(pairs)] = [max(len(x), len(y)) for x, y in pairs]
+    minit[: len(pairs)] = [min(len(x), len(y)) for x, y in pairs]
+    return myers_pool_pallas(jnp.asarray(pool), jnp.asarray(ip),
+                             jnp.asarray(it), jnp.asarray(nlen),
+                             jnp.asarray(minit), n_words, text_len,
+                             interpret=interpret)
+
+
 def _to_planes(arr_b: np.ndarray, n_prog: int) -> np.ndarray:
     """(..., B) -> (n_prog * prod(...) * TB, 128) row-major per program."""
     lead = arr_b.shape[:-1]
@@ -346,17 +556,19 @@ def myers_dispatch(pairs: List[Tuple[str, str]], n_words: int,
     ``np.asarray(out).reshape(-1)[:len(pairs)]``. ``pad_to`` rounds the
     batch up to a fixed program count so compile shapes stay few.
 
-    Default route is the packed-pattern kernel (2-bit pattern expanded to
-    Peq on device — ~40% fewer H2D bytes); OTTER_TPU_MYERS_PACKED=0 forces
-    the plane-input kernel, and any packed-path failure falls back to it.
+    Default route is the fused-input packed-pattern kernel (2-bit pattern
+    expanded to Peq on device — ~40% fewer H2D bytes — shipped with the
+    text/lengths as ONE array, so a remote-tunnel dispatch pays one
+    transfer RPC instead of four); OTTER_TPU_MYERS_PACKED=0 forces the
+    plane-input kernel, and any packed-path failure falls back to it.
     """
     if os.environ.get("OTTER_TPU_MYERS_PACKED", "1") == "1":
         try:
             ppack, tpack, nlen, minit, n_prog = pack_for_pallas_packed(
                 pairs, n_words, text_len, batch_pad=pad_to)
-            return myers_pallas_packed(
-                jnp.asarray(ppack), jnp.asarray(tpack), jnp.asarray(nlen),
-                jnp.asarray(minit), n_words, text_len, interpret=interpret)
+            fused = fuse_packed_planes(ppack, tpack, nlen, minit, n_prog)
+            return myers_pallas_fused(jnp.asarray(fused), n_words, text_len,
+                                      interpret=interpret)
         except Exception:
             pass
     peq, tpack, nlen, sel, minit, n_prog = pack_for_pallas(

@@ -281,3 +281,65 @@ def test_myers_packed_kernel_interpret():
         jnp.asarray(minit), 4, 256, interpret=True)).reshape(-1)[:len(pairs)]
     want = [edit_distance(a, b) for a, b in pairs]
     assert got.tolist() == want
+
+
+def test_myers_pool_kernel_interpret():
+    """Sequence-pool path (device-side gather from a deduplicated 2-bit
+    pool) must equal the exact DP on an all-vs-all pair set — the workload
+    shape it exists for — including shared string objects, equal-length
+    orientation ties, and pool/batch padding."""
+    import jax.numpy as jnp
+
+    from otter_tpu.kernels import myers_pallas as mp
+
+    rng = random.Random(987)
+
+    def acgt(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    base = acgt(200)
+    seqs = [base] + [mutate(rng, base, 0.05) for _ in range(9)]
+    seqs.append(acgt(200))  # equal-length pair -> orientation tie
+    pairs = [(seqs[i], seqs[j]) for i in range(len(seqs))
+             for j in range(i + 1, len(seqs))]
+    dev = mp.myers_pool_dispatch(pairs, 8, 256, interpret=True,
+                                 pad_to=mp.PAIRS_PER_PROG)
+    assert dev is not None  # 55 pairs over 11 seqs: dedup must engage
+    got = np.asarray(dev).reshape(-1)[: len(pairs)]
+    want = [edit_distance(a, b) for a, b in pairs]
+    assert got.tolist() == want
+
+
+def test_myers_pool_declines_unique_pairs():
+    """A full batch of unique pairs with short patterns against long texts:
+    pool rows are W_pool = max(2*n_words, n_twords) wide, so storing each
+    200 bp pattern at 512 bp width costs more than the direct per-pair
+    planes -> returns None (the caller uses the direct path)."""
+    from otter_tpu.kernels import myers_pallas as mp
+
+    rng = random.Random(988)
+
+    def acgt(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    pairs = [(acgt(200), acgt(500)) for _ in range(mp.PAIRS_PER_PROG)]
+    assert mp.myers_pool_dispatch(pairs, 8, 512, interpret=True,
+                                  pad_to=mp.PAIRS_PER_PROG) is None
+
+
+def test_engine_pool_route_parity():
+    """Engine distances over an all-vs-all set route through the pool path
+    and stay byte-identical to the numpy oracle."""
+    rng = random.Random(989)
+
+    def acgt(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    base = acgt(300)
+    seqs = [base] + [mutate(rng, base, 0.08) for _ in range(11)]
+    pairs = [(seqs[i], seqs[j]) for i in range(len(seqs))
+             for j in range(i + 1, len(seqs))]
+    eng = EditDistanceEngine(mode="pallas", interpret=True)
+    got = eng.distances(pairs)
+    want = np.array([edit_distance(a, b) for a, b in pairs])
+    assert np.array_equal(got, want)
