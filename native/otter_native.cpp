@@ -1598,3 +1598,44 @@ void otter_analleles_columns(void* h, int32_t* tc, int32_t* ac, int32_t* sc,
 void otter_analleles_free(void* h) { delete static_cast<AnalleleBatch*>(h); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Sequence-pool 2-bit packer (myers_pallas.py::pack_pool_2bit oracle): each
+// unique sequence becomes one (n_words_pool,) row, char j -> bits
+// 2(j%16)..+1 of word j/16, padding packs as 'A' = 0. Used by the pool
+// Myers dispatch (dedup H2D for all-vs-all pair sets).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void otter_pack_pool_2bit(const uint8_t* buf, const int64_t* offs,
+                          int32_t n_seqs, int32_t n_words_pool,
+                          int32_t n_threads, uint32_t* out) {
+  if (n_threads < 1) n_threads = 1;
+  uint8_t code_of[256];
+  std::memset(code_of, 0, sizeof(code_of));
+  code_of['A'] = 0; code_of['C'] = 1; code_of['G'] = 2; code_of['T'] = 3;
+  auto worker = [&](int32_t t) {
+    for (int32_t s = t; s < n_seqs; s += n_threads) {
+      const uint8_t* p = buf + offs[s];
+      const int32_t n = int32_t(offs[s + 1] - offs[s]);
+      uint32_t* row = out + int64_t(s) * n_words_pool;
+      for (int32_t w = 0; w < (n + 15) / 16; ++w) {
+        uint32_t acc = 0;
+        const int32_t hi = std::min(n, (w + 1) * 16);
+        for (int32_t j = w * 16; j < hi; ++j)
+          acc |= uint32_t(code_of[p[j]]) << (2 * (j % 16));
+        row[w] = acc;
+      }
+    }
+  };
+  if (n_threads == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+  }
+}
+
+}  // extern "C"

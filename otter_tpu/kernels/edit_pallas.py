@@ -512,6 +512,18 @@ class EditDistanceEngine:
         Returns (pending, rest); finish with _myers_collect."""
         from .myers import is_acgt
 
+        # all-vs-all pair sets reuse the same string objects ~n/2 times;
+        # memoize the alphabet check per object for this call (a local map
+        # cannot go stale across gc/id reuse)
+        acgt_memo: dict = {}
+
+        def _is_acgt(s):
+            h = id(s)
+            v = acgt_memo.get(h)
+            if v is None:
+                v = acgt_memo[h] = is_acgt(s)
+            return v
+
         eligible: dict = {}
         striped: dict = {}
         rest: List[int] = []
@@ -520,7 +532,7 @@ class EditDistanceEngine:
             mn_len = min(len(x), len(y))
             mx_len = max(len(x), len(y))
             if not (mn_len > 0 and mx_len <= self.MYERS_TEXT_CAP
-                    and is_acgt(x) and is_acgt(y)):
+                    and _is_acgt(x) and _is_acgt(y)):
                 rest.append(idx)
             elif mn_len <= self.MYERS_MAX_WORDS * 32:
                 nw = 4
@@ -831,6 +843,15 @@ class EditDistanceEngine:
 
         if self.mode != "pallas":
             return ("sync", jobs)
+        acgt_memo: dict = {}
+
+        def _is_acgt(s):
+            h = id(s)
+            v = acgt_memo.get(h)
+            if v is None:
+                v = acgt_memo[h] = is_acgt(s)
+            return v
+
         out = np.zeros(len(jobs), dtype=np.int64)
         host: List[int] = []
         buckets: dict = {}
@@ -841,7 +862,7 @@ class EditDistanceEngine:
             one_sided = not ((pb or pe) and (tb or te))
             if (one_sided and min(len(p), len(t)) > 0
                     and max(len(p), len(t)) <= self.MYERS_TEXT_CAP
-                    and is_acgt(p) and is_acgt(t)):
+                    and _is_acgt(p) and _is_acgt(t)):
                 # bucket by the padded length of the free side (the Myers
                 # text after orientation) to bound the compile-shape set
                 tlen = len(p) if (pb or pe) else len(t)

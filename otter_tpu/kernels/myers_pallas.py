@@ -466,7 +466,15 @@ def myers_pool_dispatch(pairs: List[Tuple[str, str]], n_words: int,
     for _h, (row, s) in uniq.items():
         seqs[row] = s
     pool = np.zeros((Sp, W_pool), dtype=np.int32)
-    pool[:S] = pack_pool_2bit(seqs, W_pool)
+    if os.environ.get("OTTER_TPU_NATIVE_PACK", "1") == "1":
+        try:
+            from ..native import pack_pool_2bit_native
+
+            pool[:S] = pack_pool_2bit_native(seqs, W_pool)
+        except Exception:
+            pool[:S] = pack_pool_2bit(seqs, W_pool)
+    else:
+        pool[:S] = pack_pool_2bit(seqs, W_pool)
     ip = np.zeros(B, dtype=np.int32)
     it = np.zeros(B, dtype=np.int32)
     nlen = np.zeros(B, dtype=np.int32)

@@ -161,6 +161,14 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_int32),      # nlen
                 ctypes.POINTER(ctypes.c_int32),      # minit
             ]
+            lib.otter_pack_pool_2bit.restype = None
+            lib.otter_pack_pool_2bit.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),      # buf
+                ctypes.POINTER(ctypes.c_int64),      # offs
+                ctypes.c_int32, ctypes.c_int32,      # n_seqs, n_words_pool
+                ctypes.c_int32,                      # n_threads
+                ctypes.POINTER(ctypes.c_uint32),     # out
+            ]
             _lib = lib
         return _lib
 
@@ -655,3 +663,29 @@ def analleles_parse(raw: bytes, tid: int, qstart: int, qend: int,
         return out_seqs, out_rgs, cols, se
     finally:
         lib.otter_analleles_free(ctypes.c_void_p(h))
+
+
+def pack_pool_2bit_native(seqs: List[str], n_words_pool: int,
+                          n_threads: int = 0) -> np.ndarray:
+    """(S, n_words_pool) int32 2-bit packed pool rows, bit-identical to
+    myers_pallas.pack_pool_2bit (the numpy oracle)."""
+    lib = get_lib()
+    S = len(seqs)
+    offs = np.zeros(S + 1, dtype=np.int64)
+    pos = 0
+    blobs = []
+    for i, s in enumerate(seqs):
+        b = s.encode("latin-1")
+        blobs.append(b)
+        pos += len(b)
+        offs[i + 1] = pos
+    buf = np.frombuffer(b"".join(blobs) + b"\x00", dtype=np.uint8)
+    out = np.zeros((S, n_words_pool), dtype=np.uint32)
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    lib.otter_pack_pool_2bit(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        S, n_words_pool, n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out.view(np.int32)
