@@ -1620,7 +1620,10 @@ void otter_pack_pool_2bit(const uint8_t* buf, const int64_t* offs,
       const uint8_t* p = buf + offs[s];
       const int32_t n = int32_t(offs[s + 1] - offs[s]);
       uint32_t* row = out + int64_t(s) * n_words_pool;
-      for (int32_t w = 0; w < (n + 15) / 16; ++w) {
+      // fail safe like the numpy oracle: a sequence longer than
+      // n_words_pool*16 is truncated instead of overflowing the next row
+      const int32_t n_words = std::min((n + 15) / 16, n_words_pool);
+      for (int32_t w = 0; w < n_words; ++w) {
         uint32_t acc = 0;
         const int32_t hi = std::min(n, (w + 1) * 16);
         for (int32_t j = w * 16; j < hi; ++j)

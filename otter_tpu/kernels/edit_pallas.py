@@ -324,11 +324,11 @@ def edit_banded_pallas(a: jnp.ndarray, bpad: jnp.ndarray,
 
 def _text_bucket(mx_len: int) -> int:
     """Myers text bucket: pow2/8 steps (multiples of 16) instead of bare
-    powers of two. Text occupancy rises from a worst case of 50% to 87.5%
-    — the text is over half the H2D bytes AND sets the kernel's strip
-    count, so a 1030 bp text pays 1152 columns, not 2048. At most 4 extra
-    compile shapes per octave (persistent compile cache keeps the one-time
-    cost off the steady path)."""
+    powers of two. Worst-case text occupancy rises from 50% to ~80%
+    (e.g. 1025 -> 1280 columns) — the text is over half the H2D bytes AND
+    sets the kernel's strip count, so a 1030 bp text pays 1280 columns,
+    not 2048. At most 7 extra compile shapes per octave (persistent
+    compile cache keeps the one-time cost off the steady path)."""
     P = 128
     while P < mx_len:
         P *= 2
@@ -589,24 +589,29 @@ class EditDistanceEngine:
                 chunk = members[pos : pos + take]
                 pos += take
                 sub = [pairs[i] for i in chunk]
-                try:
-                    # all-vs-all pair sets reuse the same sequence objects
-                    # many times; the pool path ships each one once (the
-                    # host->device link is the measured bottleneck) and
-                    # expands on device. Returns None when dedup won't pay.
-                    dev = None
-                    if os.environ.get("OTTER_TPU_MYERS_POOL", "1") == "1":
+                # all-vs-all pair sets reuse the same sequence objects
+                # many times; the pool path ships each one once (the
+                # host->device link is the measured bottleneck) and
+                # expands on device. Returns None when dedup won't pay.
+                # A pool-only failure degrades to the direct Myers path
+                # (NOT the much slower banded ladder).
+                dev = None
+                if os.environ.get("OTTER_TPU_MYERS_POOL", "1") == "1":
+                    try:
                         from .myers_pallas import myers_pool_dispatch
                         dev = myers_pool_dispatch(sub, nw, tl,
                                                   interpret=self.interpret,
                                                   pad_to=take)
-                    if dev is None:
+                    except Exception:
+                        dev = None
+                if dev is None:
+                    try:
                         dev = myers_dispatch(sub, nw, tl,
                                              interpret=self.interpret,
                                              pad_to=take)
-                except Exception:
-                    rest.extend(chunk)
-                    continue
+                    except Exception:
+                        rest.extend(chunk)
+                        continue
                 pending.append((chunk, len(sub), nw, tl,
                                 len(sub) * nw * 32 * tl, dev))
         return pending, rest

@@ -157,9 +157,10 @@ def kde_fused_from_pairs(flat, mlen, rid_m, slot_m, ex_row, ex_slot, ex_val,
 
 def pooled_kde_scaled(value_lists, bandwidths,
                       dinterval: float = 0.0025) -> list:
-    """Scaled tree-reduction device KDE over many regions (same bucketing
-    and region-axis sharding as pooled_kde_densities_tree). Returns
-    per-region (m, s) float32 array pairs."""
+    """Scaled tree-reduction device KDE over many regions, bucketed by
+    padded pair count (few compile shapes), region axis sharded over the
+    attached mesh. ONE host materialization for the whole dispatch.
+    Returns per-region (m, s) float32 array pairs."""
     from ..ops.kde import kde_grid
 
     xs32 = kde_grid(dinterval).astype(np.float32)
@@ -207,48 +208,6 @@ def pooled_kde_scaled(value_lists, bandwidths,
         row += Rp
         for r, i in enumerate(idxs):
             out[i] = (block[r, :G], block[r, G:])
-    return out
-
-
-def pooled_kde_densities_tree(value_lists, bandwidths,
-                              dinterval: float = 0.0025) -> list:
-    """Tree-reduction device KDE over many regions, bucketed by padded pair
-    count (few compile shapes), region axis sharded over the attached mesh.
-    Returns per-region (grid_pts,) float32 densities."""
-    from ..ops.kde import kde_grid
-
-    xs32 = kde_grid(dinterval).astype(np.float32)
-    out = [None] * len(value_lists)
-    buckets: dict = {}
-    for i, v in enumerate(value_lists):
-        n_pad = 8
-        while n_pad < len(v):
-            n_pad *= 2
-        buckets.setdefault(n_pad, []).append(i)
-    devs = jax.devices()
-    for n_pad, idxs in sorted(buckets.items()):
-        R = len(idxs)
-        Rp = ((R + len(devs) - 1) // len(devs)) * len(devs)
-        V = np.zeros((Rp, n_pad), dtype=np.float32)
-        nv = np.ones(Rp, dtype=np.int32)
-        bwv = np.full(Rp, 0.01, dtype=np.float32)
-        for r, i in enumerate(idxs):
-            v = np.asarray(value_lists[i], dtype=np.float32)
-            V[r, : len(v)] = v
-            nv[r] = len(v)
-            bwv[r] = bandwidths[i]
-        if len(devs) > 1:
-            mesh = make_mesh()
-            V_s, nv_s, bw_s = shard_pair_batch(mesh, [V, nv, bwv])
-            xs_d = jax.device_put(jnp.asarray(xs32), NamedSharding(mesh, P()))
-            with mesh:
-                dens = kde_tree_step(V_s, nv_s, bw_s, xs_d, n_pad)
-        else:
-            dens = kde_tree_step(jnp.asarray(V), jnp.asarray(nv),
-                                 jnp.asarray(bwv), jnp.asarray(xs32), n_pad)
-        dens = np.asarray(dens)
-        for r, i in enumerate(idxs):
-            out[i] = dens[r]
     return out
 
 

@@ -343,3 +343,34 @@ def test_engine_pool_route_parity():
     got = eng.distances(pairs)
     want = np.array([edit_distance(a, b) for a, b in pairs])
     assert np.array_equal(got, want)
+
+
+def test_myers_fused_kernel_interpret():
+    """Direct coverage for the fused-input kernel (the default dispatch
+    route, myers_pallas.py::myers_dispatch): pack_for_pallas_packed +
+    fuse_packed_planes -> myers_pallas_fused must equal the exact DP,
+    including word-boundary pattern lengths and padded slots (ADVICE r3)."""
+    import jax.numpy as jnp
+
+    from otter_tpu.kernels import myers_pallas as mp
+
+    rng = random.Random(97531)
+
+    def acgt(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    pairs = []
+    for m in (1, 31, 32, 33, 63, 64, 65, 127, 128):
+        s = acgt(m)
+        pairs.append((s, mutate(rng, s, 0.08)))
+    for _ in range(40):
+        m = rng.randint(1, 128)
+        n = rng.randint(m, 256)
+        pairs.append((acgt(m), acgt(n)))
+    ppack, tpack, nlen, minit, n_prog = mp.pack_for_pallas_packed(
+        pairs, 4, 256, batch_pad=mp.PAIRS_PER_PROG)
+    fused = mp.fuse_packed_planes(ppack, tpack, nlen, minit, n_prog)
+    got = np.asarray(mp.myers_pallas_fused(
+        jnp.asarray(fused), 4, 256, interpret=True)).reshape(-1)[:len(pairs)]
+    want = [edit_distance(a, b) for a, b in pairs]
+    assert got.tolist() == want
