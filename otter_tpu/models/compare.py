@@ -49,8 +49,13 @@ def local_parse_analleles(bam: BamReader, bed: BED, sample2index: Dict[str, int]
     return anallele_block, allele_sample_indeces, spannings
 
 
-def get_distances(subjs: List[AnAllele], querys: List[AnAllele]) -> List[DistCompare]:
-    """(compare.cpp:50-66) including the N/NDNNN special cases."""
+def get_distances(subjs: List[AnAllele], querys: List[AnAllele],
+                  hints: Optional[Dict] = None) -> List[DistCompare]:
+    """(compare.cpp:50-66) including the N/NDNNN special cases.
+
+    ``hints``: optional {(i, j): (edit, cols)} precomputed by the pooled
+    engine path (pooled_compare_results); identical values to the scalar
+    DP, so output is byte-identical with or without them."""
     distances: List[DistCompare] = []
     for i, subj_a in enumerate(subjs):
         subj = subj_a.seq
@@ -62,12 +67,65 @@ def get_distances(subjs: List[AnAllele], querys: List[AnAllele]) -> List[DistCom
             elif subj in ("N", "NDNNN") or query in ("N", "NDNNN"):
                 distances.append(DistCompare(i, j, len(query) - 1, len(query)))
             else:
-                if len(subj) > len(query):
+                pre = None if hints is None else hints.get((i, j))
+                if pre is not None:
+                    edit, ops = pre
+                elif len(subj) > len(query):
                     edit, ops = edit_align_cigar_len(subj, query)
                 else:
                     edit, ops = edit_align_cigar_len(query, subj)
                 distances.append(DistCompare(i, j, edit, ops))
     return distances
+
+
+def pooled_compare_results(kept, device: str) -> List[Optional[Dict]]:
+    """One pooled engine dispatch for every region's all-vs-all truth x
+    query pairs (SURVEY §2.1 compare row: "Python + same kernel"): the
+    exact edit distances come back batched from the same engine that
+    serves assemble's distance matrices, then ONE batched composite DP
+    (ops/align_batch.py::edit_cigar_cols_batch, band seeded at each
+    pair's exact distance) produces the (edit, cols) values — results
+    byte-identical to the scalar host path. Special-case pairs (equal
+    seqs, N/NDNNN, compare.cpp:56-57) never reach the engine. Returns
+    per-region {(i, j): (edit, cols)} or None; any failure degrades to
+    the scalar path for the affected regions."""
+    results: List[Optional[Dict]] = [None] * len(kept)
+    from ..kernels.dist_backend import DeviceDistBackend
+    from ..ops.align_batch import edit_cigar_cols_batch
+
+    try:
+        backend = DeviceDistBackend(device=device)
+    except Exception:
+        return results
+    flat_pairs = []
+    owners = []
+    for ridx, (_rs, subjs, _sp, querys) in enumerate(kept):
+        for i, subj_a in enumerate(subjs):
+            subj = subj_a.seq
+            for j, query_a in enumerate(querys):
+                query = query_a.seq
+                if subj == query or subj in ("N", "NDNNN") or \
+                        query in ("N", "NDNNN"):
+                    continue
+                # compare.cpp's pattern/text order: longer first, query
+                # on ties (compare.cpp:58-61)
+                if len(subj) > len(query):
+                    flat_pairs.append((subj, query))
+                else:
+                    flat_pairs.append((query, subj))
+                owners.append((ridx, i, j))
+    if not flat_pairs:
+        return results
+    try:
+        dists = backend.engine.distances(flat_pairs)
+        pair_results = edit_cigar_cols_batch(flat_pairs, dists)
+    except Exception:
+        return results
+    for (ridx, i, j), res in zip(owners, pair_results):
+        if results[ridx] is None:
+            results[ridx] = {}
+        results[ridx][(i, j)] = res
+    return results
 
 
 def compare(params: OtterOpts, bed_file: str, reference: str, target: str,
@@ -86,6 +144,9 @@ def compare(params: OtterOpts, bed_file: str, reference: str, target: str,
     sit.init(target)
     sample2index[sit.index2sample[0]] = 1
 
+    # pass 1: parse every region (warnings to stderr as in compare.cpp),
+    # keeping the survivors for the pooled distance dispatch
+    kept = []
     for region in regions:
         region_str = region.to_sc_string()
         reference_alleles, _, reference_spannings = local_parse_analleles(
@@ -110,24 +171,33 @@ def compare(params: OtterOpts, bed_file: str, reference: str, target: str,
                 f"({antimestamp()}): WARNING: skipping region due no query "
                 f"alleles for region: {region_str}\n")
         else:
-            dist_edges = get_distances(reference_alleles, query_alleles)
-            dist_edges.sort(key=lambda x: (x.edit, x.ops))
-            edge_0 = dist_edges[0]
-            edge_1_j = 1
-            while edge_1_j < len(dist_edges):
-                edge_1 = dist_edges[edge_1_j]
-                if edge_1.i != edge_0.i and edge_1.j != edge_0.j:
-                    break
-                edge_1_j += 1
-            if edge_1_j >= len(dist_edges):
-                edge_1_j = len(dist_edges) - 1
-            for i in (0, edge_1_j):
-                min_edge = dist_edges[i]
-                out.write(
-                    f"{region_str}\t{len(reference_alleles[min_edge.i].seq)}\t"
-                    f"{len(query_alleles[min_edge.j].seq)}\t"
-                    f"{reference_spannings[min_edge.i]}\t"
-                    f"{_fmt_num(min_edge.edit)}\t{_fmt_num(min_edge.ops)}\n")
+            kept.append((region_str, reference_alleles, reference_spannings,
+                         query_alleles))
+    # pass 2: ONE pooled engine dispatch across every region's pairs, then
+    # per-region edge selection + TSV (byte-identical to the host path)
+    hints_by_region: List[Optional[Dict]] = [None] * len(kept)
+    if params.device != "host" and kept:
+        hints_by_region = pooled_compare_results(kept, params.device)
+    for (region_str, reference_alleles, reference_spannings,
+         query_alleles), hints in zip(kept, hints_by_region):
+        dist_edges = get_distances(reference_alleles, query_alleles, hints)
+        dist_edges.sort(key=lambda x: (x.edit, x.ops))
+        edge_0 = dist_edges[0]
+        edge_1_j = 1
+        while edge_1_j < len(dist_edges):
+            edge_1 = dist_edges[edge_1_j]
+            if edge_1.i != edge_0.i and edge_1.j != edge_0.j:
+                break
+            edge_1_j += 1
+        if edge_1_j >= len(dist_edges):
+            edge_1_j = len(dist_edges) - 1
+        for i in (0, edge_1_j):
+            min_edge = dist_edges[i]
+            out.write(
+                f"{region_str}\t{len(reference_alleles[min_edge.i].seq)}\t"
+                f"{len(query_alleles[min_edge.j].seq)}\t"
+                f"{reference_spannings[min_edge.i]}\t"
+                f"{_fmt_num(min_edge.edit)}\t{_fmt_num(min_edge.ops)}\n")
     bam_ref.close()
     bam_target.close()
 

@@ -22,6 +22,7 @@ from .align_np import (
     _codes,
     affine_align_ends_free_cigar,
     band_validity_cap,
+    edit_align_cigar_len,
 )
 
 
@@ -597,4 +598,103 @@ def affine_cigars_batch(pattern: str,
                 # band insufficient for this member: exact scalar fallback
                 out.append(affine_align_ends_free_cigar(
                     pattern, t, pbv, pev, tbv, tev))
+    return out
+
+
+def edit_cigar_cols_batch(pairs: Sequence[Tuple[str, str]],
+                          dists: Sequence[int]) -> List[Tuple[int, int]]:
+    """Batched (edit distance, alignment column count) for
+    WFAlignerEdit(Alignment) — compare's hot op (src/compare.cpp:60-61).
+
+    Vectorizes align_np.edit_align_cigar_len's composite lexicographic DP
+    over the pair batch: pairs are bucketed by (band, padded row count) and
+    each bucket runs ONE banded numpy DP over (B, W) arrays instead of B
+    python DP loops. ``dists`` are known-exact edit distances (the pooled
+    device engine output), so each pair's band is max(|m-n|+1, d) — its
+    final ladder rung — and the scalar exactness check (edit <= k) passes
+    by construction; any pair that still fails it (a wrong hint) falls back
+    to the scalar DP. Integer arithmetic is identical to the scalar path,
+    so results are byte-identical.
+
+    pairs must be (pattern, text) with pattern the longer string (the
+    caller applies compare.cpp's subj/query ordering).
+    """
+    out: List[Tuple[int, int]] = [None] * len(pairs)  # type: ignore
+    K = np.int64(1 << 22)
+    step = K + 1
+    INF = np.int64(1 << 56)
+    buckets: dict = {}
+    for idx, ((p, t), d) in enumerate(zip(pairs, dists)):
+        m, n = len(p), len(t)
+        if m < n:
+            raise ValueError("pattern must be the longer string")
+        if m == 0 or d == 0:
+            # d == 0 means p == t (exact hint) -> cols = m; an empty
+            # pattern implies both empty (m >= n) -> (0, 0)
+            out[idx] = (0, m)
+            continue
+        if int(d) == m - n:
+            # pure-indel optimum: X = 0, indels = m - n exactly, no DP
+            out[idx] = (m - n, m)
+            continue
+        k = max(abs(m - n) + 1, int(d))
+        kp = 7
+        while kp < k:
+            kp *= 2
+        mp = 64
+        while mp < m:
+            mp *= 2
+        buckets.setdefault((kp, mp), []).append(idx)
+    for (k, mp), members in buckets.items():
+        W = 2 * (k + 1)
+        B = len(members)
+        m_arr = np.empty(B, dtype=np.int64)
+        n_arr = np.empty(B, dtype=np.int64)
+        m_max = 0
+        n_max = 0
+        for bi, idx in enumerate(members):
+            p, t = pairs[idx]
+            m_arr[bi] = len(p)
+            n_arr[bi] = len(t)
+            m_max = max(m_max, len(p))
+            n_max = max(n_max, len(t))
+        a_arr = np.full((B, m_max), -2, dtype=np.int64)
+        L = k + 2 + n_max + W + 2
+        bpad = np.full((B, L), -1, dtype=np.int64)
+        for bi, idx in enumerate(members):
+            p, t = pairs[idx]
+            a_arr[bi, : len(p)] = _codes(p)
+            bpad[bi, k + 2 : k + 2 + len(t)] = _codes(t)
+        w_idx = np.arange(W, dtype=np.int64)
+        j0 = w_idx - (k + 1)
+        wshift = w_idx * step
+        prev = np.where((j0[None, :] >= 0) & (j0[None, :] <= n_arr[:, None]),
+                        j0[None, :] * step, INF)
+        inf_col = np.full((B, 1), INF, dtype=np.int64)
+        for i in range(1, m_max + 1):
+            b_win = bpad[:, i : i + W]
+            sub = np.where(b_win == a_arr[:, i - 1 : i], 0, K)
+            up = np.concatenate([prev[:, 1:], inf_col], axis=1) + step
+            v = np.minimum(up, prev + sub)
+            j = i + j0
+            v = np.where(j[None, :] == 0, np.int64(i) * step, v)
+            v = np.where((j[None, :] < 0) | (j[None, :] > n_arr[:, None]),
+                         INF, v)
+            new = np.minimum.accumulate(v - wshift[None, :], axis=1) \
+                + wshift[None, :]
+            active = (i <= m_arr)[:, None]
+            prev = np.where(active, new, prev)
+        wf = (n_arr - m_arr + (k + 1)).astype(np.int64)
+        cand = prev[np.arange(B), wf]
+        edit = cand // K
+        for bi, idx in enumerate(members):
+            if int(edit[bi]) <= k and int(cand[bi]) < int(INF):
+                c = int(cand[bi])
+                e = c // int(K)
+                indels = c - e * int(K)
+                m, n = int(m_arr[bi]), int(n_arr[bi])
+                out[idx] = (e, (m + n + indels) // 2)
+            else:  # wrong hint: scalar ladder from scratch (exact)
+                p, t = pairs[idx]
+                out[idx] = edit_align_cigar_len(p, t)
     return out

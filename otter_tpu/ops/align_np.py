@@ -361,7 +361,8 @@ def affine_align_cigar(pattern: str, text: str) -> str:
     return affine_align_ends_free_cigar(pattern, text, 0, 0, 0, 0)
 
 
-def edit_align_cigar_len(pattern: str, text: str) -> Tuple[int, int]:
+def edit_align_cigar_len(pattern: str, text: str,
+                         dist_hint: int | None = None) -> Tuple[int, int]:
     """(edit distance, alignment column count) for WFAlignerEdit(Alignment)
     as consumed by compare (src/compare.cpp:60-61: getAlignmentScore and
     getAlignmentCigar().size()).
@@ -369,6 +370,12 @@ def edit_align_cigar_len(pattern: str, text: str) -> Tuple[int, int]:
     Among edit-optimal alignments WFA's greedy diagonal extension maximizes
     match/mismatch columns, so we break ties by maximizing diagonal steps
     (equivalently minimizing indel steps) with a composite lexicographic DP.
+
+    ``dist_hint``: a known-exact edit distance (e.g. from the pooled device
+    engine) seeds the band ladder at its final rung, so the composite DP
+    runs ONCE instead of doubling up. The exactness check (edit <= k) is
+    unchanged, so a wrong hint only costs an extra rung, never correctness:
+    the banded DP's result at a sufficient band is band-independent.
     """
     a, b = _codes(pattern), _codes(text)
     m, n = len(a), len(b)
@@ -377,6 +384,8 @@ def edit_align_cigar_len(pattern: str, text: str) -> Tuple[int, int]:
     # banded with doubling (exact when the edit part of the composite <= k)
     composite = None
     k = max(63, abs(m - n) + 1)
+    if dist_hint is not None:
+        k = max(k, int(dist_hint))
     while True:
         W = 2 * (k + 1)
         if W >= n + 2:
