@@ -23,6 +23,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "tests"))
 
 
+def _stats(times):
+    """Per-rep variance fields (VERDICT r3 #8): round-over-round deltas are
+    uninterpretable against 3x tunnel noise without spreads."""
+    ts = sorted(times)
+    n = len(ts)
+    med = ts[n // 2] if n % 2 else 0.5 * (ts[n // 2 - 1] + ts[n // 2])
+    mad = sorted(abs(t - med) for t in ts)[n // 2] if n else 0.0
+    return {"best_s": round(min(ts), 4), "median_s": round(med, 4),
+            "mad_s": round(mad, 4),
+            "reps_s": [round(t, 4) for t in times]}
+
+
 def build_fixture(tmp, n_regions=100, cov=12, err=0.01, region_len=120,
                   seed=11):
     from fixtures import make_bam, read_record
@@ -171,14 +183,18 @@ def bench_genotype(tmp, bam, bed, n_regions, n_samples=3):
         return time.perf_counter() - t0, out.getvalue()
 
     run_gt()  # warm
-    best = min(run_gt()[0] for _ in range(2))
-    dt, vcf_text = run_gt()
-    best = min(best, dt)
+    times = []
+    vcf_text = ""
+    for _ in range(3):
+        dt, vcf_text = run_gt()
+        times.append(dt)
+    best = min(times)
     vcf_rows = sum(1 for l in vcf_text.splitlines()
                    if l and not l.startswith("#"))
     return {"genotype_regions_per_sec": round(n_regions / best, 2),
             "genotype_vcf_rows": vcf_rows,
-            "genotype_samples": n_samples}
+            "genotype_samples": n_samples,
+            "genotype_times": _stats(times)}
 
 
 def build_cohort_fixture(tmp, n_samples=64, n_regions=32, seed=5):
@@ -247,19 +263,56 @@ def bench_genotype_cohort(tmp, n_samples=64, n_regions=32):
         return time.perf_counter() - t0, out.getvalue()
 
     run_gt("auto")  # warm
-    best = min(run_gt("auto")[0] for _ in range(2))
+    times = []
+    vcf = ""
+    for _ in range(5):
+        dt, vcf = run_gt("auto")
+        times.append(dt)
     _dt_host, vcf_host = run_gt("host")
-    dt, vcf = run_gt("auto")
-    best = min(best, dt)
-    return {"genotype64_regions_per_sec": round(n_regions / best, 2),
+    return {"genotype64_regions_per_sec": round(n_regions / min(times), 2),
             "genotype64_samples": n_samples,
-            "genotype64_vcf_identical": vcf == vcf_host}
+            "genotype64_vcf_identical": vcf == vcf_host,
+            "genotype64_times": _stats(times)}
+
+
+def bench_genotype_cohort500(tmp, n_samples=500, n_regions=8):
+    """O(500)-sample cohort leg (VERDICT r3 #7): n = 2*500+1 = 1001 allele
+    matrices per region (~500k condensed entries each) through the batched
+    pipeline, VCF byte-compared to the sequential host path. Ref:
+    otterclust.cpp:463-527."""
+    from otter_tpu.config import OtterOpts
+    from otter_tpu.models.genotype import genotype
+
+    bam, bed, fa = build_cohort_fixture(tmp, n_samples, n_regions, seed=23)
+
+    def run_gt(device):
+        params = OtterOpts()
+        params.device = device
+        out = io.StringIO()
+        t0 = time.perf_counter()
+        genotype(params, bam, bed, fa, out=out)
+        return time.perf_counter() - t0, out.getvalue()
+
+    run_gt("auto")  # warm
+    times = []
+    vcf = ""
+    for _ in range(3):
+        dt, vcf = run_gt("auto")
+        times.append(dt)
+    _dt_host, vcf_host = run_gt("host")
+    return {"genotype500_regions_per_sec": round(n_regions / min(times), 2),
+            "genotype500_samples": n_samples,
+            "genotype500_vcf_identical": vcf == vcf_host,
+            "genotype500_times": _stats(times)}
 
 
 def build_ont_fixture(tmp, n_regions=16, err=0.06, cov=18, expansion=720,
-                      seed=42):
+                      seed=42, region_len=150, flank_lo=300, flank_hi=500,
+                      name="ont"):
     """BASELINE's ONT stress shape: 2.3 kb het expansions at ~6% read
-    error — the gap-affine consensus regime (94%% of reference wall)."""
+    error — the gap-affine consensus regime (94%% of reference wall).
+    Parameterized (region_len/cov/err) so the reference-scale leg (cov-200,
+    10-20 kb alleles; command_assemble.cpp:38, SURVEY §3.4) reuses it."""
     from fixtures import make_bam, read_record
     from otter_tpu.io.bam import BAM_CDEL, BAM_CINS, BAM_CMATCH
 
@@ -293,26 +346,26 @@ def build_ont_fixture(tmp, n_regions=16, err=0.06, cov=18, expansion=720,
             consumed += 1
         return consumed
 
-    span = 6000
+    span = region_len + 2 * flank_hi + 2 * max(1000, region_len // 2)
     ref_len = 1000 + n_regions * span + 2000
     ref = "".join(rng.choice("ACGT") for _ in range(ref_len))
     records = []
-    bed = os.path.join(tmp, "ont_regions.bed")
+    bed = os.path.join(tmp, f"{name}_regions.bed")
     with open(bed, "w") as fh:
         for r in range(n_regions):
             start = 1000 + r * span
-            end = start + 150
+            end = start + region_len
             fh.write(f"chr1\t{start}\t{end}\n")
             alleles = [ref[start:end], ref[start:end] + "CAG" * expansion]
             for allele in alleles:
                 for _c in range(cov // 2):
-                    lf = rng.randint(300, 500)
-                    rf = rng.randint(300, 500)
+                    lf = rng.randint(flank_lo, flank_hi)
+                    rf = rng.randint(flank_lo, flank_hi)
                     out = []
                     cig = []
                     noisy(ref[start - lf : start], out, cig)
                     consumed = noisy(allele, out, cig)
-                    extra = consumed - 150
+                    extra = consumed - region_len
                     if extra > 0:
                         trimmed = []
                         need = extra
@@ -332,7 +385,7 @@ def build_ont_fixture(tmp, n_regions=16, err=0.06, cov=18, expansion=720,
                     records.append(read_record(
                         f"o{r}_{len(records)}", 0, start - lf,
                         "".join(out), cig, tags=[("rq", "f", 0.99)]))
-    bam = os.path.join(tmp, "ont_reads.bam")
+    bam = os.path.join(tmp, f"{name}_reads.bam")
     make_bam(bam, [("chr1", ref_len)], records)
     return bam, bed
 
@@ -362,13 +415,71 @@ def bench_ont(tmp):
                 os.environ.pop(k, None)
 
     run_ont({})  # warm (compiles the wide-band buckets)
-    best = min(run_ont({})[0] for _ in range(2))
-    dt, out_auto = run_ont({})
-    best = min(best, dt)
+    times = []
+    out_auto = ""
+    for _ in range(3):
+        dt, out_auto = run_ont({})
+        times.append(dt)
     dt_nat, out_nat = run_ont({"OTTER_TPU_AFFINE_DEVICE": "0"})
-    return {"ont_regions_per_sec": round(n_regions / best, 2),
+    return {"ont_regions_per_sec": round(n_regions / min(times), 2),
             "ont_native_regions_per_sec": round(n_regions / dt_nat, 2),
-            "ont_outputs_identical": out_auto == out_nat}
+            "ont_outputs_identical": out_auto == out_nat,
+            "ont_times": _stats(times)}
+
+
+def bench_refscale(tmp):
+    """Reference-scale leg (VERDICT r3 #1): the reference's own default
+    regime — cov 200 reads/region (command_assemble.cpp:38), 10 kb alleles
+    (SURVEY §3.4's read scale), HiFi-grade error. 19,900 all-vs-all pairs
+    of ~10 kb sequences per region: the shape where the reference's thread
+    pool saturates and the TPU batch advantage is largest.
+
+    Times the device path on BENCH_REFSCALE_REGIONS regions (default 2)
+    and the native-CPU path on region 1 only (it is ~an order of magnitude
+    slower; its wall is measured, not assumed), then byte-compares region
+    1's allele records between the two runs."""
+    from otter_tpu.config import OtterOpts
+    from otter_tpu.models.assemble import assemble
+
+    n_regions = int(os.environ.get("BENCH_REFSCALE_REGIONS", "2"))
+    bam, bed = build_ont_fixture(
+        tmp, n_regions=n_regions, err=0.002, cov=200, expansion=100,
+        seed=77, region_len=10000, flank_lo=300, flank_hi=500,
+        name="refscale")
+    bed1 = os.path.join(tmp, "refscale_r1.bed")
+    with open(bed1, "w") as fh:
+        fh.write(open(bed).read().splitlines()[0] + "\n")
+
+    def run_leg(device, bedfile):
+        params = OtterOpts()
+        params.read_group = "RS1"
+        params.device = device
+        out = io.StringIO()
+        t0 = time.perf_counter()
+        assemble(bam, bedfile, "", False, params, out=out)
+        return time.perf_counter() - t0, out.getvalue()
+
+    run_leg("auto", bed1)  # warm (compiles the long-pair buckets)
+    times = []
+    out_auto = ""
+    for _ in range(2):
+        dt, out_auto = run_leg("auto", bed)
+        times.append(dt)
+    dt_nat, out_nat1 = run_leg("cpu", bed1)
+    # region-1 byte comparison: same header, same first-region records
+    r1_auto = [l for l in out_auto.splitlines()
+               if l.startswith("@") or "_0_" in l.split("\t")[0]
+               or l.split("\t")[0].endswith("10000_0")
+               or ":1000-11000" in l]
+    r1_nat = out_nat1.splitlines()
+    return {"refscale_regions_per_sec": round(n_regions / min(times), 4),
+            "refscale_native_region_sec": round(dt_nat, 2),
+            "refscale_vs_native": round(
+                dt_nat / (min(times) / n_regions), 2),
+            "refscale_cov": 200, "refscale_allele_bp": 10000,
+            "refscale_region1_identical":
+                "\n".join(r1_auto) == "\n".join(r1_nat),
+            "refscale_times": _stats(times)}
 
 
 def main():

@@ -1421,6 +1421,44 @@ void otter_hclust_average_batch(const double* condensed_all,
   }
 }
 
+// cutree_k (fastcluster.cpp cutree_k semantics, the exact port of
+// ops/hclust.py::cutree_k): labels 0..nclust-1 from the R-convention merge
+// matrix; all-zero when nclust > n or nclust < 2.
+void otter_cutree_k(int32_t n, const int64_t* merge, int32_t nclust,
+                    int64_t* labels) {
+  for (int32_t i = 0; i < n; ++i) labels[i] = 0;
+  if (nclust > n || nclust < 2) return;
+  std::vector<int64_t> last_merge(n, 0);
+  for (int32_t k = 1; k <= n - nclust; ++k) {
+    int64_t m1 = merge[(k - 1) * 2];
+    int64_t m2 = merge[(k - 1) * 2 + 1];
+    if (m1 < 0 && m2 < 0) {
+      last_merge[-m1 - 1] = k;
+      last_merge[-m2 - 1] = k;
+    } else if (m1 < 0 || m2 < 0) {
+      int64_t j;
+      if (m1 < 0) { j = -m1; m1 = m2; } else { j = -m2; }
+      for (int32_t i = 0; i < n; ++i)
+        if (last_merge[i] == m1) last_merge[i] = k;
+      last_merge[j - 1] = k;
+    } else {
+      for (int32_t i = 0; i < n; ++i)
+        if (last_merge[i] == m1 || last_merge[i] == m2) last_merge[i] = k;
+    }
+  }
+  int64_t label = 0;
+  std::vector<int64_t> z(n, -1);
+  for (int32_t j = 0; j < n; ++j) {
+    int64_t lm = last_merge[j];
+    if (lm == 0) {
+      labels[j] = label++;
+    } else {
+      if (z[lm] < 0) z[lm] = label++;
+      labels[j] = z[lm];
+    }
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
@@ -1596,6 +1634,56 @@ void otter_analleles_columns(void* h, int32_t* tc, int32_t* ac, int32_t* sc,
 }
 
 void otter_analleles_free(void* h) { delete static_cast<AnalleleBatch*>(h); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// K-mer counting (seqs/kmer.py::seq2kcounts_np oracle; reference scalar loop
+// anseqs.cpp:149-166): per sequence, base-4 big-endian k-mer indices with
+// any invalid base routing the window to the 4^k bucket. Counts are small
+// integers in float64 -> bit-identical to the python/numpy path.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void otter_kcounts(const uint8_t* blob, const int64_t* offs, int32_t n_seqs,
+                   int32_t k, int32_t n_threads, double* out) {
+  if (n_threads < 1) n_threads = 1;
+  int64_t width = 1;
+  for (int32_t i = 0; i < k; ++i) width *= 4;
+  const int64_t max_index = width;
+  width += 1;
+  uint8_t code_of[256];
+  std::memset(code_of, 4, sizeof(code_of));
+  code_of['A'] = 0; code_of['a'] = 0; code_of['C'] = 1; code_of['c'] = 1;
+  code_of['G'] = 2; code_of['g'] = 2; code_of['T'] = 3; code_of['t'] = 3;
+  auto worker = [&](int32_t t) {
+    for (int32_t s = t; s < n_seqs; s += n_threads) {
+      const uint8_t* p = blob + offs[s];
+      const int64_t n = offs[s + 1] - offs[s];
+      double* row = out + int64_t(s) * width;
+      std::memset(row, 0, sizeof(double) * width);
+      if (n < k) continue;
+      for (int64_t j = 0; j + k <= n; ++j) {
+        int64_t idx = 0;
+        bool bad = false;
+        for (int32_t q = 0; q < k; ++q) {
+          const uint8_t c = code_of[p[j + q]];
+          if (c >= 4) { bad = true; }
+          idx = idx * 4 + (c >= 4 ? 0 : c);
+        }
+        row[bad ? max_index : idx] += 1.0;
+      }
+    }
+  };
+  if (n_threads == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+  }
+}
 
 }  // extern "C"
 

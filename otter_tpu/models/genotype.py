@@ -120,17 +120,20 @@ def _genotype_prep(params: OtterOpts, region: BED, bam: BamReader,
         ref_allele_index = len(allele_sample_indeces)
         allele_sample_indeces.append(refindex)
         anallele_block.append(AnAllele(seq=refseq))
+    # diploid pairing (genotype.cpp:103-111) flattened to vector ops: the
+    # (min, max) allele index per sample is the first/last occurrence in
+    # the (ascending-i) walk — np.unique on the index array and its
+    # reverse yields both in one pass
     sample2localindeces: List[Optional[Tuple[int, int]]] = [None] * len(si.sample2index)
-    for i, s_idx in enumerate(allele_sample_indeces):
-        pair = sample2localindeces[s_idx]
-        if pair is None:
-            sample2localindeces[s_idx] = (i, i)
-        else:
-            lo, hi = pair
-            if i < lo:
-                sample2localindeces[s_idx] = (i, hi)
-            elif i > hi:
-                sample2localindeces[s_idx] = (lo, i)
+    if allele_sample_indeces:
+        import numpy as np
+
+        arr = np.asarray(allele_sample_indeces, dtype=np.int64)
+        uniq, first = np.unique(arr, return_index=True)
+        rev_last = arr.size - 1 - np.unique(arr[::-1], return_index=True)[1]
+        for s, lo, hi in zip(uniq.tolist(), first.tolist(),
+                             rev_last.tolist()):
+            sample2localindeces[s] = (lo, hi)
     if faidx is None:
         for i in range(len(si.sample2index)):
             pair = sample2localindeces[i]
@@ -158,7 +161,8 @@ def genotype_region(params: OtterOpts, region: BED, bam: BamReader,
     genotypes = [Genotype() for _ in range(len(anallele_block))]
     acc_gt, gt_reps = anallele_cluster(params.max_error, params.max_cosdis,
                                        anallele_block, genotypes,
-                                       precomputed=precomputed)
+                                       precomputed=precomputed,
+                                       hsd_indices=[ref_allele_index])
     if acc_gt != len(gt_reps):
         sys.stderr.write(
             f"({antimestamp()}): ERROR unexpected representative alleles "
@@ -294,7 +298,7 @@ def genotype_process_batched(params: OtterOpts, bam_path: str,
             block = results[i][1][0]
             spans[i] = (len(all_seqs), len(block))
             all_seqs.extend(a.seq for a in block)
-        kus_all = kusage_batch(3, all_seqs)
+        kus_all = kusage_batch(3, all_seqs, eager_hsdiv=False)
     # pooled cosine GEMM: device f32 einsum over the padded region batch,
     # host f64 BLAS otherwise; certification makes them byte-equivalent
     scaled_by_region = {}
@@ -370,29 +374,51 @@ def genotype_process_batched(params: OtterOpts, bam_path: str,
     with metrics.phase("genotype_finish"):
         import io as _io
 
-        for i, region in enumerate(regions):
+        from ..ops.cluster import kusage_cosine_condensed_batch
+        from ..ops.distmat import triu_pair_indices
+
+        # condensed cosine rounding for every region in one stacked pass
+        # (byte-equal per entry to the scalar kusage_cosine_condensed)
+        kvals_all = kusage_cosine_condensed_batch(
+            [scaled_by_region[i] for i in live], [Vs[i] for i in live],
+            [norms_by_region[i] for i in live], guard)
+        kvals_by_region = dict(zip(live, kvals_all))
+
+        def finish_region(i: int) -> str:
             text, prep = results[i]
-            if text:
-                out.write(text)
             if prep is None:
-                continue
+                return text or ""
             s0, cnt = spans[i]
             V = Vs[i]
             nr = norms_by_region[i]
-            kvals = kusage_cosine_condensed(scaled_by_region[i], V, nr,
-                                            guard)
+            kvals = kvals_by_region[i]
             block = prep[0]
             lens = np.asarray([len(a.seq) for a in block],
                               dtype=np.float64)
-            iu, ju = np.triu_indices(len(block), k=1)
+            iu, ju = triu_pair_indices(len(block))
             mx = np.maximum(lens[iu], lens[ju])
             lvals = np.abs(lens[iu] - lens[ju]) / np.maximum(mx, 1.0)
             pre = {"length_values": lvals, "kusage_values": kvals,
                    "kusages": kus_all[s0 : s0 + cnt]}
             buf = _io.StringIO()
-            genotype_region(params, region, None, None, si, refindex,
+            genotype_region(params, regions[i], None, None, si, refindex,
                             buf, precomputed=pre, prep=prep)
-            out.write(buf.getvalue())
+            return (text or "") + buf.getvalue()
+
+        if n_threads > 1 and len(regions) > 1:
+            # region finish pool (pure functions + GIL-releasing native
+            # hclust/cutree); emission stays in region order, so -t N is
+            # byte-identical to -t 1
+            from ..utils.pool import ordered_thread_map
+
+            texts = ordered_thread_map(
+                len(regions), n_threads, lambda: None,
+                lambda _ctx, i: finish_region(i), lambda _ctx: None)
+            for t in texts:
+                out.write(t)
+        else:
+            for i in range(len(regions)):
+                out.write(finish_region(i))
 
 
 _GENOTYPE_DEVICE_DECISION: Optional[bool] = None
@@ -426,9 +452,19 @@ def _genotype_device_default(params: OtterOpts) -> bool:
                 if not xla_bridge._backends:
                     _GENOTYPE_DEVICE_DECISION = False
                 else:
-                    from ..utils.preflight import device_roundtrip_ms
+                    import jax
 
-                    _GENOTYPE_DEVICE_DECISION = device_roundtrip_ms() < 5.0
+                    plat = jax.devices()[0].platform
+                    if plat not in ("tpu", "axon"):
+                        # jax-on-CPU "device" IS the host: the f32 einsum
+                        # (+ its wide certify guard, thousands of scalar
+                        # recomputes) can only lose to host f64 BLAS
+                        _GENOTYPE_DEVICE_DECISION = False
+                    else:
+                        from ..utils.preflight import device_roundtrip_ms
+
+                        _GENOTYPE_DEVICE_DECISION = \
+                            device_roundtrip_ms() < 5.0
         except Exception:
             _GENOTYPE_DEVICE_DECISION = False
     return _GENOTYPE_DEVICE_DECISION

@@ -689,3 +689,40 @@ def pack_pool_2bit_native(seqs: List[str], n_words_pool: int,
         S, n_words_pool, n_threads,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     return out.view(np.int32)
+
+
+def cutree_k_native(n: int, merge: np.ndarray, nclust: int) -> np.ndarray:
+    """cutree_k via the native library (otter_native.cpp::otter_cutree_k);
+    integer-exact port of ops/hclust.py::cutree_k."""
+    lib = get_lib()
+    m = np.ascontiguousarray(merge, dtype=np.int64)
+    labels = np.zeros(n, dtype=np.int64)
+    lib.otter_cutree_k(
+        ctypes.c_int32(n),
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int32(nclust),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return labels
+
+
+def kcounts_native(k: int, seqs) -> np.ndarray:
+    """Batched k-mer counts via the native library — bit-identical to
+    seqs/kmer.py::seq2kcounts_np (integer counts in f64)."""
+    lib = get_lib()
+    n = len(seqs)
+    width = int(4 ** k) + 1
+    out = np.zeros((n, width), dtype=np.float64)
+    if n == 0:
+        return out
+    blob = "".join(seqs).encode()
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=offs[1:])
+    n_threads = min(8, os.cpu_count() or 1)
+    lib.otter_kcounts(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) if len(blob)
+        else ctypes.cast(0, ctypes.POINTER(ctypes.c_uint8)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int32(n), ctypes.c_int32(k), ctypes.c_int32(n_threads),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out

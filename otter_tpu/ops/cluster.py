@@ -18,7 +18,7 @@ import numpy as np
 
 from ..seqs.kmer import Kusage, kusage_batch, seq2kcounts
 from ..seqs.model import AnAllele, AnRead
-from .distmat import DistMatrix
+from .distmat import DistMatrix, triu_pair_indices
 from .hclust import cutree_cdist, cutree_k, hclust_average
 from .kde import kde_densities, kde_grid, kde_maximas
 
@@ -363,17 +363,18 @@ def cluter_to_e(max_error: float, total_alleles: int,
                 distmatrix: DistMatrix) -> List[List[int]]:
     """hclust + cut at max_error -> clusters as index lists (:329-349)."""
     merge, height = _hclust_route(total_alleles, distmatrix.values, max_error)
-    labels = cutree_cdist(total_alleles, merge, height, max_error)
-    total_clusters = 0
-    for l in labels:
-        if l > total_clusters:
-            total_clusters = int(l)
-    total_clusters += 1
-    clusters: List[List[int]] = [[] for _ in range(total_clusters)]
-    for l in range(total_clusters):
-        for i in range(total_alleles):
-            if labels[i] == l:
-                clusters[l].append(i)
+    labels = np.asarray(
+        cutree_cdist(total_alleles, merge, height, max_error), dtype=np.int64)
+    # grouped build via stable argsort: cluster l = indices with label l in
+    # ascending order — exactly the scalar double loop's output
+    total_clusters = int(labels.max()) + 1 if total_alleles else 1
+    order = np.argsort(labels, kind="stable")
+    counts = np.bincount(labels, minlength=total_clusters)
+    clusters: List[List[int]] = []
+    pos = 0
+    for c in counts:
+        clusters.append(order[pos : pos + int(c)].tolist())
+        pos += int(c)
     return clusters
 
 
@@ -402,7 +403,7 @@ def anallele_cluster_length(max_error: float, alleles: List[AnAllele],
     n = len(indeces)
     lens = np.asarray([len(alleles[i].seq) for i in indeces],
                       dtype=np.float64)
-    iu, ju = np.triu_indices(n, k=1)
+    iu, ju = triu_pair_indices(n)
     li, lj = lens[iu], lens[ju]
     mx = np.maximum(li, lj)
     distmatrix.values = np.abs(li - lj) / np.maximum(mx, 1.0)
@@ -454,7 +455,7 @@ def kusage_cosine_condensed(scaled: np.ndarray, V: np.ndarray,
     models/genotype.py::_ROUND_GUARD_F32). NaN norms (total==0 alleles)
     round to similarity 0.0, the reference's handling."""
     n = V.shape[0]
-    iu, ju = np.triu_indices(n, k=1)
+    iu, ju = triu_pair_indices(n)
     sv = np.asarray(scaled, dtype=np.float64)[iu, ju].copy()
     finite = np.isfinite(sv)
     near = finite & (np.abs(np.abs(sv - np.floor(sv)) - 0.5) < guard)
@@ -468,6 +469,40 @@ def kusage_cosine_condensed(scaled: np.ndarray, V: np.ndarray,
     return 1.0 - sims
 
 
+def kusage_cosine_condensed_batch(scaled_list, V_list, norms_list,
+                                  guard: float) -> List[np.ndarray]:
+    """kusage_cosine_condensed over many regions at once: regions are
+    grouped by allele count and the gather + boundary-certify + round ops
+    run on stacked (G, n(n-1)/2) arrays — identical per-entry arithmetic,
+    so each region's condensed matrix is byte-equal to the scalar call.
+    Near-boundary entries still recompute with the per-pair f64 np.dot
+    oracle."""
+    out: List[Optional[np.ndarray]] = [None] * len(scaled_list)
+    groups: dict = {}
+    for i, V in enumerate(V_list):
+        groups.setdefault(V.shape[0], []).append(i)
+    for n, members in groups.items():
+        iu, ju = triu_pair_indices(n)
+        sv = np.stack([np.asarray(scaled_list[i], dtype=np.float64)[iu, ju]
+                       for i in members])
+        finite = np.isfinite(sv)
+        near = finite & (np.abs(np.abs(sv - np.floor(sv)) - 0.5) < guard)
+        if np.any(near):
+            for g, p in zip(*np.nonzero(near)):
+                i = members[int(g)]
+                a, b = int(iu[p]), int(ju[p])
+                V = V_list[i]
+                norms = norms_list[i]
+                dot = float(np.dot(V[a], V[b]))
+                sv[g, p] = (dot / (norms[a] * norms[b])) * 1000.0
+        sims = np.where(sv >= 0, np.floor(sv + 0.5), np.ceil(sv - 0.5)) / 1000.0
+        for g, i in enumerate(members):
+            norms = norms_list[i]
+            s = np.where(np.isnan(norms[iu] * norms[ju]), 0.0, sims[g])
+            out[i] = 1.0 - s
+    return out
+
+
 def _cpp_round(x: float) -> float:
     """C++ std::round: halfway away from zero (Python round is banker's)."""
     import math
@@ -476,7 +511,8 @@ def _cpp_round(x: float) -> float:
 
 def anallele_cluster(max_error_l: float, max_error_c: float,
                      alleles: List[AnAllele], genotypes: List[Genotype],
-                     precomputed: Optional[dict] = None
+                     precomputed: Optional[dict] = None,
+                     hsd_indices: Optional[List[int]] = None
                      ) -> Tuple[int, List[int]]:
     """Joint (length x kusage) allele clustering (:463-527).
 
@@ -528,26 +564,43 @@ def anallele_cluster(max_error_l: float, max_error_c: float,
     for i, cluster in enumerate(kusage_clusters):
         for j in cluster:
             genotypes[j].gt_k = i
-            genotypes[j].hsd = kusages[j].hsdiv()
 
-    # joint label = (gt_l, gt_k) intersection in first-seen order (:500-516)
-    remaining = list(range(len(alleles)))
+    # joint label = (gt_l, gt_k) intersection in first-seen order (:500-516).
+    # Vectorized: key = (gt_l, gt_k); clusters ordered by first occurrence,
+    # members in ascending index — exactly the scalar remaining-list scan.
+    n_all = len(alleles)
+    gl = np.fromiter((genotypes[j].gt_l for j in range(n_all)),
+                     dtype=np.int64, count=n_all)
+    gk = np.fromiter((genotypes[j].gt_k for j in range(n_all)),
+                     dtype=np.int64, count=n_all)
+    keys = gl * (np.int64(n_all) + 1) + gk  # gt_k in [0, n_all)
+    uniq, first, inv = np.unique(keys, return_index=True, return_inverse=True)
+    by_first = np.argsort(first, kind="stable")
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[by_first] = np.arange(len(uniq))
+    cluster_of = rank[inv]
+    order = np.argsort(cluster_of, kind="stable")
+    counts = np.bincount(cluster_of, minlength=len(uniq))
     final_clusters: List[List[int]] = []
-    while remaining:
-        i = remaining[0]
-        local = []
-        rest = []
-        for j in remaining:
-            if genotypes[i].gt_l == genotypes[j].gt_l and \
-               genotypes[i].gt_k == genotypes[j].gt_k:
-                local.append(j)
-            else:
-                rest.append(j)
-        final_clusters.append(local)
-        remaining = rest
+    pos = 0
+    for c in counts:
+        final_clusters.append(order[pos : pos + int(c)].tolist())
+        pos += int(c)
     gt_reps: List[int] = []
     for i, cluster in enumerate(final_clusters):
         for j in cluster:
             genotypes[j].gt = i
         gt_reps.append(int(distmatrix_length.get_medoid(cluster)))
+    # HSD is only ever emitted for representative alleles (and the
+    # reference allele, genotype.cpp:49-53 via the re-centered reps), so
+    # compute the diversity just where it can be read; hsdiv() is
+    # bit-identical scalar-on-demand when the batch precompute is off
+    hsd_need = set(gt_reps)
+    if hsd_indices is not None:
+        hsd_need.update(j for j in hsd_indices
+                        if 0 <= j < len(alleles))
+    else:
+        hsd_need.update(range(len(alleles)))
+    for j in hsd_need:
+        genotypes[j].hsd = kusages[j].hsdiv()
     return len(final_clusters), gt_reps

@@ -7,9 +7,21 @@ default to 1.0 (:10). Medoid = min row-sum with first-wins ties (:36-50).
 
 from __future__ import annotations
 
+import functools
 from typing import Iterable, List
 
 import numpy as np
+
+
+@functools.lru_cache(maxsize=256)
+def triu_pair_indices(n: int):
+    """Cached upper-triangle (i, j) index pair for (n, n) matrices — the
+    condensed layout used across the clustering stack; rebuilt thousands of
+    times per cohort otherwise."""
+    iu, ju = np.triu_indices(n, k=1)
+    iu.setflags(write=False)
+    ju.setflags(write=False)
+    return iu, ju
 
 
 class DistMatrix:
@@ -45,17 +57,19 @@ class DistMatrix:
             return idx[0]
         ia = np.asarray(idx, dtype=np.int64)
         sub = self.to_square()[np.ix_(ia, ia)]  # 0.0 diagonal
-        sums = np.zeros(len(idx), dtype=np.float64)
-        for j in range(len(idx)):
-            sums = sums + sub[:, j]
+        # cumsum is a sequential left-to-right accumulation per row — the
+        # exact f64 addition order of the scalar j-loop (starting from an
+        # explicit 0.0, hence the zero column), in one numpy call
+        zero = np.zeros((len(idx), 1), dtype=np.float64)
+        sums = np.concatenate([zero, sub], axis=1).cumsum(axis=1)[:, -1]
         return idx[int(np.argmin(sums))]
 
     @classmethod
     def from_square(cls, sq: np.ndarray) -> "DistMatrix":
         n = sq.shape[0]
         dm = cls(n)
-        iu = np.triu_indices(n, k=1)
-        dm.values = np.ascontiguousarray(sq[iu], dtype=np.float64)
+        dm.values = np.ascontiguousarray(sq[triu_pair_indices(n)],
+                                         dtype=np.float64)
         return dm
 
     def to_square(self) -> np.ndarray:
@@ -65,8 +79,7 @@ class DistMatrix:
         if cached is not None and cached[0] is self.values:
             return cached[1]
         sq = np.zeros((self.n, self.n), dtype=np.float64)
-        iu = np.triu_indices(self.n, k=1)
-        sq[iu] = self.values
+        sq[triu_pair_indices(self.n)] = self.values
         sq += sq.T
         self._square_cache = (self.values, sq)
         return sq

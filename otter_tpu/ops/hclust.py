@@ -246,10 +246,23 @@ def cutree_k(n: int, merge: np.ndarray, nclust: int) -> np.ndarray:
     """Labels 0..nclust-1 (fastcluster.cpp cutree_k semantics incl. the
     all-zero result when nclust > n or nclust < 2). The per-merge
     last_merge relabel scans are numpy boolean assignments — identical
-    relabeling, O(n) vector ops instead of python loops."""
+    relabeling, O(n) vector ops instead of python loops. Routed to the
+    native C++ port (otter_native.cpp::otter_cutree_k, integer-exact by
+    construction) under the same gating as the native NN-chain."""
     labels = np.zeros(n, dtype=np.int64)
     if nclust > n or nclust < 2:
         return labels
+    import os
+    import sys
+
+    if ("jax" in sys.modules
+            and os.environ.get("OTTER_TPU_NATIVE_HCLUST", "1") == "1"):
+        try:
+            from ..native import cutree_k_native
+
+            return cutree_k_native(n, merge, nclust)
+        except Exception:
+            pass
     last_merge = np.zeros(n, dtype=np.int64)
     for k in range(1, n - nclust + 1):
         m1 = int(merge[k - 1, 0])

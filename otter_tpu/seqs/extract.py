@@ -193,21 +193,32 @@ def _parse_analleles_native(bam: BamReader, bed: BED,
                                           bed.to_sc_string())
     anallele_block: List[AnAllele] = []
     allele_sample_indeces: List[int] = []
+    # bulk-convert the native columns once (numpy-scalar -> python int is
+    # ~10x slower per element than one .tolist()); construct with
+    # positional args — this loop is the cohort prep hot path
+    sc_l = cols["sc"].tolist()
+    ac_l = cols["ac"].tolist()
+    tc_l = cols["tc"].tolist()
+    ic_l = cols["ic"].tolist()
+    ps_l = cols["ps"].tolist()
+    hp_l = cols["hp"].tolist()
+    se_l = se.tolist()
+    get_idx = sample2index.get
+    # Haplotags are value objects nothing mutates: intern per (ps, hp) so
+    # cohort regions (thousands of untagged alleles) share one instance
+    hpt_cache: Dict[tuple, Haplotag] = {}
     for i, (seq, rg) in enumerate(zip(seqs, rgs)):
-        idx = sample2index.get(rg)
+        idx = get_idx(rg)
         if idx is None:
             sys.stderr.write(
                 f"({antimestamp()}): ERROR unrecognized sample-name "
                 f"(read-group): {rg}\n")
             raise SystemExit(1)
         allele_sample_indeces.append(idx)
+        key = (ps_l[i], hp_l[i])
+        hpt = hpt_cache.get(key)
+        if hpt is None:
+            hpt = hpt_cache[key] = Haplotag(key[0], key[1])
         anallele_block.append(AnAllele(
-            seq=seq,
-            scov=int(cols["sc"][i]),
-            acov=int(cols["ac"][i]),
-            tcov=int(cols["tc"][i]),
-            se=float(se[i]),
-            ic=int(cols["ic"][i]),
-            hpt=Haplotag(int(cols["ps"][i]), int(cols["hp"][i])),
-        ))
+            seq, sc_l[i], ac_l[i], tc_l[i], se_l[i], ic_l[i], hpt))
     return anallele_block, allele_sample_indeces

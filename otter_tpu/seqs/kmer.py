@@ -171,7 +171,8 @@ def kcounts_device(k: int, seqs: List[str]) -> np.ndarray:
     return np.asarray(counts, dtype=np.float64)
 
 
-def kusage_batch(k: int, seqs: List[str]) -> List[Kusage]:
+def kusage_batch(k: int, seqs: List[str],
+                 eager_hsdiv: bool = True) -> List[Kusage]:
     """Kusage objects for an allele batch with vectorized counts and
     vectorized (but bit-identical) Hill-Shannon diversity.
 
@@ -180,7 +181,12 @@ def kusage_batch(k: int, seqs: List[str]) -> List[Kusage]:
     math.log only over the UNIQUE usage values (typically a few hundred
     across a cohort region) and gathers — exact parity at vector speed.
     The accumulation rides np.cumsum, whose sequential order matches the
-    scalar loop (interleaved zero terms add exactly)."""
+    scalar loop (interleaved zero terms add exactly).
+
+    ``eager_hsdiv=False`` skips the batched diversity precompute (a global
+    np.unique over every usage value); hsdiv() then computes scalar
+    (bit-identical) on demand — the cohort genotype path only ever reads
+    it for representative alleles."""
     import os
 
     counts = None
@@ -189,6 +195,20 @@ def kusage_batch(k: int, seqs: List[str]) -> List[Kusage]:
             counts = kcounts_device(k, seqs)
         except Exception:
             counts = None
+    if counts is None and seqs:
+        # native C++ counting kernel (bit-identical integer counts in
+        # f64) under the same non-host-pipeline proxy as the native
+        # NN-chain; OTTER_TPU_NATIVE_KMER=0 disables
+        import sys as _sys
+
+        if ("jax" in _sys.modules
+                and os.environ.get("OTTER_TPU_NATIVE_KMER", "1") == "1"):
+            try:
+                from ..native import kcounts_native
+
+                counts = kcounts_native(k, seqs)
+            except Exception:
+                counts = None
     if counts is None:
         counts = seq2kcounts_np(k, seqs)
     # batched Kusage construction: vec = counts/total and
@@ -213,7 +233,7 @@ def kusage_batch(k: int, seqs: List[str]) -> List[Kusage]:
             ku.vnorm = float(vnorms[i])
             ku._hsdiv = None
             kus.append(ku)
-    if kus:
+    if kus and eager_hsdiv:
         vecs = vecs_all
         flat = vecs.ravel()
         pos = flat > 0  # NaN rows (total==0) compare False, like the scalar

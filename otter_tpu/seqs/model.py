@@ -27,7 +27,7 @@ def spanning_tag_value(is_spanning_l: bool, is_spanning_r: bool) -> str:
     return "n"
 
 
-@dataclass
+@dataclass(slots=True)
 class Haplotag:
     ps: int = -1
     hp: int = -1
@@ -42,7 +42,7 @@ class Haplotag:
         return self.ps != other.ps or self.hp != other.hp
 
 
-@dataclass
+@dataclass(slots=True)
 class AnRead:
     seq: str = ""
     name: str = ""
@@ -90,7 +90,7 @@ class AnRead:
         return "".join(out)
 
 
-@dataclass
+@dataclass(slots=True)
 class AnAllele:
     seq: str = ""
     scov: int = 1

@@ -23,6 +23,16 @@ def fmt_double(x) -> str:
     return "%g" % x
 
 
+_FMT_FLOAT_CACHE: dict = {}
+
+
 def fmt_float(x) -> str:
-    """Format a C++ ``float`` the way ``std::cout << x`` would."""
-    return fmt_double(float(np.float32(x)))
+    """Format a C++ ``float`` the way ``std::cout << x`` would. Memoized:
+    tag values (se etc.) repeat heavily across cohort VCF rows."""
+    x = float(x)
+    got = _FMT_FLOAT_CACHE.get(x)
+    if got is None:
+        if len(_FMT_FLOAT_CACHE) > 65536:
+            _FMT_FLOAT_CACHE.clear()
+        got = _FMT_FLOAT_CACHE[x] = fmt_double(float(np.float32(x)))
+    return got
