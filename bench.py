@@ -99,32 +99,48 @@ def bench_tpu(pairs):
     eng = EditDistanceEngine(mode=mode)
     # warmup pass over the full workload compiles every bucket shape
     eng.distances(pairs)
-    # best-of-3: wall-clock through the tunneled dev TPU varies up to 3x
-    # run-to-run (D2H latency spikes), so a single timed pass is noise
+    # best-of-3 with per-rep walls recorded: wall-clock through the
+    # tunneled dev TPU varies up to 3x run-to-run (D2H latency spikes)
     best_dt = None
+    times = []
     for _ in range(3):
         eng.cells = 0
         t0 = time.perf_counter()
         dists = eng.distances(pairs)
         dt = time.perf_counter() - t0
+        times.append(dt)
         if best_dt is None or dt < best_dt:
             best_dt, best_cells = dt, eng.cells
-    return (best_cells / best_dt, dists, plat, len(pairs) / best_dt)
+    return (best_cells / best_dt, dists, plat, len(pairs) / best_dt, times)
 
 
-def bench_cpu_single(pairs):
+def bench_cpu_single(pairs, reps=5):
+    """Live single-core proxy rate: best + per-rep rates recorded.
+    vs_baseline uses max(this, the pinned CPU_BASELINE.json rate), so a
+    loaded box can only lower the claim, never inflate it (VERDICT r3
+    weak #1)."""
     from otter_tpu.native import edit_distance_batch
 
-    # best-of-2: concurrent load on a small box depresses the single run,
-    # which silently inflates vs_baseline
-    best = None
-    for _ in range(2):
+    rates = []
+    dists = None
+    for _ in range(reps):
         t0 = time.perf_counter()
         dists, cells = edit_distance_batch(pairs, 1)
         dt = time.perf_counter() - t0
-        if best is None or dt < best:
-            best = dt
-    return cells / best, dists
+        rates.append(cells / dt)
+    return max(rates), dists, rates
+
+
+def load_pinned_cpu_baseline():
+    """CPU_BASELINE.json (tools/calibrate_cpu.py): the pinned single-core
+    rate with its measurement conditions."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "CPU_BASELINE.json")
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except Exception:
+        return None
 
 
 def bench_regions():
@@ -140,19 +156,22 @@ def bench_regions():
     # (backend setup, header pass) dominate the short run
     n_regions = int(os.environ.get("BENCH_REGIONS", "128"))
     with tempfile.TemporaryDirectory() as tmp:
+        from bench_e2e import _stats
+
         bam, bed = build_fixture(tmp, n_regions=n_regions)
         run("auto", bam, bed)  # warmup (compiles every bucket shape)
-        best = None
-        for _ in range(2):
+        times = []
+        out_text = ""
+        for _ in range(3):
             dt, out_text = run("auto", bam, bed)
-            if best is None or dt < best[0]:
-                best = (dt, out_text)
-        dt, out_text = best
+            times.append(dt)
+        dt = min(times)
         dt_host, out_host = run("host", bam, bed)
         result = {
             "regions_per_sec": round(n_regions / dt, 2),
             "regions_vs_host_oracle": round(dt_host / dt, 2),
             "regions_outputs_identical": out_text == out_host,
+            "regions_times": _stats(times),
         }
         try:
             from bench_e2e import bench_genotype
@@ -166,10 +185,25 @@ def bench_regions():
 def bench_cohort_leg():
     import tempfile
 
-    from bench_e2e import bench_genotype_cohort
+    from bench_e2e import bench_genotype_cohort, bench_genotype_cohort500
 
     with tempfile.TemporaryDirectory() as tmp:
-        return bench_genotype_cohort(tmp)
+        out = bench_genotype_cohort(tmp)
+    with tempfile.TemporaryDirectory() as tmp:
+        try:
+            out.update(bench_genotype_cohort500(tmp))
+        except Exception as e:
+            out["genotype500_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+def bench_refscale_leg():
+    import tempfile
+
+    from bench_e2e import bench_refscale
+
+    with tempfile.TemporaryDirectory() as tmp:
+        return bench_refscale(tmp)
 
 
 def bench_ont_leg():
@@ -217,27 +251,40 @@ def bench_device_kernels():
     from otter_tpu.ops.align_batch import (affine_cigars_multi,
                                            edit_ends_free_batch)
 
-    jobs = []
-    for _ in range(48):
+    # batch-shaped like the real ONT consensus route (many members per
+    # dispatch, VERDICT r3 #6): the large size is the regime the adaptive
+    # routing actually sends to the device; the small size documents the
+    # RTT-bound crossover in the same JSON
+    all_jobs = []
+    for _ in range(256):
         p = rand_seq(2300)
-        jobs.append((p, mut(p, 0.07), 0, 0, 0, 0))
-    hints = [int(d) for d in edit_ends_free_batch(jobs)]
-    cigs_dev, failed = affine_cigars_device_tb(jobs, dist_hints=hints)
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
+        all_jobs.append((p, mut(p, 0.07), 0, 0, 0, 0))
+    all_hints = [int(d) for d in edit_ends_free_batch(all_jobs)]
+    for size, tag in ((256, ""), (32, "_small")):
+        jobs = all_jobs[:size]
+        hints = all_hints[:size]
         cigs_dev, failed = affine_cigars_device_tb(jobs, dist_hints=hints)
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    n_done = sum(1 for c in cigs_dev if c)
-    t0 = time.perf_counter()
-    cigs_nat = affine_cigars_multi(jobs, use_device=False, dist_hints=hints)
-    dt_nat = time.perf_counter() - t0
-    out["device_affine_cigars_per_sec"] = round(n_done / best, 1)
-    out["native_affine_cigars_per_sec"] = round(len(jobs) / dt_nat, 1)
-    out["device_affine_jobs_done"] = n_done
-    out["device_affine_parity"] = all(
-        c == w for c, w in zip(cigs_dev, cigs_nat) if c)
+        best = None
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            cigs_dev, failed = affine_cigars_device_tb(jobs,
+                                                       dist_hints=hints)
+            dt = time.perf_counter() - t0
+            times.append(round(dt, 4))
+            best = dt if best is None else min(best, dt)
+        n_done = sum(1 for c in cigs_dev if c)
+        t0 = time.perf_counter()
+        cigs_nat = affine_cigars_multi(jobs, use_device=False,
+                                       dist_hints=hints)
+        dt_nat = time.perf_counter() - t0
+        out[f"device_affine{tag}_cigars_per_sec"] = round(n_done / best, 1)
+        out[f"native_affine{tag}_cigars_per_sec"] = round(
+            len(jobs) / dt_nat, 1)
+        out[f"device_affine{tag}_jobs_done"] = n_done
+        out[f"device_affine{tag}_rep_times_s"] = times
+        out[f"device_affine{tag}_parity"] = all(
+            c == w for c, w in zip(cigs_dev, cigs_nat) if c)
 
     from otter_tpu.ops.align_np import affine_align_cigar
     from otter_tpu.ops.poa import Ppoa
@@ -287,7 +334,8 @@ def child_main():
     completed leg (the parent keeps the last parseable line it saw, so a
     deadline kill mid-leg still preserves everything finished before it)."""
     legs = os.environ.get("OTTER_BENCH_LEGS",
-                          "kernel,regions,cohort,ont,device").split(",")
+                          "kernel,regions,cohort,ont,device,refscale"
+                          ).split(",")
     result = {}
     # the child owns backend init (the parent never touches the tunnel);
     # measured round-trip latency sizes the workload: a degraded tunnel
@@ -306,12 +354,17 @@ def child_main():
         n_pairs = int(os.environ.get(
             "BENCH_PAIRS", "2048" if degraded else "8192"))
         pairs = make_workload(rng, n_pairs=n_pairs, length=1024)
-        tpu_rate, tpu_d, plat, pairs_rate = bench_tpu(pairs)
+        tpu_rate, tpu_d, plat, pairs_rate, tpu_times = bench_tpu(pairs)
         # CPU baseline on a subsample (same distribution), single core
         cpu_pairs = pairs[:256]
-        cpu_rate, cpu_d = bench_cpu_single(cpu_pairs)
+        cpu_rate, cpu_d, cpu_rates = bench_cpu_single(cpu_pairs)
         assert np.array_equal(tpu_d[:256], cpu_d), "TPU/CPU distance mismatch"
-        baseline = cpu_rate * 32.0  # reference's max-thread ceiling
+        pinned = load_pinned_cpu_baseline()
+        denom_1core = cpu_rate
+        if pinned and pinned.get("cpu_1core_cells_per_sec"):
+            denom_1core = max(denom_1core,
+                              float(pinned["cpu_1core_cells_per_sec"]))
+        baseline = denom_1core * 32.0  # reference's max-thread ceiling
         result = {
             "metric": "edit_dp_cell_updates_per_sec",
             "value": round(tpu_rate, 1),
@@ -319,6 +372,12 @@ def child_main():
             "vs_baseline": round(tpu_rate / baseline, 3),
             "platform": plat,
             "cpu_1core_cells_per_sec": round(cpu_rate, 1),
+            "cpu_1core_reps": [round(r, 1) for r in cpu_rates],
+            "cpu_1core_pinned": (round(float(
+                pinned["cpu_1core_cells_per_sec"]), 1) if pinned else None),
+            "cpu_1core_denominator": round(denom_1core, 1),
+            "kernel_rep_times_s": [round(t, 4) for t in tpu_times],
+            "loadavg": list(os.getloadavg()),
             "pair_alignments_per_sec": round(pairs_rate, 1),
             "bench_pairs": n_pairs,
         }
@@ -352,6 +411,14 @@ def child_main():
             result.update(bench_device_kernels())
         except Exception as e:  # forced-kernel leg must never kill the rest
             result["device_error"] = f"{type(e).__name__}: {e}"
+        _emit(result)
+    if "refscale" in legs and plat0 in ("tpu", "axon"):
+        # reference-scale assemble (cov 200, 10 kb alleles): device-only
+        # regime — the native path is measured inside the leg on one region
+        try:
+            result.update(bench_refscale_leg())
+        except Exception as e:
+            result["refscale_error"] = f"{type(e).__name__}: {e}"
         _emit(result)
     return 0
 

@@ -442,9 +442,11 @@ def bench_refscale(tmp):
     from otter_tpu.models.assemble import assemble
 
     n_regions = int(os.environ.get("BENCH_REFSCALE_REGIONS", "2"))
+    cov = int(os.environ.get("BENCH_REFSCALE_COV", "200"))
+    allele_bp = int(os.environ.get("BENCH_REFSCALE_BP", "10000"))
     bam, bed = build_ont_fixture(
-        tmp, n_regions=n_regions, err=0.002, cov=200, expansion=100,
-        seed=77, region_len=10000, flank_lo=300, flank_hi=500,
+        tmp, n_regions=n_regions, err=0.002, cov=cov, expansion=100,
+        seed=77, region_len=allele_bp, flank_lo=300, flank_hi=500,
         name="refscale")
     bed1 = os.path.join(tmp, "refscale_r1.bed")
     with open(bed1, "w") as fh:
@@ -467,16 +469,17 @@ def bench_refscale(tmp):
         times.append(dt)
     dt_nat, out_nat1 = run_leg("cpu", bed1)
     # region-1 byte comparison: same header, same first-region records
+    # (allele names are "<chr>:<start>-<end>_<i>", assemble emission order)
+    chrom, rstart, rend = open(bed).read().splitlines()[0].split("\t")[:3]
+    prefix = f"{chrom}:{rstart}-{rend}_"
     r1_auto = [l for l in out_auto.splitlines()
-               if l.startswith("@") or "_0_" in l.split("\t")[0]
-               or l.split("\t")[0].endswith("10000_0")
-               or ":1000-11000" in l]
+               if l.startswith("@") or l.split("\t")[0].startswith(prefix)]
     r1_nat = out_nat1.splitlines()
     return {"refscale_regions_per_sec": round(n_regions / min(times), 4),
             "refscale_native_region_sec": round(dt_nat, 2),
             "refscale_vs_native": round(
                 dt_nat / (min(times) / n_regions), 2),
-            "refscale_cov": 200, "refscale_allele_bp": 10000,
+            "refscale_cov": cov, "refscale_allele_bp": allele_bp,
             "refscale_region1_identical":
                 "\n".join(r1_auto) == "\n".join(r1_nat),
             "refscale_times": _stats(times)}
@@ -495,7 +498,12 @@ def main():
         device = "auto"
         # warmup (compiles)
         run(device, bam, bed)
-        dt, out_text = run(device, bam, bed)
+        times = []
+        out_text = ""
+        for _ in range(3):
+            dt, out_text = run(device, bam, bed)
+            times.append(dt)
+        dt = min(times)
         alleles = sum(1 for l in out_text.split("\n")
                       if l and not l.startswith("@"))
         # host-path comparison
@@ -508,6 +516,7 @@ def main():
             "host_regions_per_sec": round(n_regions / dt_host, 2),
             "alleles": alleles,
             "outputs_identical": out_text == out_host,
+            "times": _stats(times),
         }
         try:
             result.update(bench_genotype(tmp, bam, bed, n_regions))

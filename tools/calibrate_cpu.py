@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Pin the CPU baseline proxy (VERDICT r3 weak #1).
+
+The bench's vs_baseline denominator is 32 x the single-core native banded-DP
+cell rate. Measured live on this shared 2-core box it drifted 2x between
+rounds (711 -> 545 -> 265 Mcells/s), which made vs_baseline jumps
+uninterpretable. This tool measures the rate under recorded load with many
+reps and stores the result (plus its measurement conditions) in
+CPU_BASELINE.json at the repo root; bench.py then uses
+max(pinned, live_best) as the denominator — the conservative choice: a
+loaded box can only *lower* the claimed vs_baseline, never inflate it.
+
+Rerun (BENCH_RECALIBRATE=1 python tools/calibrate_cpu.py) on a quiet box to
+refresh the pin; keep the old file otherwise.
+"""
+
+import json
+import os
+import platform
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                   "CPU_BASELINE.json")
+
+
+def measure(reps=9, n_pairs=256):
+    from bench import make_workload
+    from otter_tpu.native import edit_distance_batch
+
+    rng = random.Random(20260817)
+    pairs = make_workload(rng, n_pairs=n_pairs, length=1024)
+    edit_distance_batch(pairs, 1)  # warm (page-in, branch predictors)
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _d, cells = edit_distance_batch(pairs, 1)
+        dt = time.perf_counter() - t0
+        rates.append(cells / dt)
+    return rates
+
+
+def main():
+    if os.path.exists(OUT) and os.environ.get("BENCH_RECALIBRATE") != "1":
+        print(f"{OUT} exists; set BENCH_RECALIBRATE=1 to refresh")
+        with open(OUT) as fh:
+            print(fh.read())
+        return 0
+    load0 = os.getloadavg()
+    rates = measure()
+    rates_sorted = sorted(rates)
+    result = {
+        "cpu_1core_cells_per_sec": round(max(rates), 1),
+        "median_cells_per_sec": round(rates_sorted[len(rates) // 2], 1),
+        "reps_cells_per_sec": [round(r, 1) for r in rates],
+        "loadavg_at_start": list(load0),
+        "loadavg_at_end": list(os.getloadavg()),
+        "nproc": os.cpu_count(),
+        "machine": platform.machine(),
+        "workload": "bench.make_workload(n_pairs=256, length=1024), "
+                    "native banded DP, 1 thread",
+        "date": time.strftime("%Y-%m-%d"),
+        "note": "pinned denominator basis: best-of-9 single-core rate under "
+                "the recorded load; bench.py uses max(this, live best)",
+    }
+    with open(OUT, "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
