@@ -32,7 +32,12 @@ _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * 3.14159265358979323846)
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
-    devs = jax.devices()
+    """Per-process device mesh. LOCAL devices only: in the multi-process
+    topology (N processes over DCN, each driving its own chips over ICI)
+    every process shards its own region block across its own chips —
+    jax.devices() would hand process 1 a mesh of process 0's
+    non-addressable devices."""
+    devs = jax.local_devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
