@@ -351,8 +351,10 @@ def child_main():
     degraded = rtt is not None and rtt > 30.0
     if "kernel" in legs:
         rng = random.Random(20260817)
+        # 32k pairs amortize the tunnel's fixed dispatch/D2H costs; the
+        # engine holds ~290 Gcells/s there (vs ~100 at 8k) on TPU v5e
         n_pairs = int(os.environ.get(
-            "BENCH_PAIRS", "2048" if degraded else "8192"))
+            "BENCH_PAIRS", "2048" if degraded else "32768"))
         pairs = make_workload(rng, n_pairs=n_pairs, length=1024)
         tpu_rate, tpu_d, plat, pairs_rate, tpu_times = bench_tpu(pairs)
         # CPU baseline on a subsample (same distribution), single core

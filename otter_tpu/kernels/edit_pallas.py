@@ -514,32 +514,50 @@ class EditDistanceEngine:
 
         # all-vs-all pair sets reuse the same string objects ~n/2 times;
         # memoize the alphabet check per object for this call (a local map
-        # cannot go stale across gc/id reuse)
+        # cannot go stale across gc/id reuse). The loop is the engine's
+        # host hot path at big batches — everything inlined, every
+        # per-length computation cached by exact length.
         acgt_memo: dict = {}
-
-        def _is_acgt(s):
-            h = id(s)
-            v = acgt_memo.get(h)
-            if v is None:
-                v = acgt_memo[h] = is_acgt(s)
-            return v
-
+        tbucket_memo: dict = {}
+        nw_memo: dict = {}
         eligible: dict = {}
         striped: dict = {}
         rest: List[int] = []
+        memo_get = acgt_memo.get
+        text_cap = self.MYERS_TEXT_CAP
+        base_cap = self.MYERS_MAX_WORDS * 32
         for idx in todo:
             x, y = pairs[idx]
-            mn_len = min(len(x), len(y))
-            mx_len = max(len(x), len(y))
-            if not (mn_len > 0 and mx_len <= self.MYERS_TEXT_CAP
-                    and _is_acgt(x) and _is_acgt(y)):
+            lx = len(x)
+            ly = len(y)
+            if lx <= ly:
+                mn_len, mx_len = lx, ly
+            else:
+                mn_len, mx_len = ly, lx
+            hx = id(x)
+            ax = memo_get(hx)
+            if ax is None:
+                ax = acgt_memo[hx] = is_acgt(x)
+            hy = id(y)
+            ay = memo_get(hy)
+            if ay is None:
+                ay = acgt_memo[hy] = is_acgt(y)
+            if not (mn_len > 0 and mx_len <= text_cap and ax and ay):
                 rest.append(idx)
-            elif mn_len <= self.MYERS_MAX_WORDS * 32:
-                nw = 4
-                while nw * 32 < mn_len:
-                    nw *= 2
-                tl = _text_bucket(mx_len)
-                eligible.setdefault((nw, tl), []).append(idx)
+            elif mn_len <= base_cap:
+                key = nw_memo.get((mn_len, mx_len))
+                if key is None:
+                    nw = 4
+                    while nw * 32 < mn_len:
+                        nw *= 2
+                    tl = tbucket_memo.get(mx_len)
+                    if tl is None:
+                        tl = tbucket_memo[mx_len] = _text_bucket(mx_len)
+                    key = nw_memo[(mn_len, mx_len)] = (nw, tl)
+                bucket = eligible.get(key)
+                if bucket is None:
+                    bucket = eligible[key] = []
+                bucket.append(idx)
             else:
                 tl = 128
                 while tl < mx_len:

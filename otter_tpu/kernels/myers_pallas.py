@@ -443,15 +443,43 @@ def myers_pool_dispatch(pairs: List[Tuple[str, str]], n_words: int,
     n_twords = (text_len + 15) // 16
     W_pool = max(2 * n_words, n_twords)
     uniq: dict = {}
-    idx = np.zeros((2, len(pairs)), dtype=np.int32)
-    for bi, (x, y) in enumerate(pairs):
-        p, t = (x, y) if len(x) <= len(y) else (y, x)
-        for side, s in enumerate((p, t)):
-            h = id(s)
-            row = uniq.get(h)
-            if row is None:
-                row = uniq[h] = (len(uniq), s)
-            idx[side, bi] = row[0]
+    uniq_get = uniq.get
+    np_ = len(pairs)
+    # python lists + one bulk np conversion: per-element numpy scalar
+    # stores are ~10x a list append in this loop
+    idx_p_l: list = []
+    idx_t_l: list = []
+    nlens_l: list = []
+    minits_l: list = []
+    ip_app = idx_p_l.append
+    it_app = idx_t_l.append
+    nl_app = nlens_l.append
+    mi_app = minits_l.append
+    for x, y in pairs:
+        lx = len(x)
+        ly = len(y)
+        if lx <= ly:
+            p, t = x, y
+            mi_app(lx)
+            nl_app(ly)
+        else:
+            p, t = y, x
+            mi_app(ly)
+            nl_app(lx)
+        h = id(p)
+        row = uniq_get(h)
+        if row is None:
+            row = uniq[h] = (len(uniq), p)
+        ip_app(row[0])
+        h = id(t)
+        row = uniq_get(h)
+        if row is None:
+            row = uniq[h] = (len(uniq), t)
+        it_app(row[0])
+    idx_p = np.array(idx_p_l, dtype=np.int32)
+    idx_t = np.array(idx_t_l, dtype=np.int32)
+    nlens = np.array(nlens_l, dtype=np.int32)
+    minits = np.array(minits_l, dtype=np.int32)
     S = len(uniq)
     Sp = 8
     while Sp < S:
@@ -479,10 +507,10 @@ def myers_pool_dispatch(pairs: List[Tuple[str, str]], n_words: int,
     it = np.zeros(B, dtype=np.int32)
     nlen = np.zeros(B, dtype=np.int32)
     minit = np.zeros(B, dtype=np.int32)
-    ip[: len(pairs)] = idx[0, :]
-    it[: len(pairs)] = idx[1, :]
-    nlen[: len(pairs)] = [max(len(x), len(y)) for x, y in pairs]
-    minit[: len(pairs)] = [min(len(x), len(y)) for x, y in pairs]
+    ip[:np_] = idx_p
+    it[:np_] = idx_t
+    nlen[:np_] = nlens
+    minit[:np_] = minits
     return myers_pool_pallas(jnp.asarray(pool), jnp.asarray(ip),
                              jnp.asarray(it), jnp.asarray(nlen),
                              jnp.asarray(minit), n_words, text_len,
