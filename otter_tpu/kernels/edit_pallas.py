@@ -564,22 +564,8 @@ class EditDistanceEngine:
                     tl *= 2
                 striped.setdefault(tl, []).append(idx)
         if striped:
-            from .myers_pallas import PAIRS_PER_PROG as _PPP
-            from .myers_striped import myers_striped_distances
-            for tl, members in sorted(striped.items()):
-                for c0 in range(0, len(members), _PPP):
-                    chunk = members[c0 : c0 + _PPP]
-                    sub = [pairs[i] for i in chunk]
-                    try:
-                        d = myers_striped_distances(sub, tl,
-                                                    interpret=self.interpret)
-                    except Exception:
-                        rest.extend(chunk)
-                        continue
-                    mlen_max = max(min(len(a), len(b)) for a, b in sub)
-                    self.cells += len(sub) * mlen_max * tl
-                    for bi, idx in enumerate(chunk):
-                        out[idx] = int(d[bi])
+            long_idx = [i for _tl, ms in sorted(striped.items()) for i in ms]
+            self._long_pair_route(pairs, long_idx, out, rest)
         # two-phase: dispatch every bucket asynchronously (device executes
         # while the host packs the next bucket), then collect. Chunk sizes
         # come from a geometric ladder (1..8 programs) so big batches go out
@@ -633,6 +619,110 @@ class EditDistanceEngine:
                 pending.append((chunk, len(sub), nw, tl,
                                 len(sub) * nw * 32 * tl, dev))
         return pending, rest
+
+    # band rungs for long pairs; beyond BANDED_FRAC * m the window
+    # approaches the full matrix and the striped kernel wins
+    K_LONG = (63, 127, 255, 511, 1023, 2047)
+    BANDED_FRAC = 0.25
+
+    def _long_pair_route(self, pairs, idxs, out, rest) -> None:
+        """Long ACGT pairs (shorter side past the base kernel's 64 words):
+        banded Myers ladder first (myers_banded.py — band cells only, the
+        WFA-class O(k*s) cost), striped full-matrix for what remains.
+
+        A 10 kb HiFi pair resolves at k=63 for ~1.3 Mcell instead of the
+        striped kernel's 100 Mcell; pairs whose length difference or true
+        distance needs k > BANDED_FRAC * m go striped directly (the band
+        would approach the full matrix anyway). Every launch is pool-
+        deduplicated (all-vs-all sets ship each sequence once)."""
+        from .myers_banded import myers_banded_pool_launch
+        from .myers_pallas import PAIRS_PER_PROG as _PPP
+        from .myers_striped import myers_striped_distances
+
+        remaining = list(idxs)
+        for k in self.K_LONG:
+            if not remaining:
+                break
+            now: List[int] = []
+            later: List[int] = []
+            for i in remaining:
+                x, y = pairs[i]
+                m = min(len(x), len(y))
+                n = max(len(x), len(y))
+                if k > m * self.BANDED_FRAC or k >= n:
+                    later.append(i)  # band ~ matrix: striped territory
+                elif n - m > k:
+                    later.append(i)  # infeasible at this rung
+                else:
+                    now.append(i)
+            if not now:
+                remaining = later
+                continue
+            # bucket by (pattern words, text bucket); launch all async
+            buckets: dict = {}
+            for i in now:
+                x, y = pairs[i]
+                m = min(len(x), len(y))
+                n = max(len(x), len(y))
+                nw = 4
+                while nw * 32 < m:
+                    nw *= 2
+                tl = 128
+                while tl < n:
+                    tl *= 2
+                buckets.setdefault((nw, tl), []).append(i)
+            launches = []
+            for (nw, tl), members in sorted(buckets.items()):
+                for c0 in range(0, len(members), 8 * _PPP):
+                    chunk = members[c0 : c0 + 8 * _PPP]
+                    sub = [pairs[i] for i in chunk]
+                    try:
+                        dev = myers_banded_pool_launch(
+                            sub, nw, tl, k, interpret=self.interpret)
+                    except Exception:
+                        later.extend(chunk)
+                        continue
+                    for a, b in sub:
+                        self.cells += max(len(a), len(b)) * min(
+                            min(len(a), len(b)), 2 * (k + 1))
+                    launches.append((chunk, dev))
+            for chunk, dev in launches:
+                try:
+                    d = np.asarray(dev).reshape(-1)[: len(chunk)]
+                except Exception:
+                    later.extend(chunk)
+                    continue
+                for bi, idx in enumerate(chunk):
+                    if d[bi] <= k:
+                        out[idx] = int(d[bi])
+                    else:
+                        later.append(idx)
+            remaining = later
+        if not remaining:
+            return
+        # striped full-matrix fallback, bucketed by text length
+        groups: dict = {}
+        for i in remaining:
+            x, y = pairs[i]
+            mx_len = max(len(x), len(y))
+            tl = 128
+            while tl < mx_len:
+                tl *= 2
+            groups.setdefault(tl, []).append(i)
+        for tl, members in sorted(groups.items()):
+            for c0 in range(0, len(members), _PPP):
+                chunk = members[c0 : c0 + _PPP]
+                sub = [pairs[i] for i in chunk]
+                try:
+                    d = myers_striped_distances(sub, tl,
+                                                interpret=self.interpret)
+                except Exception:
+                    rest.extend(chunk)
+                    continue
+                mlen_max = max(min(len(a), len(b)) for a, b in sub)
+                self.cells += len(sub) * mlen_max * tl
+                for bi, idx in enumerate(chunk):
+                    out[idx] = int(d[bi])
 
     def _myers_collect(self, pending, out) -> List[int]:
         """One host materialization of every pending Myers chunk; returns
