@@ -385,6 +385,13 @@ class EditDistanceEngine:
             mode = "pallas" if use_pallas else "jnp"
         self.mode = mode
         self.use_pallas = mode == "pallas"
+        if self.use_pallas and not interpret:
+            try:  # remote compiles are 20-60 s/shape without the cache
+                from ..utils.preflight import ensure_compile_cache
+
+                ensure_compile_cache()
+            except Exception:
+                pass
         self.interpret = interpret
         self.k_start = k_start
         self.cells = 0  # DP cell-update counter for the bench

@@ -26,11 +26,12 @@ but the heaviest-path DP of MANY alleles runs as one jnp dispatch:
 Backtracking (O(path length), sequential) and node-string concat stay on
 host; one fused device block per (E, N, iters) bucket crosses D2H.
 
-Routing: the native C++ batch PPOA (otter_native) wins end-to-end on CPU
-hosts because the graph build dominates; this path is for direct-attached
-accelerators with large pooled allele batches (OTTER_TPU_POA_DEVICE=1
-forces it in consensus_apply_batched). Byte-identical output either way
-(randomized + golden parity tests).
+Status: RETIRED as a production path (docs/design.md §5, BENCH_r03
+12.0 vs native 3123.9 consensus/s — DAG depth forces ~2k sequential
+device steps while the graph build, which no device DP touches,
+dominates consensus wall). Kept as a parity/experimental artifact;
+OTTER_TPU_POA_DEVICE=1 still routes consensus_apply_batched through it
+for the byte-identity tests.
 """
 
 from __future__ import annotations

@@ -60,3 +60,31 @@ def device_roundtrip_ms(n: int = 3) -> float:
         np.asarray(x + 1)
         best = min(best, (time.perf_counter() - t0) * 1e3)
     return best
+
+
+_CACHE_SET = False
+
+
+def ensure_compile_cache() -> None:
+    """Activate the persistent compile cache EXPLICITLY: on this axon
+    image the JAX_COMPILATION_CACHE_DIR env var alone does not stick
+    (same quirk as jax_platforms — the sitecustomize wins), so remote
+    compiles (~20-60 s/kernel shape) silently re-run every process
+    without this. Idempotent; safe pre- or post-backend-init."""
+    global _CACHE_SET
+    if _CACHE_SET:
+        return
+    import os
+
+    import jax
+
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _CACHE_SET = True
+    except Exception:
+        pass
