@@ -304,8 +304,11 @@ def child_main():
     """Run the requested legs, printing a CUMULATIVE JSON line after each
     completed leg (the parent keeps the last parseable line it saw, so a
     deadline kill mid-leg still preserves everything finished before it)."""
+    # refscale (the flagship reference-default leg) runs before the ont
+    # and forced-device legs: the parent keeps the last cumulative JSON
+    # when the budget expires, so later legs are the ones at risk
     legs = os.environ.get("OTTER_BENCH_LEGS",
-                          "kernel,regions,cohort,ont,device,refscale"
+                          "kernel,regions,cohort,refscale,ont,device"
                           ).split(",")
     result = {}
     # the child owns backend init (the parent never touches the tunnel);
@@ -373,6 +376,14 @@ def child_main():
         except Exception as e:
             result["genotype64_error"] = f"{type(e).__name__}: {e}"
         _emit(result)
+    if "refscale" in legs and plat0 in ("tpu", "axon"):
+        # reference-scale assemble (cov 200, 10 kb alleles): device-only
+        # regime — the native path is measured inside the leg on one region
+        try:
+            result.update(bench_refscale_leg())
+        except Exception as e:
+            result["refscale_error"] = f"{type(e).__name__}: {e}"
+        _emit(result)
     if "ont" in legs:
         try:
             result.update(bench_ont_leg())
@@ -384,14 +395,6 @@ def child_main():
             result.update(bench_device_kernels())
         except Exception as e:  # forced-kernel leg must never kill the rest
             result["device_error"] = f"{type(e).__name__}: {e}"
-        _emit(result)
-    if "refscale" in legs and plat0 in ("tpu", "axon"):
-        # reference-scale assemble (cov 200, 10 kb alleles): device-only
-        # regime — the native path is measured inside the leg on one region
-        try:
-            result.update(bench_refscale_leg())
-        except Exception as e:
-            result["refscale_error"] = f"{type(e).__name__}: {e}"
         _emit(result)
     return 0
 
