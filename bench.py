@@ -455,14 +455,26 @@ def main():
     def remaining():
         return deadline_s - (time.monotonic() - t_start)
 
+    # The cohort (joint genotype) leg is pure host math — host f64 BLAS +
+    # native C++ through tunnels — and the TPU client's background
+    # polling threads tax it ~1.7x on this 2-core box, so it gets its own
+    # CPU child first (fast, no tunnel risk).
+    result = {}
+    cohort_res, _fin = _run_child(
+        {"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+         "OTTER_BENCH_LEGS": "cohort"}, min(150, remaining() / 4))
+    cohort_res.pop("metric", None)
+    result.update(cohort_res)
     # No separate preflight probe: the accelerator child IS the disposable
     # probe (a fixed-timeout probe gives up on a slow-but-alive tunnel that
     # takes minutes to init, while a hung child just gets killed at its
     # budget and the CPU reserve still fits inside the deadline).
     budget = remaining() - cpu_reserve_s
-    result = {}
     if budget > 90:
-        result, _finished = _run_child({}, budget)
+        accel, _finished = _run_child(
+            {"OTTER_BENCH_LEGS": "kernel,regions,refscale,ont,device"},
+            budget)
+        result.update(accel)
     have_kernel = "value" in result
     have_regions = ("regions_per_sec" in result
                     or "regions_error" in result)
@@ -476,7 +488,8 @@ def main():
             "BENCH_REGIONS": str(min(
                 48, int(os.environ.get("BENCH_REGIONS", "128")))),
         }
-        result, _finished = _run_child(env, max(60, remaining() - 10))
+        fill, _finished = _run_child(env, max(60, remaining() - 10))
+        result.update(fill)  # keep the cohort child's fields
         result["fallback"] = "cpu"
     elif not have_regions:
         # kernel leg done on the accelerator but the e2e leg starved:
