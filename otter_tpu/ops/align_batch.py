@@ -601,6 +601,13 @@ def affine_cigars_batch(pattern: str,
     return out
 
 
+def _is_subsequence(small: str, big: str) -> bool:
+    """True iff ``small`` is a subsequence of ``big`` (iff their edit
+    distance equals len(big) - len(small))."""
+    it = iter(big)
+    return all(ch in it for ch in small)
+
+
 def edit_cigar_cols_batch(pairs: Sequence[Tuple[str, str]],
                           dists: Sequence[int]) -> List[Tuple[int, int]]:
     """Batched (edit distance, alignment column count) for
@@ -628,12 +635,15 @@ def edit_cigar_cols_batch(pairs: Sequence[Tuple[str, str]],
         m, n = len(p), len(t)
         if m < n:
             raise ValueError("pattern must be the longer string")
-        if m == 0 or d == 0:
-            # d == 0 means p == t (exact hint) -> cols = m; an empty
-            # pattern implies both empty (m >= n) -> (0, 0)
+        if m == 0:
+            out[idx] = (0, 0)  # m >= n, so both empty
+            continue
+        # closed forms VERIFIED independently of the hint (a wrong hint
+        # must never corrupt results, only cost work):
+        if d == 0 and p == t:
             out[idx] = (0, m)
             continue
-        if int(d) == m - n:
+        if int(d) == m - n and _is_subsequence(t, p):
             # pure-indel optimum: X = 0, indels = m - n exactly, no DP
             out[idx] = (m - n, m)
             continue

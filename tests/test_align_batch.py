@@ -120,3 +120,52 @@ def test_native_affine_parity_scalar():
         else:
             os.environ["OTTER_TPU_NATIVE_AFFINE"] = prev
     assert got == want
+
+
+def test_edit_cigar_cols_batch_matches_scalar():
+    """Batched composite (edit, cols) DP == scalar edit_align_cigar_len,
+    including pure-indel and equal-pair closed forms, wrong-hint fallback,
+    and high-divergence bands (compare's hot op)."""
+    import random
+
+    from otter_tpu.ops.align_batch import edit_cigar_cols_batch
+    from otter_tpu.ops.align_np import edit_align_cigar_len, edit_distance
+
+    rng = random.Random(17)
+
+    def acgt(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    def mut(s, rate):
+        o = []
+        for ch in s:
+            x = rng.random()
+            if x < rate * 0.4:
+                o.append(rng.choice([b for b in "ACGT" if b != ch]))
+            elif x < rate * 0.7:
+                o.extend([ch, rng.choice("ACGT")])
+            elif x < rate:
+                pass
+            else:
+                o.append(ch)
+        return "".join(o)
+
+    pairs = []
+    for _ in range(60):
+        m = rng.randint(1, 300)
+        p = acgt(m)
+        t = mut(p, rng.choice([0.0, 0.02, 0.1, 0.5]))
+        if len(t) > len(p):
+            p, t = t, p
+        pairs.append((p, t))
+    pairs.append(("ACGT" * 20, "ACGT" * 20))          # equal
+    pairs.append(("ACGT" * 30, "ACGT" * 20))          # pure indel
+    pairs.append(("A" * 50, ""))                       # empty text
+    dists = [edit_distance(p, t) for p, t in pairs]
+    got = edit_cigar_cols_batch(pairs, dists)
+    want = [edit_align_cigar_len(p, t) for p, t in pairs]
+    assert got == want
+    # wrong (too-small) hints must still give exact results via fallback
+    bad_hints = [max(0, d - 5) for d in dists]
+    got2 = edit_cigar_cols_batch(pairs, bad_hints)
+    assert got2 == want
