@@ -469,11 +469,20 @@ def main():
     # probe (a fixed-timeout probe gives up on a slow-but-alive tunnel that
     # takes minutes to init, while a hung child just gets killed at its
     # budget and the CPU reserve still fits inside the deadline).
+    # Two attempts at the accelerator child: process-level backend init
+    # through the tunnel intermittently hangs for minutes (CLAUDE.md
+    # quirk); a hung first attempt gets killed early enough that a fresh
+    # process can still use the remaining budget.
     budget = remaining() - cpu_reserve_s
     if budget > 90:
+        first = min(300.0, budget * 0.45)
         accel, _finished = _run_child(
             {"OTTER_BENCH_LEGS": "kernel,regions,refscale,ont,device"},
-            budget)
+            first)
+        if "value" not in accel and remaining() - cpu_reserve_s > 90:
+            accel, _finished = _run_child(
+                {"OTTER_BENCH_LEGS": "kernel,regions,refscale,ont,device"},
+                remaining() - cpu_reserve_s)
         result.update(accel)
     have_kernel = "value" in result
     have_regions = ("regions_per_sec" in result
