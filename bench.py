@@ -52,23 +52,36 @@ def make_workload(rng, n_pairs=2048, length=1024, err=0.02, group=13):
     src/analignments.cpp:117-124; a 2048-pair batch is ~31 regions of 13
     reads). Alternating groups use HiFi-like ~1% and ONT-like ~5% error.
     Sequence objects are shared across a group's pairs, exactly as the
-    assemble pipeline shares read.seq objects."""
+    assemble pipeline shares read.seq objects. Generation is vectorized
+    (numpy): the old per-char loops took ~100 s to build a 32k-pair
+    workload, a third of the accelerator child's budget."""
+    nprng = np.random.Generator(np.random.PCG64(rng.randrange(1 << 60)))
+    _NT = np.frombuffer(b"ACGT", dtype=np.uint8)
+
     def rand_seq(n):
-        return "".join(rng.choice("ACGT") for _ in range(n))
+        return _NT[nprng.integers(0, 4, n)].tobytes().decode("latin-1")
 
     def mut(s, rate):
-        o = []
-        for ch in s:
-            x = rng.random()
-            if x < rate * 0.4:
-                o.append(rng.choice([b for b in "ACGT" if b != ch]))
-            elif x < rate * 0.7:
-                o.extend([ch, rng.choice("ACGT")])
-            elif x < rate:
-                pass
-            else:
-                o.append(ch)
-        return "".join(o)
+        codes = np.frombuffer(s.encode("latin-1"), np.uint8)
+        L = len(codes)
+        u = nprng.random(L)
+        cat = np.where(u < rate * 0.4, 1,
+                       np.where(u < rate * 0.7, 2,
+                                np.where(u < rate, 3, 0)))
+        base = np.zeros(L, dtype=np.uint8)
+        for i, c in enumerate(b"ACGT"):
+            base[codes == c] = i
+        n_chars = np.where(cat == 3, 0, np.where(cat == 2, 2, 1))
+        starts = np.zeros(L, dtype=np.int64)
+        np.cumsum(n_chars[:-1], out=starts[1:])
+        outb = np.zeros(int(n_chars.sum()), dtype=np.uint8)
+        keep = cat != 3
+        newb = np.where(cat == 1, (base + nprng.integers(1, 4, L)) % 4, base)
+        outb[starts[keep]] = _NT[newb[keep]]
+        ins = cat == 2
+        if ins.any():
+            outb[starts[ins] + 1] = _NT[nprng.integers(0, 4, int(ins.sum()))]
+        return outb.tobytes().decode("latin-1")
 
     per_group = group * (group - 1) // 2
     pairs = []
@@ -323,6 +336,12 @@ def child_main():
 
         rtt = device_roundtrip_ms()
     degraded = rtt is not None and rtt > 30.0
+    # heartbeat: the parent distinguishes 'backend init hung' (kill +
+    # retry) from 'legs are just slow' (leave it alone) by this line
+    hb = {"heartbeat": plat0}
+    if rtt is not None:
+        hb["device_rtt_ms"] = round(rtt, 1)
+    _emit(hb)
     if "kernel" in legs:
         rng = random.Random(20260817)
         # 32k pairs amortize the tunnel's fixed dispatch/D2H costs; the
@@ -399,9 +418,11 @@ def child_main():
     return 0
 
 
-def _run_child(env_extra, budget_s):
+def _run_child(env_extra, budget_s, abort_if_silent_s=None):
     """Run this script in child mode under its own process group; collect
-    the last JSON line it prints before finishing or hitting the budget."""
+    the last JSON line it prints before finishing or hitting the budget.
+    ``abort_if_silent_s``: kill early if NO json line (not even the
+    heartbeat) arrived by then — the backend-init-hang detector."""
     env = dict(os.environ)
     env["OTTER_BENCH_CHILD"] = "1"
     env.update(env_extra)
@@ -426,11 +447,15 @@ def _run_child(env_extra, budget_s):
 
     th = threading.Thread(target=reader, daemon=True)
     th.start()
-    deadline = time.monotonic() + budget_s
+    t0 = time.monotonic()
+    deadline = t0 + budget_s
     while time.monotonic() < deadline:
         if proc.poll() is not None:
             th.join(timeout=5)
             return last, True
+        if (abort_if_silent_s is not None and not last
+                and time.monotonic() - t0 > abort_if_silent_s):
+            break  # init hang: kill below, caller retries
         time.sleep(0.5)
     # budget exhausted: kill the whole child process group (a child hung in
     # tunnel RPC ignores SIGTERM-to-pid if threads are mid-syscall)
@@ -469,20 +494,20 @@ def main():
     # probe (a fixed-timeout probe gives up on a slow-but-alive tunnel that
     # takes minutes to init, while a hung child just gets killed at its
     # budget and the CPU reserve still fits inside the deadline).
-    # Two attempts at the accelerator child: process-level backend init
-    # through the tunnel intermittently hangs for minutes (CLAUDE.md
-    # quirk); a hung first attempt gets killed early enough that a fresh
-    # process can still use the remaining budget.
+    # Accelerator child with an init-hang detector: the child emits a
+    # heartbeat right after backend init, so a silent first 150 s means
+    # the tunnel hung (CLAUDE.md quirk) — kill and retry with a fresh
+    # process; a child that heartbeat gets its full budget.
     budget = remaining() - cpu_reserve_s
     if budget > 90:
-        first = min(300.0, budget * 0.45)
         accel, _finished = _run_child(
             {"OTTER_BENCH_LEGS": "kernel,regions,refscale,ont,device"},
-            first)
-        if "value" not in accel and remaining() - cpu_reserve_s > 90:
+            budget, abort_if_silent_s=150.0)
+        if not accel and remaining() - cpu_reserve_s > 90:
             accel, _finished = _run_child(
                 {"OTTER_BENCH_LEGS": "kernel,regions,refscale,ont,device"},
-                remaining() - cpu_reserve_s)
+                remaining() - cpu_reserve_s, abort_if_silent_s=150.0)
+        accel.pop("heartbeat", None)
         result.update(accel)
     have_kernel = "value" in result
     have_regions = ("regions_per_sec" in result
