@@ -112,11 +112,12 @@ def bench_tpu(pairs):
     eng = EditDistanceEngine(mode=mode)
     # warmup pass over the full workload compiles every bucket shape
     eng.distances(pairs)
-    # best-of-3 with per-rep walls recorded: wall-clock through the
-    # tunneled dev TPU varies up to 3x run-to-run (D2H latency spikes)
+    # best-of-6 with per-rep walls recorded: tunnel latency comes in
+    # multi-second BURSTS — three reps can all land inside one (a 40 vs
+    # 255 Gcells/s swing observed); six ride it out for ~1 s extra
     best_dt = None
     times = []
-    for _ in range(3):
+    for _ in range(6):
         eng.cells = 0
         t0 = time.perf_counter()
         dists = eng.distances(pairs)
