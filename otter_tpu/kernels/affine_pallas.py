@@ -65,8 +65,12 @@ TBA = 32                 # members per program (int8 row-tile alignment)
 # the wide bands fit the same VMEM at full row depth.
 LP_MAX_NARROW = 4096     # k=63  (W=128):  4096/2*32*128 = 8 MiB
 LP_MAX_WIDE = 2048       # k=127 (W=256):  2048/2*32*256 = 8 MiB
-LP_MAX_ONT = 8192        # k=255 (W=512):  H/F ckpt 4 MiB + block bits 2 MiB
-LP_MAX_XWIDE = 4096      # k=511 (W=1024): H/F ckpt 4 MiB + block bits 4 MiB
+LP_MAX_ONT = 16384       # k=255 (W=512):  H/F ckpt 8 MiB + block bits 2 MiB
+LP_MAX_XWIDE = 16384     # k=511 (W=1024): H/F ckpt 16 MiB + block bits 4 MiB
+#   (~25 MiB/program total at k=511 full depth — within the raised
+#   vmem_limit below; caps were 8192/4096 before the limit was raised,
+#   which silently excluded 10 kb medium-error members, VERDICT-r4-era
+#   refscale consensus falling back to the native ladder)
 # Rows past the nibble caps run the checkpointed kernel at ANY band (its
 # VMEM grows only ~linearly in rows via the H/F checkpoints): 16 kb
 # patterns at k=63/127 cost ~2.5/5 MiB of scratch — full long-read member
@@ -690,6 +694,11 @@ def affine_tb_ckpt_pallas(a, bpad, mn, k: int, max_rows: int, t_words: int,
             pltpu.VMEM((TBA, 128), jnp.int32),
             pltpu.VMEM((TBA, 128), jnp.int32),
         ],
+        # full-depth wide bands (k=511 x 16384 rows) need ~25 MiB of
+        # scoped VMEM; the default 16 MiB budget is a guardrail, not the
+        # physical limit (same note as the striped Myers kernel)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(a, bpad, mn)
 
@@ -784,10 +793,10 @@ def _t_words(max_rows: int, k: int) -> int:
     alone-worst boundary. The word set is fixed so engine compiles stay
     bounded."""
     need = max_rows + 5 * k + 10 + 1000
-    for w in (128, 256, 384, 512, 640, 768, 1152):
+    for w in (128, 256, 384, 512, 640, 768, 1152, 1280):
         if 16 * w >= need:
             return w
-    return 1152
+    return 1280
 
 
 def _admissible_bands(m: int, n: int, pb: int, pe: int, tb: int, te: int,
@@ -812,11 +821,17 @@ def _admissible_bands(m: int, n: int, pb: int, pe: int, tb: int, te: int,
             if 2 * int(hint) >= cap:
                 continue
             # giant-row buckets (>4096 rows) compile for minutes and run
-            # long DPs: demand the realistic score ESTIMATE fit, not just
-            # the 2e lower bound (mixed-error scores run ~5e; a doomed
-            # pass there wastes a huge compile+DP, exactness unaffected —
-            # the ladder serves whatever is skipped)
-            if m > 4096 and 5 * int(hint) >= cap:
+            # long DPs: demand a realistic score ESTIMATE fit, not just
+            # the 2e lower bound, so a doomed pass doesn't waste a huge
+            # compile+DP (exactness unaffected — the ladder serves
+            # whatever is skipped). The estimate splits the hint into the
+            # length-difference part (gap chars ~2/edit, one open) and
+            # the rest (mismatch-ish ~5/edit): a flat 5e rejected every
+            # het-indel member (e.g. e=330 with a 300 bp gap scores ~760,
+            # not 1650)
+            delta = min(int(hint), abs(n - m))
+            est = 6 + 2 * delta + 5 * (int(hint) - delta)
+            if m > 4096 and est >= cap:
                 continue
         elif abs(n - m) + 16 > cand:
             continue
