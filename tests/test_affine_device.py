@@ -317,3 +317,23 @@ def test_multi_with_device_flag_falls_back_cleanly():
     got = affine_cigars_multi(jobs, use_device=True)
     want = [affine_align_ends_free_cigar(j[0], j[1], *j[2:]) for j in jobs]
     assert got == want
+
+
+def test_admissible_bands_het_indel_long_rows():
+    """10 kb medium-error members (a het indel + scattered errors) must be
+    servable on device: the giant-bucket score estimate splits the hint
+    into gap chars (~2/edit) and the rest (~5/edit), so e=330 with a
+    300 bp length difference admits k=511 at full row depth instead of
+    falling back to the native ladder (refscale consensus regression,
+    round 4)."""
+    from otter_tpu.kernels.affine_pallas import (LP_MAX_ONT, LP_MAX_XWIDE,
+                                                 _admissible_bands)
+
+    assert LP_MAX_XWIDE >= 16384 and LP_MAX_ONT >= 16384
+    bands = _admissible_bands(10300, 10001, 0, 0, 0, 0, 330)
+    assert 511 in bands, bands
+    # mismatch-dominated long jobs (no length diff) still reject doomed
+    # wide-band passes: e=500 of pure mismatches estimates ~2500 > the
+    # k=511 cap (~2060 for equal lengths)
+    bands_mm = _admissible_bands(10300, 10300, 0, 0, 0, 0, 500)
+    assert bands_mm == [], bands_mm
