@@ -383,23 +383,49 @@ def genotype_process_batched(params: OtterOpts, bam_path: str,
             [scaled_by_region[i] for i in live], [Vs[i] for i in live],
             [norms_by_region[i] for i in live], guard)
         kvals_by_region = dict(zip(live, kvals_all))
+        # length condensed matrices for every region (vector ops, f64 exact)
+        lvals_by_region = {}
+        for i in live:
+            block = results[i][1][0]
+            lens = np.asarray([len(a.seq) for a in block],
+                              dtype=np.float64)
+            iu, ju = triu_pair_indices(len(block))
+            mx = np.maximum(lens[iu], lens[ju])
+            lvals_by_region[i] = np.abs(lens[iu] - lens[ju])                 / np.maximum(mx, 1.0)
+        # ONE threaded native NN-chain call for every region's two
+        # matrices (the 500-sample regime runs 2R sequential n=1001
+        # hclusts otherwise); the native batch is the same C++ core as
+        # the per-matrix route — parity-exact, VCF unchanged
+        dendros_by_region = {}
+        try:
+            from ..native import hclust_average_native_batch
+
+            mats = []
+            owners = []
+            for i in live:
+                n_all = len(results[i][1][0])
+                if n_all >= 2:
+                    mats.append((lvals_by_region[i], n_all))
+                    owners.append((i, "length_dendro"))
+                    mats.append((kvals_by_region[i], n_all))
+                    owners.append((i, "kusage_dendro"))
+            if mats:
+                outs = hclust_average_native_batch(mats)
+                for (i, key), mh in zip(owners, outs):
+                    dendros_by_region.setdefault(i, {})[key] = mh
+        except Exception:
+            dendros_by_region = {}
 
         def finish_region(i: int) -> str:
             text, prep = results[i]
             if prep is None:
                 return text or ""
             s0, cnt = spans[i]
-            V = Vs[i]
-            nr = norms_by_region[i]
             kvals = kvals_by_region[i]
-            block = prep[0]
-            lens = np.asarray([len(a.seq) for a in block],
-                              dtype=np.float64)
-            iu, ju = triu_pair_indices(len(block))
-            mx = np.maximum(lens[iu], lens[ju])
-            lvals = np.abs(lens[iu] - lens[ju]) / np.maximum(mx, 1.0)
+            lvals = lvals_by_region[i]
             pre = {"length_values": lvals, "kusage_values": kvals,
                    "kusages": kus_all[s0 : s0 + cnt]}
+            pre.update(dendros_by_region.get(i, {}))
             buf = _io.StringIO()
             genotype_region(params, regions[i], None, None, si, refindex,
                             buf, precomputed=pre, prep=prep)

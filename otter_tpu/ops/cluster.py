@@ -360,9 +360,20 @@ def _hclust_fast(n: int, condensed: np.ndarray
 
 
 def cluter_to_e(max_error: float, total_alleles: int,
-                distmatrix: DistMatrix) -> List[List[int]]:
-    """hclust + cut at max_error -> clusters as index lists (:329-349)."""
-    merge, height = _hclust_route(total_alleles, distmatrix.values, max_error)
+                distmatrix: DistMatrix,
+                dendro=None) -> List[List[int]]:
+    """hclust + cut at max_error -> clusters as index lists (:329-349).
+
+    ``dendro``: optional precomputed (merge, height) — the batched cohort
+    pipeline runs ONE threaded native NN-chain call for every region's
+    matrices (native.hclust_average_native_batch) and hands each result
+    in here; the native batch is parity-exact with the per-matrix route
+    (same C++ core), so output is unchanged."""
+    if dendro is not None:
+        merge, height = dendro
+    else:
+        merge, height = _hclust_route(total_alleles, distmatrix.values,
+                                      max_error)
     labels = np.asarray(
         cutree_cdist(total_alleles, merge, height, max_error), dtype=np.int64)
     # grouped build via stable argsort: cluster l = indices with label l in
@@ -530,7 +541,8 @@ def anallele_cluster(max_error_l: float, max_error_c: float,
     if "length_values" in pre:
         distmatrix_length.values = pre["length_values"]
         length_clusters = cluter_to_e(max_error_l, len(allele_indeces),
-                                      distmatrix_length)
+                                      distmatrix_length,
+                                      dendro=pre.get("length_dendro"))
         length_clusters, length_reps = remap_cluster_indeces(
             distmatrix_length, allele_indeces, length_clusters)
     else:
@@ -550,7 +562,8 @@ def anallele_cluster(max_error_l: float, max_error_c: float,
         distmatrix_kusage.values = pre["kusage_values"]
         kusages = pre["kusages"]
         kusage_clusters = cluter_to_e(max_error_c, len(allele_indeces),
-                                      distmatrix_kusage)
+                                      distmatrix_kusage,
+                                      dendro=pre.get("kusage_dendro"))
         kusage_clusters, kusage_reps = remap_cluster_indeces(
             distmatrix_kusage, allele_indeces, kusage_clusters)
     else:
