@@ -527,7 +527,9 @@ def main():
     # the tunnel hung (CLAUDE.md quirk) — kill and retry with a fresh
     # process; a child that heartbeat gets its full budget.
     accel = {}
-    while remaining() - cpu_reserve_s > 90:
+    for _attempt in range(4):  # bounded: a fast-crashing child must not
+        if remaining() - cpu_reserve_s <= 90:  # spin the whole deadline
+            break
         accel, _finished = _run_child(
             {"OTTER_BENCH_LEGS": "kernel,regions,refscale,ont,device"},
             remaining() - cpu_reserve_s, abort_if_silent_s=150.0)

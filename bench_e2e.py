@@ -354,61 +354,9 @@ def build_ont_fixture(tmp, n_regions=16, err=0.06, cov=18, expansion=720,
 
     rng = random.Random(seed)
     nprng = _np.random.Generator(_np.random.PCG64(seed * 7919 + 13))
-    _CODE = _np.full(256, 0, dtype=_np.uint8)
-    for _c, _v in zip(b"ACGT", range(4)):
-        _CODE[_c] = _v
-    _NT = _np.frombuffer(b"ACGT", dtype=_np.uint8)
 
     def noisy(piece, out, cig):
-        """Vectorized read simulator (same error model as the old per-char
-        walk: mismatch 0.4e / insertion 0.3e / deletion 0.3e): an 800-read
-        x 11 kb refscale fixture took ~100 s of python char loops, which
-        starved the bench deadline."""
-        L = len(piece)
-        if L == 0:
-            return 0
-        u = nprng.random(L)
-        cat = _np.where(u < err * 0.4, 1,
-                        _np.where(u < err * 0.7, 2,
-                                  _np.where(u < err, 3, 0)))
-        codes = _CODE[_np.frombuffer(piece.encode(), _np.uint8)]
-        # output chars: match/ins keep the char, mismatch rotates to a
-        # different base, ins appends one random base after
-        n_chars = _np.where(cat == 3, 0, _np.where(cat == 2, 2, 1))
-        total_c = int(n_chars.sum())
-        starts_c = _np.zeros(L, dtype=_np.int64)
-        _np.cumsum(n_chars[:-1], out=starts_c[1:])
-        chars = _np.zeros(total_c, dtype=_np.uint8)
-        keep = cat != 3
-        base = _np.where(cat == 1,
-                         (codes + nprng.integers(1, 4, L)) % 4, codes)
-        chars[starts_c[keep]] = _NT[base[keep]]
-        ins_mask = cat == 2
-        if ins_mask.any():
-            chars[starts_c[ins_mask] + 1] = _NT[
-                nprng.integers(0, 4, int(ins_mask.sum()))]
-        out.append(chars.tobytes().decode("latin-1"))
-        # cigar ops per char: [M] / [M, I] / [D]; run-length merged with
-        # the same semantics as the old emit()
-        n_ops = _np.where(cat == 2, 2, 1)
-        total_o = int(n_ops.sum())
-        starts_o = _np.zeros(L, dtype=_np.int64)
-        _np.cumsum(n_ops[:-1], out=starts_o[1:])
-        ops = _np.zeros(total_o, dtype=_np.uint8)
-        ops[starts_o] = _np.where(cat == 3, BAM_CDEL, BAM_CMATCH)
-        if ins_mask.any():
-            ops[starts_o[ins_mask] + 1] = BAM_CINS
-        bounds = _np.nonzero(_np.diff(ops))[0] + 1
-        seg_start = _np.concatenate([[0], bounds])
-        seg_end = _np.concatenate([bounds, [total_o]])
-        for s0, s1 in zip(seg_start.tolist(), seg_end.tolist()):
-            op = int(ops[s0])
-            ln = s1 - s0
-            if cig and cig[-1][1] == op:
-                cig[-1] = (cig[-1][0] + ln, op)
-            else:
-                cig.append((ln, op))
-        return L
+        return _noisy_walk(piece, err, nprng, out, cig)
 
     span = region_len + 2 * flank_hi + 2 * max(1000, region_len // 2)
     ref_len = 1000 + n_regions * span + 2000

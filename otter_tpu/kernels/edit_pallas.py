@@ -693,17 +693,32 @@ class EditDistanceEngine:
                         self.cells += max(len(a), len(b)) * min(
                             min(len(a), len(b)), 2 * (k + 1))
                     launches.append((chunk, dev))
-            for chunk, dev in launches:
+            # ONE device concat + ONE host materialization per rung: the
+            # D2H sync has ~40 ms fixed latency through tunnels (same
+            # single-collect pattern as _myers_collect)
+            flat = None
+            if launches:
                 try:
-                    d = np.asarray(dev).reshape(-1)[: len(chunk)]
+                    import jax.numpy as jnp
+
+                    flat = np.asarray(jnp.concatenate(
+                        [dev.reshape(-1)[: len(chunk)]
+                         for chunk, dev in launches]))
                 except Exception:
+                    flat = None
+            if flat is None:
+                for chunk, _dev in launches:
                     later.extend(chunk)
-                    continue
-                for bi, idx in enumerate(chunk):
-                    if d[bi] <= k:
-                        out[idx] = int(d[bi])
-                    else:
-                        later.append(idx)
+            else:
+                offset = 0
+                for chunk, _dev in launches:
+                    d = flat[offset : offset + len(chunk)]
+                    offset += len(chunk)
+                    for bi, idx in enumerate(chunk):
+                        if d[bi] <= k:
+                            out[idx] = int(d[bi])
+                        else:
+                            later.append(idx)
             remaining = later
         if not remaining:
             return

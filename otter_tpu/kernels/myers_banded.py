@@ -364,7 +364,14 @@ def myers_banded_distances(pairs: List[Tuple[str, str]], n_words: int,
 
 
 def pack_peq_pool(seqs: List[str], n_words: int) -> np.ndarray:
-    """(S, 4, n_words) int32: per-sequence Myers peq bitmask pool."""
+    """(S, 4, n_words) int32: per-sequence Myers peq bitmask pool.
+
+    Sequences longer than n_words*32 are TRUNCATED: the pool holds both
+    pattern-role and text-role sequences, and a text-role sequence can
+    legitimately exceed the pattern word budget — its peq row is never
+    gathered (idx_pat only selects pattern-role entries, which the bucket
+    constraint keeps <= n_words*32), so truncation is safe where erroring
+    out silently demoted whole chunks to the striped kernel."""
     S = len(seqs)
     out = np.zeros((S, 4, n_words), dtype=np.uint32)
     L = n_words * 32
@@ -372,7 +379,7 @@ def pack_peq_pool(seqs: List[str], n_words: int) -> np.ndarray:
     for ch, c in zip(b"ACGT", range(4)):
         code_of[ch] = c
     pad = b"\xff" * L
-    buf = b"".join(s.encode() + pad[len(s):] for s in seqs)
+    buf = b"".join(s.encode()[:L] + pad[min(len(s), L):] for s in seqs)
     codes = code_of[np.frombuffer(buf, np.uint8).reshape(S, L)]
     for c in range(4):
         bits = codes == c

@@ -398,6 +398,10 @@ def genotype_process_batched(params: OtterOpts, bam_path: str,
         # the per-matrix route — parity-exact, VCF unchanged
         dendros_by_region = {}
         try:
+            import os as _os
+
+            if _os.environ.get("OTTER_TPU_NATIVE_HCLUST", "1") != "1":
+                raise RuntimeError("native hclust disabled")
             from ..native import hclust_average_native_batch
 
             mats = []

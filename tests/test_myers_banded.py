@@ -120,3 +120,22 @@ def test_engine_long_pair_route_parity():
     got = eng.distances(pairs)
     want = np.array([edit_distance(a, b) for a, b in pairs])
     assert np.array_equal(got, want)
+
+
+def test_pool_text_longer_than_pattern_words():
+    """A pool sequence used only as TEXT may exceed the pattern word
+    budget (n_words*32); pack_peq_pool must truncate it (its peq row is
+    never gathered) instead of raising — the old ValueError silently
+    demoted whole engine chunks to the striped kernel (code-review r4)."""
+    import numpy as np
+
+    from otter_tpu.kernels.edit_pallas import EditDistanceEngine
+
+    rng = random.Random(12)
+    base = _acgt(rng, 2100)          # pattern fits 66 words -> nw bucket 128
+    long_text = base + _acgt(rng, 350)  # text exceeds... (bucketed by text)
+    pairs = [(base, long_text), (base, _mut(rng, base, 0.01))]
+    eng = EditDistanceEngine(mode="pallas", interpret=True)
+    got = eng.distances(pairs)
+    want = np.array([edit_distance(a, b) for a, b in pairs])
+    assert np.array_equal(got, want)
