@@ -98,7 +98,8 @@ def _prefix_min(x):
 
 def _affine_tb_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref, bits_scr,
                       ci_scr, cj_scr, st_scr,
-                      *, k: int, max_rows: int, t_words: int):
+                      *, k: int, max_rows: int, t_words: int,
+                      track_col: bool = True):
     W = 2 * (k + 1)
     k1 = k + 1
     m2 = jnp.stack([mn_ref[t, 0] for t in range(TBA)]).reshape(TBA, 1)
@@ -118,7 +119,7 @@ def _affine_tb_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref, bits_scr,
     F0 = jnp.full((TBA, W), _INF, dtype=jnp.int32)
     colv0 = jnp.full((TBA, 128), _INF, dtype=jnp.int32)
     coli0 = jnp.zeros((TBA, 128), dtype=jnp.int32)
-    window0 = bpad_ref[:, 0:W]
+    window0 = bpad_ref[:, 0:W].astype(jnp.int32)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (TBA, 128), 1)
     laneW = jax.lax.broadcasted_iota(jnp.int32, (TBA, W), 1)
 
@@ -127,13 +128,18 @@ def _affine_tb_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref, bits_scr,
                        keepdims=True)
 
     inf_col = jnp.full((TBA, 1), _INF, dtype=jnp.int32)
-    n_chunks = (max_rows + 127) // 128
+    # dynamic row bound: rows past the longest member in THIS tile are
+    # no-ops (keep = i <= m2 everywhere), so the chunk loop stops at the
+    # tile's own ceiling instead of the bucket's static max_rows — a
+    # 10 kb tile in a 16384-row bucket runs 10048 rows, not 16384
+    max_m = jnp.max(jnp.stack([mn_ref[t, 0] for t in range(TBA)]))
+    n_chunks = jnp.minimum((max_m + 127) // 128, (max_rows + 127) // 128)
 
     def outer(c, carry):
         H, E, F, window, colv, coli = carry
         base = pl.multiple_of(c * 128, 128)
-        a_chunk = a_ref[:, pl.ds(base, 128)]
-        b_chunk = bpad_ref[:, pl.ds(base + W, 128)]
+        a_chunk = a_ref[:, pl.ds(base, 128)].astype(jnp.int32)
+        b_chunk = bpad_ref[:, pl.ds(base + W, 128)].astype(jnp.int32)
 
         def inner(r, carry2):
             H, E, F, window, colv, coli = carry2
@@ -182,17 +188,25 @@ def _affine_tb_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref, bits_scr,
             H = jnp.where(keep, H_row, H)
             E = jnp.where(keep, E_row, E)
             F = jnp.where(keep, F_rowm, F)
-            # last-column tracking (j == n): ascending i with <= keeps the
-            # largest i among score ties, matching the reference's
-            # descending strict-< scan (ops/align_batch._end_cell)
-            wcol = n2 - i + k1
-            hv = jnp.min(jnp.where(w_idx == wcol, H_row, _INF), axis=1,
-                         keepdims=True)
-            active = (i <= m2) & ((m2 - i) <= pe2) & (wcol >= 0) & (wcol < W)
-            better = active & (hv <= colv[:, 0:1])
-            colv = jnp.where(better, jnp.broadcast_to(hv, (TBA, 128)), colv)
-            coli = jnp.where(better, jnp.full((TBA, 128), 1, jnp.int32) * i,
-                             coli)
+            if track_col:
+                # last-column tracking (j == n): ascending i with <= keeps
+                # the largest i among score ties, matching the reference's
+                # descending strict-< scan (ops/align_batch._end_cell).
+                # Compiled OUT (static track_col=False) for buckets whose
+                # jobs all have pe == 0 — the end cell is then never on
+                # the last column except at (m, n), which s_mn covers —
+                # saving a masked min-reduce per DP row.
+                wcol = n2 - i + k1
+                hv = jnp.min(jnp.where(w_idx == wcol, H_row, _INF), axis=1,
+                             keepdims=True)
+                active = (i <= m2) & ((m2 - i) <= pe2) & (wcol >= 0) \
+                    & (wcol < W)
+                better = active & (hv <= colv[:, 0:1])
+                colv = jnp.where(better, jnp.broadcast_to(hv, (TBA, 128)),
+                                 colv)
+                coli = jnp.where(better,
+                                 jnp.full((TBA, 128), 1, jnp.int32) * i,
+                                 coli)
             nxt = sel(b_chunk, r)
             window = jnp.concatenate([window[:, 1:], nxt], axis=1)
             return H, E, F, window, colv, coli
@@ -330,14 +344,15 @@ def _affine_tb_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref, bits_scr,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "max_rows", "t_words", "interpret"))
+                   static_argnames=("k", "max_rows", "t_words", "track_col",
+                                    "interpret"))
 def affine_tb_pallas(a, bpad, mn, k: int, max_rows: int, t_words: int,
-                     interpret: bool = False):
+                     track_col: bool = True, interpret: bool = False):
     B = a.shape[0]
     n_prog = B // TBA
     W = 2 * (k + 1)
     kernel = functools.partial(_affine_tb_kernel, k=k, max_rows=max_rows,
-                               t_words=t_words)
+                               t_words=t_words, track_col=track_col)
     return pl.pallas_call(
         kernel,
         grid=(n_prog,),
@@ -365,6 +380,14 @@ def affine_tb_pallas(a, bpad, mn, k: int, max_rows: int, t_words: int,
             pltpu.VMEM((TBA, 128), jnp.int32),
             pltpu.VMEM((TBA, 128), jnp.int32),
         ],
+        # full-bits scratch to 16384 rows at k=63 (8192 at k=127) is
+        # ~33.5 MiB — past the 16 MiB guardrail but well inside this
+        # hardware's VMEM (same note as the ckpt/striped kernels). Full
+        # bits beat the ckpt kernel for every fitting shape: the walk
+        # reads stored nibbles instead of recomputing a DP pass over
+        # every walked block
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(a, bpad, mn)
 
@@ -372,7 +395,8 @@ def affine_tb_pallas(a, bpad, mn, k: int, max_rows: int, t_words: int,
 def _affine_tb_ckpt_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref,
                            bits_scr, ckh_scr, ckf_scr,
                            ci_scr, cj_scr, st_scr,
-                           *, k: int, max_rows: int, t_words: int):
+                           *, k: int, max_rows: int, t_words: int,
+                           track_col: bool = True):
     """Checkpointed variant for wide bands (k=255/511, the WFA high-error
     regime): the forward DP stores H/E/F rows every _CKPT_BLK rows instead
     of per-row traceback bits; the walk then recomputes one block of
@@ -451,14 +475,17 @@ def _affine_tb_ckpt_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref,
     ckh_scr[pl.ds(0, TBA), :] = H0
     ckf_scr[pl.ds(0, TBA), :] = F0
 
-    window0 = bpad_ref[:, 0:W]
-    n_chunks = (max_rows + 127) // 128
+    window0 = bpad_ref[:, 0:W].astype(jnp.int32)
+    # dynamic row bound (see _affine_tb_kernel): stop at the tile's own
+    # longest member, not the bucket's static max_rows
+    max_m = jnp.max(jnp.stack([mn_ref[t, 0] for t in range(TBA)]))
+    n_chunks = jnp.minimum((max_m + 127) // 128, (max_rows + 127) // 128)
 
     def outer(c, carry):
         H, F, window, colv, coli = carry
         base = pl.multiple_of(c * 128, 128)
-        a_chunk = a_ref[:, pl.ds(base, 128)]
-        b_chunk = bpad_ref[:, pl.ds(base + W, 128)]
+        a_chunk = a_ref[:, pl.ds(base, 128)].astype(jnp.int32)
+        b_chunk = bpad_ref[:, pl.ds(base + W, 128)].astype(jnp.int32)
 
         def inner(r, carry2):
             H, F, window, colv, coli = carry2
@@ -468,14 +495,19 @@ def _affine_tb_ckpt_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref,
             keep = i <= m2
             H = jnp.where(keep, H_row, H)
             F = jnp.where(keep, F_rowm, F)
-            wcol = n2 - i + k1
-            hv = jnp.min(jnp.where(w_idx == wcol, H_row, _INF), axis=1,
-                         keepdims=True)
-            active = (i <= m2) & ((m2 - i) <= pe2) & (wcol >= 0) & (wcol < W)
-            better = active & (hv <= colv[:, 0:1])
-            colv = jnp.where(better, jnp.broadcast_to(hv, (TBA, 128)), colv)
-            coli = jnp.where(better, jnp.full((TBA, 128), 1, jnp.int32) * i,
-                             coli)
+            if track_col:
+                # see _affine_tb_kernel: compiled out for pe == 0 buckets
+                wcol = n2 - i + k1
+                hv = jnp.min(jnp.where(w_idx == wcol, H_row, _INF), axis=1,
+                             keepdims=True)
+                active = (i <= m2) & ((m2 - i) <= pe2) & (wcol >= 0) \
+                    & (wcol < W)
+                better = active & (hv <= colv[:, 0:1])
+                colv = jnp.where(better, jnp.broadcast_to(hv, (TBA, 128)),
+                                 colv)
+                coli = jnp.where(better,
+                                 jnp.full((TBA, 128), 1, jnp.int32) * i,
+                                 coli)
             ib = i // BLK
             @pl.when(jnp.logical_and(i - ib * BLK == 0, i < max_rows))
             def _():
@@ -542,12 +574,12 @@ def _affine_tb_ckpt_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref,
             Hc = ckh_scr[pl.ds(cbase, TBA), :]
             Fc = ckf_scr[pl.ds(cbase, TBA), :]
             wstart = pl.multiple_of(block * BLK, 128)
-            window_c = bpad_ref[:, pl.ds(wstart, W)]
+            window_c = bpad_ref[:, pl.ds(wstart, W)].astype(jnp.int32)
 
             def router(c2, carry2):
                 rbase = pl.multiple_of(block * BLK + c2 * 128, 128)
-                a_chunk = a_ref[:, pl.ds(rbase, 128)]
-                b_chunk = bpad_ref[:, pl.ds(rbase + W, 128)]
+                a_chunk = a_ref[:, pl.ds(rbase, 128)].astype(jnp.int32)
+                b_chunk = bpad_ref[:, pl.ds(rbase + W, 128)].astype(jnp.int32)
 
                 def rinner(r, carry3):
                     H, F, window = carry3
@@ -656,15 +688,16 @@ def _affine_tb_ckpt_kernel(a_ref, bpad_ref, mn_ref, ops_ref, end_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "max_rows", "t_words", "interpret"))
+                   static_argnames=("k", "max_rows", "t_words", "track_col",
+                                    "interpret"))
 def affine_tb_ckpt_pallas(a, bpad, mn, k: int, max_rows: int, t_words: int,
-                          interpret: bool = False):
+                          track_col: bool = True, interpret: bool = False):
     B = a.shape[0]
     n_prog = B // TBA
     W = 2 * (k + 1)
     n_blocks = max_rows // _CKPT_BLK
     kernel = functools.partial(_affine_tb_ckpt_kernel, k=k, max_rows=max_rows,
-                               t_words=t_words)
+                               t_words=t_words, track_col=track_col)
     return pl.pallas_call(
         kernel,
         grid=(n_prog,),
@@ -705,23 +738,83 @@ def affine_tb_ckpt_pallas(a, bpad, mn, k: int, max_rows: int, t_words: int,
 
 def pack_affine_jobs(jobs: List[Tuple[str, str, int, int, int, int]],
                      max_rows: int, k: int = K_DEV):
-    """jobs: (pattern, text, pb, pe, tb, te) -> kernel inputs."""
+    """jobs: (pattern, text, pb, pe, tb, te) -> kernel inputs.
+
+    Sequences ship as int8 (codes 0..3, pads -2/-1): H2D bytes are the
+    dominant cost of a dispatch through tunneled TPUs (measured ~130 MB/s;
+    the old int32 arrays cost 4x the wire time), the kernels widen to
+    int32 on load."""
     B = ((len(jobs) + TBA - 1) // TBA) * TBA
-    a = np.zeros((B, max_rows), dtype=np.int32)
+    a = np.zeros((B, max_rows), dtype=np.int8)
     W = 2 * (k + 1)
     ntxt_max = max(len(j[1]) for j in jobs)
-    bpad = np.zeros((B, max(max_rows, ntxt_max) + W + 2), dtype=np.int32)
+    bpad = np.zeros((B, max(max_rows, ntxt_max) + W + 2), dtype=np.int8)
     bpad -= 1
     a -= 2
     mn = np.zeros((B, 8), dtype=np.int32)
     for i, (p, t, pb, pe, tb, te) in enumerate(jobs):
-        pc = _codes(p).astype(np.int32)
-        tc = _codes(t).astype(np.int32)
+        pc = _codes(p).astype(np.int8)
+        tc = _codes(t).astype(np.int8)
         a[i, : len(pc)] = pc
         bpad[i, k + 1 : k + 1 + len(tc)] = tc
         cap = band_validity_cap(len(pc), len(tc), pb, pe, tb, te, k)
         mn[i] = (len(pc), len(tc), pb, tb, pe, te, cap, 0)
     return a, bpad, mn
+
+
+def pack_affine_jobs_pooled(jobs: List[Tuple[str, str, int, int, int, int]],
+                            max_rows: int, k: int = K_DEV):
+    """pack_affine_jobs with the PATTERN side deduplicated: consensus
+    aligns every member against its allele's one medoid rep
+    (analignments.cpp:266-282), so a bucket of B jobs usually carries only
+    a handful of distinct patterns — ship each once and gather on device.
+    Returns (a_pool (U, max_rows) int8, pat_idx (B,), bpad, mn)."""
+    B = ((len(jobs) + TBA - 1) // TBA) * TBA
+    W = 2 * (k + 1)
+    ntxt_max = max(len(j[1]) for j in jobs)
+    bpad = np.zeros((B, max(max_rows, ntxt_max) + W + 2), dtype=np.int8)
+    bpad -= 1
+    mn = np.zeros((B, 8), dtype=np.int32)
+    pat_idx = np.zeros(B, dtype=np.int32)
+    uniq: dict = {}
+    rows: List[np.ndarray] = []
+    for i, (p, t, pb, pe, tb, te) in enumerate(jobs):
+        key = id(p)
+        u = uniq.get(key)
+        if u is None:
+            u = uniq[key] = len(rows)
+            pc = _codes(p).astype(np.int8)
+            row = np.full(max_rows, -2, dtype=np.int8)
+            row[: len(pc)] = pc
+            rows.append(row)
+        pat_idx[i] = u
+        tc = _codes(t).astype(np.int8)
+        bpad[i, k + 1 : k + 1 + len(tc)] = tc
+        cap = band_validity_cap(len(p), len(t), pb, pe, tb, te, k)
+        mn[i] = (len(p), len(t), pb, tb, pe, te, cap, 0)
+    # pad the pool to a power of two so compile shapes stay bounded
+    U = 4
+    while U < len(rows):
+        U *= 2
+    while len(rows) < U:
+        rows.append(np.full(max_rows, -2, dtype=np.int8))
+    a_pool = np.stack(rows)
+    return a_pool, pat_idx, bpad, mn
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "max_rows", "t_words", "track_col",
+                                    "use_ckpt", "interpret"))
+def affine_tb_pooled(a_pool, pat_idx, bpad, mn, k: int, max_rows: int,
+                     t_words: int, track_col: bool, use_ckpt: bool,
+                     interpret: bool = False):
+    """Pattern-pool dispatch: the (B, max_rows) pattern block is an XLA
+    gather in HBM (never crosses the host link), then the regular kernel
+    runs."""
+    a = jnp.take(a_pool, pat_idx, axis=0)
+    run = affine_tb_ckpt_pallas if use_ckpt else affine_tb_pallas
+    return run(a, bpad, mn, k, max_rows, t_words, track_col=track_col,
+               interpret=interpret)
 
 
 _OP_LUT = np.frombuffer(b"?MID", dtype=np.uint8)  # OP_DIAG/INS/DEL -> chars
@@ -767,8 +860,14 @@ def _rows_bucket(m: int) -> int:
 # beyond the nibble kernels' caps run the checkpointed kernel at any band
 _ROWS_CAP = {K_DEV: LP_MAX, K_WIDE: LP_MAX,
              K_ONT: LP_MAX_ONT, K_XWIDE: LP_MAX_XWIDE}
-# nibble (full-bits) kernel caps; (k, rows) beyond these -> ckpt kernel
-_NIBBLE_CAP = {K_DEV: LP_MAX_NARROW, K_WIDE: LP_MAX_WIDE}
+# nibble (full-bits) kernel caps; (k, rows) beyond these -> ckpt kernel.
+# Sized to ~33.5 MiB of bits scratch (rows/2 * TBA * W bytes) under the
+# raised vmem_limit — full bits always beat the ckpt kernel when they fit
+# (no walk-time DP recompute), so k=63 now covers the 16 kb device row cap
+# outright and k=127 to 8192 rows (2026-08-21; caps were 4096/2048 under
+# the old 8 MiB budget, which sent every 10 kb refscale member through
+# the ckpt kernel's extra DP pass)
+_NIBBLE_CAP = {K_DEV: 16384, K_WIDE: 8192}
 
 
 def _t_words(max_rows: int, k: int) -> int:
@@ -874,19 +973,22 @@ def affine_cigars_device_tb(jobs: List[Tuple[str, str, int, int, int, int]],
         buckets: dict = {}
         for idx, bands in pending.items():
             k = bands.pop(0)
-            buckets.setdefault((k, _rows_bucket(len(jobs[idx][0]))),
-                               []).append(idx)
+            # pe == 0 jobs go to track_col=False buckets: the last-column
+            # end-cell scan is compiled out of their DP rows entirely
+            buckets.setdefault((k, _rows_bucket(len(jobs[idx][0])),
+                                jobs[idx][3] > 0), []).append(idx)
         retry: dict = {}
-        for (k, max_rows), idxs in sorted(buckets.items()):
+        for (k, max_rows, track_col), idxs in sorted(buckets.items()):
             t_words = _t_words(max_rows, k)
             sub = [jobs[i] for i in idxs]
-            a, bpad, mn = pack_affine_jobs(sub, max_rows, k)
+            a_pool, pat_idx, bpad, mn = pack_affine_jobs_pooled(sub,
+                                                               max_rows, k)
             nib = _NIBBLE_CAP.get(k)
-            run = (affine_tb_pallas if nib is not None and max_rows <= nib
-                   else affine_tb_ckpt_pallas)
-            obuf, end = run(jnp.asarray(a), jnp.asarray(bpad),
-                            jnp.asarray(mn), k, max_rows, t_words,
-                            interpret=interpret)
+            use_ckpt = not (nib is not None and max_rows <= nib)
+            obuf, end = affine_tb_pooled(
+                jnp.asarray(a_pool), jnp.asarray(pat_idx),
+                jnp.asarray(bpad), jnp.asarray(mn), k, max_rows, t_words,
+                track_col=track_col, use_ckpt=use_ckpt, interpret=interpret)
             obuf = np.asarray(obuf)
             end = np.asarray(end)
             codes_all = _unpack_codes(obuf[: len(sub)], t_words)

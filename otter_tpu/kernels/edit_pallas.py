@@ -646,7 +646,21 @@ class EditDistanceEngine:
         from .myers_pallas import PAIRS_PER_PROG as _PPP
         from .myers_striped import myers_striped_distances
 
-        remaining = list(idxs)
+        # pre-split: a pair is banded-eligible at rung k iff
+        # n-m <= k <= m*BANDED_FRAC and k < n — the interval is fixed per
+        # pair, so pairs with no eligible rung at all go straight to the
+        # striped fallback instead of being re-scanned at every rung
+        remaining = []
+        striped_direct: List[int] = []
+        for i in idxs:
+            x, y = pairs[i]
+            m = min(len(x), len(y))
+            n = max(len(x), len(y))
+            if any(n - m <= kk <= m * self.BANDED_FRAC and kk < n
+                   for kk in self.K_LONG):
+                remaining.append(i)
+            else:
+                striped_direct.append(i)
         for k in self.K_LONG:
             if not remaining:
                 break
@@ -720,6 +734,7 @@ class EditDistanceEngine:
                         else:
                             later.append(idx)
             remaining = later
+        remaining.extend(striped_direct)
         if not remaining:
             return
         # striped full-matrix fallback, bucketed by text length

@@ -15,6 +15,7 @@ sequential host path (emission stays in region order).
 
 from __future__ import annotations
 
+import io
 import os
 
 import numpy as np
@@ -670,6 +671,64 @@ def completed_regions(partial_output_path: str) -> set:
     return done
 
 
+def _record_region(line: str) -> Optional[str]:
+    """Region id (chr:start-end) of one output record line, or None for
+    headers/unparseable lines."""
+    if line.startswith(">"):
+        parts = line[1:].split("#")
+        return parts[1] if len(parts) >= 2 else None
+    for field in line.rstrip("\n").split("\t")[11:]:
+        if field.startswith("ta:Z:"):
+            return field[5:]
+    return None
+
+
+def trim_partial_output(path: str) -> set:
+    """Make a partial (possibly torn) assemble output safe to resume from.
+
+    A killed worker (SIGKILL, OOM, node loss) can leave (a) a truncated
+    final line and (b) a final region whose allele set is incomplete —
+    records of one region are emitted contiguously, so dropping every
+    trailing record of the LAST region id (plus any torn tail) leaves only
+    whole regions. The file is rewritten in place; the surviving region ids
+    (what ``completed_regions`` will report) are returned. Recovery then
+    re-dispatches the worker's shard with ``resume_from`` pointing here —
+    the region is the recovery unit, matching the reference's implicit
+    restartability model (SURVEY.md §5)."""
+    try:
+        with open(path, "rb") as fh:
+            raw = fh.read()
+    except OSError:
+        return set()
+    complete, sep, _torn = raw.rpartition(b"\n")
+    if not sep:
+        complete = b""
+    lines = complete.decode("utf-8", "replace").split("\n") if complete \
+        else []
+    last_region = None
+    for line in reversed(lines):
+        if line.startswith("@"):
+            break
+        last_region = _record_region(line)
+        break
+    keep = len(lines)
+    if last_region is not None:
+        while keep > 0 and not lines[keep - 1].startswith("@") \
+                and _record_region(lines[keep - 1]) == last_region:
+            keep -= 1
+    kept_lines = lines[:keep]
+    with open(path, "w") as fh:
+        for line in kept_lines:
+            fh.write(line + "\n")
+    done = set()
+    for line in kept_lines:
+        if not line.startswith("@"):
+            rid = _record_region(line)
+            if rid:
+                done.add(rid)
+    return done
+
+
 def assemble(bam_path: str, bed: str, reference: str, reads_only: bool,
              params: OtterOpts, out: Optional[TextIO] = None,
              resume_from: str = "") -> None:
@@ -690,7 +749,7 @@ def assemble(bam_path: str, bed: str, reference: str, reads_only: bool,
         sys.stderr.write(
             f"({antimestamp()}): resume: skipping {before - len(bed_regions)} "
             f"completed regions\n")
-    pidx = 0
+    pidx, pcount = 0, 1
     if params.device != "host":
         from ..parallel.distributed import maybe_initialize, shard_regions
         pidx, pcount = maybe_initialize()
@@ -699,13 +758,26 @@ def assemble(bam_path: str, bed: str, reference: str, reads_only: bool,
             sys.stderr.write(
                 f"({antimestamp()}): process {pidx}/{pcount} handling "
                 f"{len(bed_regions)} regions\n")
-    # only the first process emits the header so concatenated per-process
-    # outputs form one valid SAM stream
+    # writer-host gather (OTTER_TPU_GATHER=1): every process's block is
+    # collected to process 0 and emitted there as one stream — the analog
+    # of the reference's stdout mutex (assemble.cpp:42,143-149). Default:
+    # per-process streams whose in-order concatenation is byte-identical.
+    from ..parallel.distributed import gather_enabled, gather_text_to_writer
+    gather = gather_enabled(pcount)
+    body_out: TextIO = io.StringIO() if gather else out
+    # only the first process emits the header so the (concatenated or
+    # gathered) per-process outputs form one valid SAM stream
     if (not params.is_fa) and pidx == 0:
         hdr = BamReader(bam_path, load_index=True)
         for name, ln in zip(hdr.ref_names, hdr.ref_lens):
-            out.write(f"@SQ\tSN:{name}\tLN:{ln}\n")
-        out.write(f"@RG\tID:{params.read_group}\n")
-        out.write(f"@PG\tID:otter\tOF:{params.offset_l},{params.offset_r}\n")
+            body_out.write(f"@SQ\tSN:{name}\tLN:{ln}\n")
+        body_out.write(f"@RG\tID:{params.read_group}\n")
+        body_out.write(
+            f"@PG\tID:otter\tOF:{params.offset_l},{params.offset_r}\n")
         hdr.close()
-    assemble_process(params, bam_path, bed_regions, reference, reads_only, out)
+    assemble_process(params, bam_path, bed_regions, reference, reads_only,
+                     body_out)
+    if gather:
+        full = gather_text_to_writer(body_out.getvalue(), pidx, pcount)
+        if full is not None:
+            out.write(full)

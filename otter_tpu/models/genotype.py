@@ -9,6 +9,7 @@ allele is GT 0, and VCF emission (genotype.cpp:16-67,80-164).
 
 from __future__ import annotations
 
+import io
 import sys
 from typing import List, Optional, TextIO, Tuple
 
@@ -509,7 +510,7 @@ def genotype(params: OtterOpts, bam_path: str, bed: str, reference: str,
     if out is None:
         out = sys.stdout
     regions = parse_bed_file(bed)
-    pidx = 0
+    pidx, pcount = 0, 1
     if params.device != "host":
         from ..parallel.distributed import maybe_initialize, shard_regions
         pidx, pcount = maybe_initialize()
@@ -518,6 +519,11 @@ def genotype(params: OtterOpts, bam_path: str, bed: str, reference: str,
             sys.stderr.write(
                 f"({antimestamp()}): process {pidx}/{pcount} handling "
                 f"{len(regions)} regions\n")
+    # writer-host gather mode: VCF rows collected to process 0
+    # (parallel/distributed.py::gather_text_to_writer)
+    from ..parallel.distributed import gather_enabled, gather_text_to_writer
+    gather = gather_enabled(pcount)
+    body_out = io.StringIO() if gather else out
     si = SampleIndex()
     si.init(bam_path)
     sys.stderr.write(
@@ -528,5 +534,10 @@ def genotype(params: OtterOpts, bam_path: str, bed: str, reference: str,
     si.index2sample.append(REFNAME)
     si.sample2index[REFNAME] = refindex
     if reference and pidx == 0:
-        output_vcf_header(bam_path, si.index2sample, REFNAME, out)
-    genotype_process(params, bam_path, regions, reference, si, refindex, out)
+        output_vcf_header(bam_path, si.index2sample, REFNAME, body_out)
+    genotype_process(params, bam_path, regions, reference, si, refindex,
+                     body_out)
+    if gather:
+        full = gather_text_to_writer(body_out.getvalue(), pidx, pcount)
+        if full is not None:
+            out.write(full)

@@ -714,7 +714,11 @@ def kcounts_native(k: int, seqs) -> np.ndarray:
     out = np.zeros((n, width), dtype=np.float64)
     if n == 0:
         return out
-    blob = "".join(seqs).encode()
+    # latin-1: every accepted char is exactly one byte, so the len(s)
+    # character offsets below stay valid byte offsets (UTF-8 would shift
+    # every subsequent row's window on a non-ASCII char); chars > U+00FF
+    # raise instead of silently corrupting counts
+    blob = "".join(seqs).encode("latin-1")
     buf = np.frombuffer(blob, dtype=np.uint8)
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum([len(s) for s in seqs], out=offs[1:])

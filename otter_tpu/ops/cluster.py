@@ -607,7 +607,11 @@ def anallele_cluster(max_error_l: float, max_error_c: float,
     # HSD is only ever emitted for representative alleles (and the
     # reference allele, genotype.cpp:49-53 via the re-centered reps), so
     # compute the diversity just where it can be read; hsdiv() is
-    # bit-identical scalar-on-demand when the batch precompute is off
+    # bit-identical scalar-on-demand when the batch precompute is off.
+    # CONTRACT: non-representative Genotype.hsd stays at the -1.0
+    # sentinel (the reference sets it for every member,
+    # otterclust.cpp:496) — a consumer reading hsd of a non-rep must
+    # compute it itself, never assume reference-equivalent internal state
     hsd_need = set(gt_reps)
     if hsd_indices is not None:
         hsd_need.update(j for j in hsd_indices

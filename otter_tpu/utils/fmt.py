@@ -8,6 +8,8 @@ Python's ``%g`` implements the same C printf semantics, so we use it directly;
 reference stores them as float before streaming.
 """
 
+import math
+
 import numpy as np
 
 
@@ -30,9 +32,13 @@ def fmt_float(x) -> str:
     """Format a C++ ``float`` the way ``std::cout << x`` would. Memoized:
     tag values (se etc.) repeat heavily across cohort VCF rows."""
     x = float(x)
-    got = _FMT_FLOAT_CACHE.get(x)
+    # key on (value, sign) — 0.0 and -0.0 are ==/hash-equal as dict keys
+    # but C++ iostream prints "-0" for negative zero, so a value-only key
+    # would let whichever sign was cached first win
+    key = (x, math.copysign(1.0, x))
+    got = _FMT_FLOAT_CACHE.get(key)
     if got is None:
         if len(_FMT_FLOAT_CACHE) > 65536:
             _FMT_FLOAT_CACHE.clear()
-        got = _FMT_FLOAT_CACHE[x] = fmt_double(float(np.float32(x)))
+        got = _FMT_FLOAT_CACHE[key] = fmt_double(float(np.float32(x)))
     return got
