@@ -476,10 +476,28 @@ def bench_refscale(tmp):
     run_leg("auto", bed1)  # warm (compiles the long-pair buckets)
     times = []
     out_auto = ""
-    for _ in range(2):
+    # >= 4 reps with the median quoted (VERDICT r4 #7): tunnel latency
+    # bursts make 2-rep numbers swing 2x run to run
+    for _ in range(int(os.environ.get("BENCH_REFSCALE_REPS", "4"))):
         dt, out_auto = run_leg("auto", bed)
         times.append(dt)
     dt_nat, out_nat1 = run_leg("cpu", bed1)
+    # PINNED native baseline (tools/calibrate_refscale.py): the vs-native
+    # multiplier uses the SMALLER of the pinned and live native wall so a
+    # loaded box can only lower the claim, never inflate it
+    dt_nat_claim = dt_nat
+    pinned = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "REFSCALE_BASELINE.json")) as fh:
+            pinned = json.load(fh)
+        if (pinned.get("cov") == cov
+                and pinned.get("allele_bp") == allele_bp
+                and pinned.get("native_region_sec_best")):
+            dt_nat_claim = min(dt_nat,
+                               float(pinned["native_region_sec_best"]))
+    except Exception:
+        pinned = None
     # region-1 byte comparison: same header, same first-region records
     # (allele names are "<chr>:<start>-<end>_<i>", assemble emission order)
     chrom, rstart, rend = open(bed).read().splitlines()[0].split("\t")[:3]
@@ -487,10 +505,18 @@ def bench_refscale(tmp):
     r1_auto = [l for l in out_auto.splitlines()
                if l.startswith("@") or l.split("\t")[0].startswith(prefix)]
     r1_nat = out_nat1.splitlines()
-    return {"refscale_regions_per_sec": round(n_regions / min(times), 4),
+    ts = sorted(times)
+    med = ts[len(ts) // 2] if len(ts) % 2 else 0.5 * (
+        ts[len(ts) // 2 - 1] + ts[len(ts) // 2])
+    return {"refscale_regions_per_sec": round(n_regions / med, 4),
+            "refscale_region_sec_median": round(med / n_regions, 3),
             "refscale_native_region_sec": round(dt_nat, 2),
+            "refscale_native_region_sec_pinned": (
+                round(float(pinned["native_region_sec_best"]), 2)
+                if pinned and pinned.get("native_region_sec_best")
+                else None),
             "refscale_vs_native": round(
-                dt_nat / (min(times) / n_regions), 2),
+                dt_nat_claim / (med / n_regions), 2),
             "refscale_cov": cov, "refscale_allele_bp": allele_bp,
             "refscale_region1_identical":
                 "\n".join(r1_auto) == "\n".join(r1_nat),

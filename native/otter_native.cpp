@@ -10,8 +10,10 @@
 // otter_tpu/kernels/edit_pallas.py: band of diagonals |j - i| <= k; a result
 // <= k is the exact Levenshtein distance.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <cmath>
 #include <algorithm>
 #include <vector>
 #include <thread>
@@ -1386,13 +1388,139 @@ static void hclust_one(const double* cond, int32_t n,
   }
 }
 
+// Square-layout variant for cohort-scale matrices (n >= ~256): identical
+// arithmetic, scan order and tie behavior to hclust_one — every D access
+// reads the symmetric full matrix via the CURRENT row, so the condensed
+// layout's strided column walks (the wall at n = 1001, ~6 cache misses per
+// active index) become contiguous row streams. Lance-Williams writes keep
+// both mirrors in sync; each written value is the same x + y double, so
+// all comparisons (and hence merges/heights) are bit-identical.
+static void hclust_one_sq(const double* cond, int32_t n,
+                          int64_t* merge, double* height) {
+  if (n < 2) return;
+  std::vector<double> D(size_t(n) * n, 0.0);
+  {
+    size_t p = 0;
+    for (int32_t a = 0; a < n; ++a) {
+      double* row = D.data() + size_t(a) * n;
+      for (int32_t b = a + 1; b < n; ++b, ++p) {
+        row[b] = cond[p];
+        D[size_t(b) * n + a] = cond[p];
+      }
+    }
+  }
+  std::vector<double> members(n, 1.0);
+  std::vector<int32_t> succ(n), pred(n);
+  for (int32_t i = 0; i < n; ++i) { succ[i] = i + 1; pred[i] = i - 1; }
+  int32_t start = 0;
+  std::vector<int32_t> m1v, m2v;
+  std::vector<double> mh;
+  m1v.reserve(n - 1); m2v.reserve(n - 1); mh.reserve(n - 1);
+  std::vector<int32_t> chain(n);
+  int32_t tip = 0, idx1 = 0, idx2 = 0;
+  double mind = 0.0;
+  for (int32_t it = 0; it < n - 1; ++it) {
+    if (tip <= 3) {
+      idx1 = start;
+      chain[0] = idx1;
+      tip = 1;
+      idx2 = succ[idx1];
+      const double* r1 = D.data() + size_t(idx1) * n;
+      mind = r1[idx2];
+      for (int32_t i = succ[idx2]; i < n; i = succ[i]) {
+        const double d = r1[i];
+        if (d < mind) { mind = d; idx2 = i; }
+      }
+    } else {
+      tip -= 3;
+      idx1 = chain[tip - 1];
+      idx2 = chain[tip];
+      mind = D[size_t(idx1) * n + idx2];
+    }
+    for (;;) {
+      chain[tip] = idx2;
+      const double* r2 = D.data() + size_t(idx2) * n;
+      for (int32_t i = start; i < idx2; i = succ[i]) {
+        const double d = r2[i];
+        if (d < mind) { mind = d; idx1 = i; }
+      }
+      for (int32_t i = succ[idx2]; i < n; i = succ[i]) {
+        const double d = r2[i];
+        if (d < mind) { mind = d; idx1 = i; }
+      }
+      idx2 = idx1;
+      idx1 = chain[tip];
+      tip += 1;
+      if (idx2 == chain[tip - 2]) break;
+    }
+    m1v.push_back(idx1); m2v.push_back(idx2); mh.push_back(mind);
+    if (idx1 > idx2) std::swap(idx1, idx2);
+    const double size1 = members[idx1], size2 = members[idx2];
+    members[idx2] += members[idx1];
+    {
+      const int32_t p = pred[idx1], s = succ[idx1];
+      if (p < 0) start = s; else succ[p] = s;
+      if (s < n) pred[s] = p;
+    }
+    const double s = size1 / (size1 + size2);
+    const double t = size2 / (size1 + size2);
+    const double* r1 = D.data() + size_t(idx1) * n;
+    double* r2 = D.data() + size_t(idx2) * n;
+    for (int32_t i = start; i < n; i = succ[i]) {
+      if (i == idx2) continue;
+      const double x = s * r1[i];
+      const double y = t * r2[i];
+      const double v = x + y;
+      r2[i] = v;
+      D[size_t(i) * n + idx2] = v;
+    }
+  }
+  const int32_t nm = n - 1;
+  std::vector<int32_t> order(nm);
+  for (int32_t i = 0; i < nm; ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int32_t a, int32_t b) { return mh[a] < mh[b]; });
+  std::vector<int32_t> parent(2 * n - 1);
+  for (int32_t i = 0; i < 2 * n - 1; ++i) parent[i] = i;
+  auto findroot = [&](int32_t x) -> int32_t {
+    int32_t root = x;
+    while (parent[root] != root) root = parent[root];
+    while (parent[x] != root) { const int32_t nx = parent[x]; parent[x] = root; x = nx; }
+    return root;
+  };
+  int32_t next_cluster = n;
+  for (int32_t oi = 0; oi < nm; ++oi) {
+    const int32_t mi = order[oi];
+    int32_t node1 = findroot(m1v[mi]);
+    int32_t node2 = findroot(m2v[mi]);
+    parent[node1] = next_cluster;
+    parent[node2] = next_cluster;
+    ++next_cluster;
+    if (node1 > node2) std::swap(node1, node2);
+    merge[size_t(oi) * 2 + 0] =
+        node1 < n ? -int64_t(node1 + 1) : int64_t(node1 - n + 1);
+    merge[size_t(oi) * 2 + 1] =
+        node2 < n ? -int64_t(node2 + 1) : int64_t(node2 - n + 1);
+    height[oi] = mh[mi];
+  }
+}
+
+static void hclust_dispatch(const double* cond, int32_t n,
+                            int64_t* merge, double* height) {
+  if (n >= 256) {
+    hclust_one_sq(cond, n, merge, height);
+  } else {
+    hclust_one(cond, n, merge, height);
+  }
+}
+
 }  // namespace hclust_nn
 
 extern "C" {
 
 void otter_hclust_average(const double* condensed, int32_t n,
                           int64_t* merge, double* height) {
-  hclust_nn::hclust_one(condensed, n, merge, height);
+  hclust_nn::hclust_dispatch(condensed, n, merge, height);
 }
 
 // Batch over matrices: condensed_all holds each matrix's condensed values
@@ -1727,6 +1855,118 @@ void otter_pack_pool_2bit(const uint8_t* buf, const int64_t* offs,
     for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
     for (auto& th : threads) th.join();
   }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Condensed-space medoid row sums (reference andistmat.cpp:36-50; python
+// oracle ops/distmat.py::DistMatrix.get_medoid). Computes, for every member
+// of a cluster, the f64 row sum over the cluster's other members DIRECTLY
+// from the condensed upper-triangle vector — no (n, n) square is ever
+// materialized (the old to_square dominated the 1001-allele cohort medoid
+// remap, VERDICT r4 #5). Accumulation starts at 0.0 and adds in the given
+// member order, the exact addition order of the scalar reference loop and
+// of the numpy cumsum path; the argmin (incl. numpy's NaN propagation)
+// stays in python over the returned sums.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void otter_medoid_sums(const double* vals, int64_t n, const int64_t* idx,
+                       int64_t m, int32_t n_threads, double* out_sums) {
+  if (n_threads < 1) n_threads = 1;
+  auto worker = [&](int32_t t) {
+    for (int64_t a = t; a < m; a += n_threads) {
+      const int64_t i = idx[a];
+      double s = 0.0;
+      for (int64_t b = 0; b < m; ++b) {
+        const int64_t j = idx[b];
+        if (i == j) continue;  // exact +0.0 in the numpy path: same sum
+        const int64_t lo = i < j ? i : j;
+        const int64_t hi = i < j ? j : i;
+        s += vals[((2 * n - 3 - lo) * lo >> 1) + hi - 1];
+      }
+      out_sums[a] = s;
+    }
+  };
+  // thread spawn costs ~100 us each — only worth it when the O(m^2)
+  // gather-sum dwarfs it (m >= 512 ~ 260k+ condensed reads)
+  if (n_threads == 1 || m < 512) {
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Condensed cosine-dissimilarity gather+round (ops/cluster.py::
+// kusage_cosine_condensed oracle; reference otterclust.cpp:402-420): from a
+// pre-round scaled (n, n) similarity matrix and allele norms, produce the
+// condensed 1 - round3(cos) matrix in one threaded pass. Entries within
+// ``guard`` of a .5 rounding boundary are NOT resolved here — their
+// condensed positions are returned so python can recompute them with the
+// np.dot oracle (bit-exactness of that dot is numpy's, not ours). Per-entry
+// arithmetic (floor(sv+0.5) / ceil(sv-0.5), /1000.0, NaN-norm -> sim 0.0,
+// 1.0 - sim) matches the numpy expressions bit for bit.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t otter_cosine_condensed(const double* scaled, const double* norms,
+                               int64_t n, double guard, int32_t n_threads,
+                               double* out, int64_t* near_pos,
+                               int64_t near_cap, int32_t prescaled) {
+  if (n_threads < 1) n_threads = 1;
+  const int64_t total = n * (n - 1) / 2;
+  std::atomic<int64_t> near_count(0);
+  auto worker = [&](int32_t t) {
+    // contiguous condensed ranges per thread; (i, j) recovered by walking
+    int64_t lo = total * t / n_threads;
+    int64_t hi = total * (t + 1) / n_threads;
+    if (lo >= hi) return;
+    // find row i of condensed position lo
+    int64_t i = 0, row_start = 0;
+    while (row_start + (n - 1 - i) <= lo) {
+      row_start += n - 1 - i;
+      ++i;
+    }
+    int64_t j = i + 1 + (lo - row_start);
+    for (int64_t p = lo; p < hi; ++p) {
+      // prescaled = 0: the raw GEMM dot is divided/scaled here, the same
+      // elementwise f64 ops ( /(ni*nj), *1000.0 ) the python path applies
+      // to the whole matrix — skipping two full-matrix numpy passes
+      const double sv = prescaled
+          ? scaled[i * n + j]
+          : scaled[i * n + j] / (norms[i] * norms[j]) * 1000.0;
+      if (std::isfinite(sv)
+          && std::fabs(std::fabs(sv - std::floor(sv)) - 0.5) < guard) {
+        const int64_t slot = near_count.fetch_add(1);
+        if (slot < near_cap) near_pos[slot] = p;
+      }
+      double sim = (sv >= 0 ? std::floor(sv + 0.5) : std::ceil(sv - 0.5))
+                   / 1000.0;
+      if (std::isnan(norms[i] * norms[j])) sim = 0.0;
+      out[p] = 1.0 - sim;
+      if (++j == n) {
+        ++i;
+        j = i + 1;
+      }
+    }
+  };
+  if (n_threads == 1 || total < 4096) {
+    n_threads = 1;
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+  }
+  return near_count.load();
 }
 
 }  // extern "C"

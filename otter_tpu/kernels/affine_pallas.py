@@ -763,15 +763,19 @@ def pack_affine_jobs(jobs: List[Tuple[str, str, int, int, int, int]],
 
 
 def pack_affine_jobs_pooled(jobs: List[Tuple[str, str, int, int, int, int]],
-                            max_rows: int, k: int = K_DEV):
+                            max_rows: int, k: int = K_DEV,
+                            batch_pad: int = 0, text_pad: int = 0):
     """pack_affine_jobs with the PATTERN side deduplicated: consensus
     aligns every member against its allele's one medoid rep
     (analignments.cpp:266-282), so a bucket of B jobs usually carries only
     a handful of distinct patterns — ship each once and gather on device.
+    batch_pad/text_pad fix the batch and text dimensions to caller-chosen
+    buckets so compile shapes stay bounded (pad tiles cost ~nothing: the
+    kernels' dynamic row bound sees their m = 0).
     Returns (a_pool (U, max_rows) int8, pat_idx (B,), bpad, mn)."""
-    B = ((len(jobs) + TBA - 1) // TBA) * TBA
+    B = max(batch_pad, ((len(jobs) + TBA - 1) // TBA) * TBA)
     W = 2 * (k + 1)
-    ntxt_max = max(len(j[1]) for j in jobs)
+    ntxt_max = max(max(len(j[1]) for j in jobs), text_pad)
     bpad = np.zeros((B, max(max_rows, ntxt_max) + W + 2), dtype=np.int8)
     bpad -= 1
     mn = np.zeros((B, 8), dtype=np.int32)
@@ -978,34 +982,54 @@ def affine_cigars_device_tb(jobs: List[Tuple[str, str, int, int, int, int]],
             buckets.setdefault((k, _rows_bucket(len(jobs[idx][0])),
                                 jobs[idx][3] > 0), []).append(idx)
         retry: dict = {}
-        for (k, max_rows, track_col), idxs in sorted(buckets.items()):
+        for (k, max_rows, track_col), all_idxs in sorted(buckets.items()):
             t_words = _t_words(max_rows, k)
-            sub = [jobs[i] for i in idxs]
-            a_pool, pat_idx, bpad, mn = pack_affine_jobs_pooled(sub,
-                                                               max_rows, k)
             nib = _NIBBLE_CAP.get(k)
             use_ckpt = not (nib is not None and max_rows <= nib)
-            obuf, end = affine_tb_pooled(
-                jnp.asarray(a_pool), jnp.asarray(pat_idx),
-                jnp.asarray(bpad), jnp.asarray(mn), k, max_rows, t_words,
-                track_col=track_col, use_ckpt=use_ckpt, interpret=interpret)
-            obuf = np.asarray(obuf)
-            end = np.asarray(end)
-            codes_all = _unpack_codes(obuf[: len(sub)], t_words)
-            for bi, idx in enumerate(idxs):
-                p, t, pb, pe, tb, te = jobs[idx]
-                m, n = len(p), len(t)
-                score, ei, ej, ok = (int(end[bi, 0]), int(end[bi, 1]),
-                                     int(end[bi, 2]), int(end[bi, 3]))
-                if not ok or score >= band_validity_cap(m, n, pb, pe,
-                                                        tb, te, k):
-                    if pending[idx]:
-                        retry[idx] = pending[idx]
-                    else:
-                        failed.append(idx)
-                    continue
-                row = codes_all[bi]
-                codes = row[row != 0]
-                cigars[idx] = _decode_walk_ops(codes, p, t, ei, ej, m, n)
+            # chunk to power-of-two batch + text buckets: compile shapes
+            # stay a small fixed set across workloads (pad tiles are
+            # skipped by the kernels' dynamic row bound)
+            for c0 in range(0, len(all_idxs), 256):
+                idxs = all_idxs[c0 : c0 + 256]
+                Bp = TBA
+                while Bp < len(idxs):
+                    Bp *= 2
+                sub = [jobs[i] for i in idxs]
+                tl = 256
+                ntxt = max(len(j[1]) for j in sub)
+                while tl < ntxt:
+                    tl *= 2
+                a_pool, pat_idx, bpad, mn = pack_affine_jobs_pooled(
+                    sub, max_rows, k, batch_pad=Bp, text_pad=tl)
+                obuf, end = affine_tb_pooled(
+                    jnp.asarray(a_pool), jnp.asarray(pat_idx),
+                    jnp.asarray(bpad), jnp.asarray(mn), k, max_rows,
+                    t_words, track_col=track_col, use_ckpt=use_ckpt,
+                    interpret=interpret)
+                obuf = np.asarray(obuf)
+                end = np.asarray(end)
+                codes_all = _unpack_codes(obuf[: len(sub)], t_words)
+                _decode_bucket(jobs, idxs, codes_all, end, k, pending,
+                               retry, failed, cigars)
         pending = retry
     return cigars, failed
+
+
+def _decode_bucket(jobs, idxs, codes_all, end, k, pending, retry, failed,
+                   cigars) -> None:
+    """Per-bucket walk decode + escalation routing (see
+    affine_cigars_device_tb)."""
+    for bi, idx in enumerate(idxs):
+        p, t, pb, pe, tb, te = jobs[idx]
+        m, n = len(p), len(t)
+        score, ei, ej, ok = (int(end[bi, 0]), int(end[bi, 1]),
+                             int(end[bi, 2]), int(end[bi, 3]))
+        if not ok or score >= band_validity_cap(m, n, pb, pe, tb, te, k):
+            if pending[idx]:
+                retry[idx] = pending[idx]
+            else:
+                failed.append(idx)
+            continue
+        row = codes_all[bi]
+        codes = row[row != 0]
+        cigars[idx] = _decode_walk_ops(codes, p, t, ei, ej, m, n)

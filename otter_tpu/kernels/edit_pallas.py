@@ -1005,9 +1005,21 @@ class EditDistanceEngine:
         out = np.zeros(len(jobs), dtype=np.int64)
         host: List[int] = []
         buckets: dict = {}
+        zero_idx: List[int] = []
+        zero_pairs: List[Tuple[str, str]] = []
         for idx, job in enumerate(jobs):
             p, t, pb, pe, tb, te = job
             if p == t:
+                continue
+            if not (pb or pe or tb or te):
+                # no frees at all: the ends-free score IS the plain edit
+                # distance — ride the pooled banded-Myers engine (Ukkonen
+                # ladder + pool dedup) instead of the striped full matrix
+                # (a 10 kb consensus-hint job is ~1.3 Mcell banded vs
+                # ~160 Mcell striped; the hint dispatch of a refscale
+                # region is mostly zero-free jobs)
+                zero_idx.append(idx)
+                zero_pairs.append((p, t))
                 continue
             one_sided = not ((pb or pe) and (tb or te))
             if (one_sided and min(len(p), len(t)) > 0
@@ -1036,7 +1048,8 @@ class EditDistanceEngine:
                 mlen_max = max(min(len(j[0]), len(j[1])) for j in sub)
                 self.cells += len(sub) * mlen_max * tl
                 launches.append((chunk, h))
-        return ("live", jobs, out, host, launches)
+        zh = self.distances_async(zero_pairs) if zero_idx else None
+        return ("live", jobs, out, host, launches, zero_idx, zh)
 
     def ends_free_collect(self, handle) -> np.ndarray:
         from ..ops.align_batch import edit_ends_free_batch
@@ -1052,7 +1065,7 @@ class EditDistanceEngine:
                 return edit_ends_free_batch(
                     jobs, banded_runner=self._ends_free_mesh_runner)
             return edit_ends_free_batch(jobs)
-        _t, jobs, out, host, launches = handle
+        _t, jobs, out, host, launches, zero_idx, zh = handle
         # one device-side concat + ONE host materialization across every
         # chunk (like _myers_collect): per-chunk np.asarray would pay the
         # tunnel's D2H latency once per chunk
@@ -1088,6 +1101,10 @@ class EditDistanceEngine:
                                             n_pairs)
                 for bi, idx in enumerate(chunk):
                     out[idx] = int(out_c[bi])
+        if zh is not None:
+            zd = self.distances_collect(zh)
+            for bi, idx in enumerate(zero_idx):
+                out[idx] = int(zd[bi])
         if host:
             d = edit_ends_free_batch([jobs[i] for i in host])
             for bi, idx in enumerate(host):

@@ -283,7 +283,7 @@ def genotype_process_batched(params: OtterOpts, bam_path: str,
          line, emitted in region order.
     """
     from ..ops.cluster import _ROUND_GUARD, kusage_cosine_condensed
-    from ..seqs.kmer import kusage_batch
+    from ..seqs.kmer import kusage_batch_arrays
     from ..utils import metrics
     import numpy as np
 
@@ -299,7 +299,7 @@ def genotype_process_batched(params: OtterOpts, bam_path: str,
             block = results[i][1][0]
             spans[i] = (len(all_seqs), len(block))
             all_seqs.extend(a.seq for a in block)
-        kus_all = kusage_batch(3, all_seqs, eager_hsdiv=False)
+        kus_all, vecs_all, vnorms_all = kusage_batch_arrays(3, all_seqs)
     # pooled cosine GEMM: device f32 einsum over the padded region batch,
     # host f64 BLAS otherwise; certification makes them byte-equivalent
     scaled_by_region = {}
@@ -307,9 +307,8 @@ def genotype_process_batched(params: OtterOpts, bam_path: str,
     norms_by_region = {}
     for i in live:
         s0, cnt = spans[i]
-        kus = kus_all[s0 : s0 + cnt]
-        Vs[i] = np.stack([ku.vec for ku in kus])
-        norms_by_region[i] = np.asarray([ku.vnorm for ku in kus])
+        Vs[i] = vecs_all[s0 : s0 + cnt]
+        norms_by_region[i] = vnorms_all[s0 : s0 + cnt]
     mesh_mode = getattr(params, "device", "") == "mesh"
     use_device = mesh_mode or _genotype_device_default(params)
     guard = _ROUND_GUARD
@@ -366,12 +365,12 @@ def genotype_process_batched(params: OtterOpts, bam_path: str,
             guard = _ROUND_GUARD
     if not scaled_by_region:
         with metrics.phase("genotype_cosine_host"):
+            # raw GEMM only — the /(ni*nj)*1000 scaling happens inside the
+            # native condensed pass (cosine_condensed_native prescaled=
+            # False; numpy fallback applies the identical elementwise ops)
             for i in live:
                 V = Vs[i]
-                nr = norms_by_region[i]
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    scaled_by_region[i] = (
-                        (V @ V.T) / np.outer(nr, nr)) * 1000.0
+                scaled_by_region[i] = ("raw", V @ V.T)
     with metrics.phase("genotype_finish"):
         import io as _io
 

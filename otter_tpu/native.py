@@ -730,3 +730,56 @@ def kcounts_native(k: int, seqs) -> np.ndarray:
         ctypes.c_int32(n), ctypes.c_int32(k), ctypes.c_int32(n_threads),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out
+
+
+def medoid_sums_native(condensed: np.ndarray, n: int,
+                       idx: np.ndarray) -> np.ndarray:
+    """Cluster row sums straight from the condensed matrix (C++,
+    otter_medoid_sums) — the accumulation order matches DistMatrix.
+    get_medoid's cumsum path exactly; caller argmins (numpy semantics)."""
+    lib = get_lib()
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    vals = np.ascontiguousarray(condensed, dtype=np.float64)
+    m = len(idx)
+    out = np.zeros(m, dtype=np.float64)
+    n_threads = min(8, os.cpu_count() or 1)
+    lib.otter_medoid_sums(
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(n),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(m), ctypes.c_int32(n_threads),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
+
+
+def cosine_condensed_native(scaled: np.ndarray, norms: np.ndarray,
+                            guard: float, prescaled: bool = True):
+    """Condensed 1 - round3(cos) from the scaled (n, n) matrix (C++,
+    otter_cosine_condensed). ``prescaled=False`` passes the RAW dot-product
+    matrix and applies /(ni*nj)*1000 inside the C pass (same elementwise
+    f64 ops the python pre-scaling would). Returns (out, near_pos): entries
+    listed in near_pos sit within ``guard`` of a .5 rounding boundary and
+    MUST be recomputed by the caller with the np.dot oracle
+    (kusage_cosine_condensed semantics)."""
+    lib = get_lib()
+    scaled = np.ascontiguousarray(scaled, dtype=np.float64)
+    norms = np.ascontiguousarray(norms, dtype=np.float64)
+    n = scaled.shape[0]
+    total = n * (n - 1) // 2
+    out = np.zeros(total, dtype=np.float64)
+    near_cap = max(1024, total // 64)
+    near_pos = np.zeros(near_cap, dtype=np.int64)
+    n_threads = min(8, os.cpu_count() or 1)
+    lib.otter_cosine_condensed.restype = ctypes.c_int64
+    count = lib.otter_cosine_condensed(
+        scaled.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        norms.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(n), ctypes.c_double(float(guard)),
+        ctypes.c_int32(n_threads),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        near_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(near_cap), ctypes.c_int32(1 if prescaled else 0))
+    if count > near_cap:
+        # overflow (pathological): caller falls back to the numpy path
+        return None, None
+    return out, near_pos[:count]

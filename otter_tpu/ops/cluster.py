@@ -489,12 +489,71 @@ def kusage_cosine_condensed_batch(scaled_list, V_list, norms_list,
     Near-boundary entries still recompute with the per-pair f64 np.dot
     oracle."""
     out: List[Optional[np.ndarray]] = [None] * len(scaled_list)
+
+    def _scaled_of(entry, norms):
+        """Materialize a ("raw", S) entry — the raw GEMM dot matrix whose
+        /(ni*nj)*1000 scaling the native pass applies inline — for the
+        numpy fallback (same elementwise f64 ops, same result)."""
+        if isinstance(entry, tuple) and entry[0] == "raw":
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return (entry[1] / np.outer(norms, norms)) * 1000.0
+        return np.asarray(entry, dtype=np.float64)
+
     groups: dict = {}
     for i, V in enumerate(V_list):
         groups.setdefault(V.shape[0], []).append(i)
+    # native single-pass gather+round for big matrices (cohort scale): the
+    # C++ kernel replicates the per-entry arithmetic below bit for bit and
+    # returns the near-boundary positions for the np.dot oracle recompute
+    # (otter_cosine_condensed; VERDICT r4 #5 — the numpy path's ~15
+    # full-array passes dominated genotype500)
+    if "jax" in sys.modules \
+            and os.environ.get("OTTER_TPU_NATIVE_COSINE", "1") == "1":
+        try:
+            from ..native import cosine_condensed_native
+        except Exception:
+            cosine_condensed_native = None
+        if cosine_condensed_native is not None:
+            for n, members in list(groups.items()):
+                if n < 256:
+                    continue
+                done = []
+                for i in members:
+                    entry = scaled_list[i]
+                    raw = isinstance(entry, tuple) and entry[0] == "raw"
+                    try:
+                        cond, near = cosine_condensed_native(
+                            entry[1] if raw
+                            else np.asarray(entry, dtype=np.float64),
+                            norms_list[i], guard,
+                            prescaled=not raw)
+                    except Exception:
+                        break
+                    if cond is None:
+                        break
+                    if len(near):
+                        V = V_list[i]
+                        norms = norms_list[i]
+                        iu, ju = triu_pair_indices(n)
+                        for p in np.sort(near):
+                            a, b = int(iu[p]), int(ju[p])
+                            dot = float(np.dot(V[a], V[b]))
+                            sv = (dot / (norms[a] * norms[b])) * 1000.0
+                            sim = (np.floor(sv + 0.5) if sv >= 0
+                                   else np.ceil(sv - 0.5)) / 1000.0
+                            if np.isnan(norms[a] * norms[b]):
+                                sim = 0.0
+                            cond[p] = 1.0 - sim
+                    out[i] = cond
+                    done.append(i)
+                rest = [i for i in members if i not in done]
+                if rest:
+                    groups[n] = rest
+                else:
+                    del groups[n]
     for n, members in groups.items():
         iu, ju = triu_pair_indices(n)
-        sv = np.stack([np.asarray(scaled_list[i], dtype=np.float64)[iu, ju]
+        sv = np.stack([_scaled_of(scaled_list[i], norms_list[i])[iu, ju]
                        for i in members])
         finite = np.isfinite(sv)
         near = finite & (np.abs(np.abs(sv - np.floor(sv)) - 0.5) < guard)

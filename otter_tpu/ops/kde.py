@@ -13,6 +13,7 @@ and kde_decision_certified (below) guarantees byte-identical decisions.
 from __future__ import annotations
 
 import math
+import os
 from typing import List, Tuple
 
 import numpy as np
@@ -372,50 +373,56 @@ def kde_decision_certified_scaled_batch(scaled_list, value_lists, bandwidths,
     # ops) as the scalar call
     if np.any(tiny):
         xs = kde_grid(0.0025)[:G]
-        by_n: dict = {}
-        for bi in np.nonzero(np.any(tiny, axis=1))[0]:
-            by_n.setdefault(len(value_lists[gen[bi]]), []).append(int(bi))
-        for n_val, rows in by_n.items():
+        rows_any = [int(bi) for bi in np.nonzero(np.any(tiny, axis=1))[0]]
+
+        def _recompute_row(bi: int) -> None:
             # provably-zero cells need no recompute: when every value is
             # > 39h away, every f64 Gaussian term's exponent is < -746 —
             # past the denormal cutoff (ln 2^-1074 = -744.4) — so each
             # term, the sum, and the oracle's own recomputed cell are all
             # EXACTLY +0.0 (skipping them is bit-identical, not an
             # approximation). Typically prunes the deep tails/valleys,
-            # which are most of a unimodal region's tiny cells; the
-            # per-row sort + searchsorted cost (~µs) is far below the
-            # exp reductions it saves at any value count.
-            T = tiny[rows].copy()
-            for r_i, bi in enumerate(rows):
-                sv = np.sort(np.asarray(value_lists[gen[bi]],
-                                        dtype=np.float64))
-                cols = np.nonzero(T[r_i])[0]
-                x = xs[cols]
-                pos = np.searchsorted(sv, x)
-                dl = np.where(pos > 0, x - sv[np.maximum(pos - 1, 0)],
-                              np.inf)
-                dr = np.where(pos < len(sv),
-                              sv[np.minimum(pos, len(sv) - 1)] - x, np.inf)
-                dead = np.minimum(dl, dr) > 39.0 * bw[bi]
-                raw[bi, cols[dead]] = 0.0
-                T[r_i, cols[dead]] = False
-            rr, cc = np.nonzero(T)
-            if not len(rr):
-                continue
-            rsel = np.asarray(rows, dtype=np.int64)[rr]
-            V = np.stack([np.asarray(value_lists[gen[bi]], dtype=np.float64)
-                          for bi in rows])
-            z = (xs[cc][:, None] - V[rr]) / bw[rsel][:, None]
-            zz = z * z
-            # exp(-zz/2) rounds to exactly +0.0 once zz/2 > 745.2
-            # (ln 2^-1075); masking at zz > 1530 (20 e-orders of margin)
-            # skips the exp for the far terms while the retained entries
-            # are computed on the identical inputs — bit-identical sums
-            near = zz <= 1530.0
-            terms = np.zeros_like(zz)
-            terms[near] = _INV_SQRT_2PI * np.exp(-zz[near] / 2.0)
-            vals = np.sum(terms, axis=1) / (bw[rsel] * n_val)
-            raw[rsel, cc] = vals
+            # which are most of a unimodal region's tiny cells.
+            vals_r = np.asarray(value_lists[gen[bi]], dtype=np.float64)
+            n_val = len(vals_r)
+            h = float(bw[bi])
+            cols = np.nonzero(tiny[bi])[0]
+            sv = np.sort(vals_r)
+            x = xs[cols]
+            pos = np.searchsorted(sv, x)
+            dl = np.where(pos > 0, x - sv[np.maximum(pos - 1, 0)], np.inf)
+            dr = np.where(pos < n_val, sv[np.minimum(pos, n_val - 1)] - x,
+                          np.inf)
+            dead = np.minimum(dl, dr) > 39.0 * h
+            raw[bi, cols[dead]] = 0.0
+            live = cols[~dead]
+            if not len(live):
+                return
+            # in-place elementwise chain; every op bit-identical to
+            # _kde_dens_unnormalized (sub, /h, square, *-0.5 == neg-/2,
+            # exp, *C, contiguous row-sum, /(h*n)). The exp runs on the
+            # FULL row: entries with z^2/2 > 745.2 underflow to exactly
+            # +0.0 (the old near-mask's skipped value), so no masking —
+            # and no fancy-index gather/scatter over the big matrix
+            z = xs[live][:, None] - vals_r[None, :]
+            z /= h
+            z *= z
+            z *= -0.5
+            with np.errstate(under="ignore"):
+                np.exp(z, out=z)
+            z *= _INV_SQRT_2PI
+            raw[bi, live] = np.sum(z, axis=1) / (h * n_val)
+
+        # regions are independent and numpy's ufunc loops release the GIL
+        if len(rows_any) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(8, os.cpu_count() or 1,
+                                        len(rows_any))) as ex:
+                list(ex.map(_recompute_row, rows_any))
+        else:
+            for bi in rows_any:
+                _recompute_row(bi)
     total = np.sum(raw, axis=1)
     bad = ~np.isfinite(total) | (total <= 0.0)
     with np.errstate(invalid="ignore", divide="ignore"):

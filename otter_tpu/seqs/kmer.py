@@ -171,6 +171,21 @@ def kcounts_device(k: int, seqs: List[str]) -> np.ndarray:
     return np.asarray(counts, dtype=np.float64)
 
 
+def kusage_batch_arrays(k: int, seqs: List[str]):
+    """(kus, vecs (N, 4^k+1) f64, vnorms (N,) f64) — kusage_batch plus the
+    underlying batch arrays, so cohort callers can slice views instead of
+    re-stacking 4^k-wide rows object by object."""
+    kus = kusage_batch(k, seqs, eager_hsdiv=False)
+    if not kus:
+        width = int(4 ** k) + 1
+        return kus, np.zeros((0, width)), np.zeros(0)
+    vecs = kus[0].vec.base if kus[0].vec.base is not None else None
+    if vecs is None or vecs.shape[0] != len(kus):
+        vecs = np.stack([ku.vec for ku in kus])
+    vnorms = np.asarray([ku.vnorm for ku in kus], dtype=np.float64)
+    return kus, vecs, vnorms
+
+
 def kusage_batch(k: int, seqs: List[str],
                  eager_hsdiv: bool = True) -> List[Kusage]:
     """Kusage objects for an allele batch with vectorized counts and
