@@ -338,6 +338,73 @@ def _text_bucket(mx_len: int) -> int:
     return -(-mx_len // step) * step
 
 
+_POW2S = np.asarray([128 << s for s in range(16)], dtype=np.int64)
+
+
+def _pow2_at_least(x: np.ndarray, floor: int) -> np.ndarray:
+    """Elementwise smallest power of two >= max(x, floor) (int64)."""
+    xs = np.maximum(np.asarray(x, dtype=np.int64), floor)
+    return _POW2S[np.searchsorted(_POW2S, xs, side="left")]
+
+
+def _text_bucket_vec(mx_len: np.ndarray) -> np.ndarray:
+    """Vectorized _text_bucket (same values per element)."""
+    mx = np.asarray(mx_len, dtype=np.int64)
+    P = _POW2S[np.searchsorted(_POW2S, np.maximum(mx, 1), side="left")]
+    step = np.maximum(16, P // 8)
+    out = -(-mx // step) * step
+    return np.where(P <= 128, 128, out)
+
+
+def _acgt_flags(seqs: List[str]) -> np.ndarray:
+    """(S,) bool: sequence is pure ACGT — one vectorized pass over the
+    concatenated byte blob (per-UNIQUE-sequence cost, not per pair)."""
+    S = len(seqs)
+    if S == 0:
+        return np.zeros(0, dtype=bool)
+    blob = "".join(seqs).encode("latin-1")
+    codes = np.frombuffer(blob, dtype=np.uint8)
+    bad = np.ones(256, dtype=np.uint8)
+    for ch in b"ACGT":
+        bad[ch] = 0
+    flags = bad[codes]
+    offs = np.zeros(S + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=offs[1:])
+    csum = np.zeros(len(flags) + 1, dtype=np.int64)
+    np.cumsum(flags, out=csum[1:])
+    return (csum[offs[1:]] - csum[offs[:-1]]) == 0
+
+
+class IndexedPairs:
+    """Lazy (x, y) pair container over a unique-sequence pool — the
+    indexed engine API's pair view. Supports the subset of the list-of-
+    tuples protocol the collect/fallback paths use (len, [] indexing,
+    iteration); only pairs that are actually touched materialize."""
+
+    __slots__ = ("seqs", "xi", "yi", "lens")
+
+    def __init__(self, seqs: List[str], xi, yi):
+        self.seqs = seqs
+        self.xi = np.asarray(xi, dtype=np.int64)
+        self.yi = np.asarray(yi, dtype=np.int64)
+        self.lens = np.fromiter((len(s) for s in seqs), np.int64,
+                                len(seqs))
+
+    def __len__(self) -> int:
+        return len(self.xi)
+
+    def __getitem__(self, i):
+        return (self.seqs[self.xi[i]], self.seqs[self.yi[i]])
+
+    def __iter__(self):
+        seqs = self.seqs
+        for a, b in zip(self.xi, self.yi):
+            yield (seqs[a], seqs[b])
+
+    def maxlens(self) -> np.ndarray:
+        return np.maximum(self.lens[self.xi], self.lens[self.yi])
+
+
 def _pack_bucket(pairs: List[Tuple[str, str]], k: int,
                  tile_b: int = TILE_B, min_len: int = 1):
     """Pattern = longer string (scan rows), text = shorter (band columns)."""
@@ -790,6 +857,110 @@ class EditDistanceEngine:
         """Exact edit distance per pair (equal/empty shortcuts included)."""
         return self.distances_collect(self.distances_async(pairs))
 
+    def distances_indexed(self, seqs: List[str], xi, yi) -> np.ndarray:
+        """distances() over pair (seqs[xi[p]], seqs[yi[p]]) — see
+        distances_async_indexed."""
+        return self.distances_collect(
+            self.distances_async_indexed(seqs, xi, yi))
+
+    def distances_async_indexed(self, seqs: List[str], xi, yi):
+        """Indexed dispatch: pair p is (seqs[xi[p]], seqs[yi[p]]).
+
+        The reference touches each WFA pair once per thread
+        (analignments.cpp:117-124); the batched engine's remaining host
+        cost was the per-pair python routing loop (~2 us x 32k pairs).
+        Callers that know the pair structure (all-vs-all region sets,
+        src/assemble.cpp's condensed matrices) pass the unique sequence
+        pool plus index arrays instead, and the routing — length/alphabet
+        eligibility, kernel bucketing, text buckets — runs as numpy over
+        the whole batch. Per-sequence work is O(#unique) (~sqrt(2P) for
+        all-vs-all), per-pair work is vectorized. Distances are exact on
+        every route, so routing equivalence is a perf property, not a
+        correctness one."""
+        pv = IndexedPairs(seqs, xi, yi)
+        B = len(pv.xi)
+        out = np.zeros(B, dtype=np.int64)
+        lx = pv.lens[pv.xi]
+        ly = pv.lens[pv.yi]
+        mn = np.minimum(lx, ly)
+        mx = np.maximum(lx, ly)
+        same = pv.xi == pv.yi      # object-level x is y (all-vs-all sets
+        # share objects); equal-content distinct objects route to the
+        # kernels and resolve to the same exact 0
+        empty = (lx == 0) | (ly == 0)
+        out[empty] = mx[empty]
+        todo_mask = ~(same | empty)
+        if self.mode != "pallas":
+            return ("sync", pv, np.nonzero(todo_mask)[0].tolist(), out)
+        acgt_u = _acgt_flags(seqs)
+        pair_ok = acgt_u[pv.xi] & acgt_u[pv.yi]
+        elig = todo_mask & pair_ok & (mx <= self.MYERS_TEXT_CAP)
+        base_cap = self.MYERS_MAX_WORDS * 32
+        base = elig & (mn <= base_cap)
+        striped_m = elig & ~base
+        rest = np.nonzero(todo_mask & ~elig)[0].tolist()
+        if np.any(striped_m):
+            long_idx = np.nonzero(striped_m)[0]
+            # keep the dict path's text-bucket major order
+            tl_long = _pow2_at_least(mx[long_idx], 128)
+            long_idx = long_idx[np.argsort(tl_long, kind="stable")]
+            self._long_pair_route(pv, long_idx.tolist(), out, rest)
+        pending = []
+        bi_all = np.nonzero(base)[0]
+        if len(bi_all):
+            # nw bucket: 4/8/16/32/64 words by shorter-side thresholds;
+            # tl: _text_bucket (pow2/8 steps) — both via searchsorted
+            nw_th = np.asarray([128, 256, 512, 1024], dtype=np.int64)
+            nwi = np.searchsorted(nw_th, mn[bi_all], side="left")
+            tl = _text_bucket_vec(mx[bi_all])
+            order = np.lexsort((tl, nwi))
+            bi_all = bi_all[order]
+            nwi = nwi[order]
+            tl = tl[order]
+            key = nwi * (1 << 20) + tl
+            bounds = np.nonzero(np.diff(key))[0] + 1
+            starts = np.concatenate([[0], bounds, [len(key)]])
+            from .myers_pallas import (PAIRS_PER_PROG, myers_dispatch,
+                                       myers_pool_dispatch_indexed)
+
+            MAX_CHUNK = 8 * PAIRS_PER_PROG
+            use_pool = os.environ.get("OTTER_TPU_MYERS_POOL", "1") == "1"
+            for g in range(len(starts) - 1):
+                members = bi_all[starts[g] : starts[g + 1]]
+                nw = int(4 << int(nwi[starts[g]]))
+                tlen = int(tl[starts[g]])
+                pos = 0
+                while pos < len(members):
+                    rem = len(members) - pos
+                    if rem >= MAX_CHUNK:
+                        take = MAX_CHUNK
+                    else:
+                        take = PAIRS_PER_PROG
+                        while take * 2 <= rem:
+                            take *= 2
+                    chunk = members[pos : pos + take]
+                    pos += take
+                    dev = None
+                    if use_pool:
+                        try:
+                            dev = myers_pool_dispatch_indexed(
+                                pv, chunk, nw, tlen,
+                                interpret=self.interpret, pad_to=take)
+                        except Exception:
+                            dev = None
+                    if dev is None:
+                        sub = [pv[int(i)] for i in chunk]
+                        try:
+                            dev = myers_dispatch(sub, nw, tlen,
+                                                 interpret=self.interpret,
+                                                 pad_to=take)
+                        except Exception:
+                            rest.extend(int(i) for i in chunk)
+                            continue
+                    pending.append((chunk.tolist(), len(chunk), nw, tlen,
+                                    len(chunk) * nw * 32 * tlen, dev))
+        return ("live", pv, pending, rest, out)
+
     def distances_async(self, pairs: List[Tuple[str, str]]):
         """Dispatch phase of distances(): shortcuts resolve immediately and
         every Myers-eligible bucket is launched asynchronously, so the
@@ -842,8 +1013,10 @@ class EditDistanceEngine:
         members = np.concatenate(
             [np.asarray(m, dtype=np.int64) for m, *_ in pending])
         B = len(pairs)
-        maxlen = np.fromiter((max(len(x), len(y)) for x, y in pairs),
-                             dtype=np.float64, count=B)
+        maxlen = (pairs.maxlens().astype(np.float64)
+                  if isinstance(pairs, IndexedPairs) else
+                  np.fromiter((max(len(x), len(y)) for x, y in pairs),
+                              dtype=np.float64, count=B))
         # host-resolved (shortcut) pairs of KDE regions join the
         # exceptional scatter list with their normalized values
         on_dev = np.zeros(B, dtype=bool)

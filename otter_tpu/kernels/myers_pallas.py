@@ -517,6 +517,64 @@ def myers_pool_dispatch(pairs: List[Tuple[str, str]], n_words: int,
                              interpret=interpret)
 
 
+def myers_pool_dispatch_indexed(pv, members: np.ndarray, n_words: int,
+                                text_len: int, interpret: bool = False,
+                                pad_to: int = PAIRS_PER_PROG):
+    """myers_pool_dispatch over an IndexedPairs view: the per-pair python
+    dedup loop becomes np.unique over the chunk's index arrays — per-pair
+    host work is O(1) numpy, per-sequence work runs once per UNIQUE
+    sequence (the 2-bit pool pack). Returns None when dedup would not cut
+    H2D bytes (caller falls back to the direct path), like the list
+    variant."""
+    members = np.asarray(members, dtype=np.int64)
+    xi = pv.xi[members]
+    yi = pv.yi[members]
+    lx = pv.lens[xi]
+    ly = pv.lens[yi]
+    swap = lx > ly
+    pi = np.where(swap, yi, xi)
+    ti = np.where(swap, xi, yi)
+    minits = np.where(swap, ly, lx).astype(np.int32)
+    nlens = np.where(swap, lx, ly).astype(np.int32)
+    cat = np.concatenate([pi, ti])
+    u, inv = np.unique(cat, return_inverse=True)
+    S = len(u)
+    Sp = 8
+    while Sp < S:
+        Sp *= 2
+    n_twords = (text_len + 15) // 16
+    W_pool = max(2 * n_words, n_twords)
+    B = max(pad_to, PAIRS_PER_PROG)
+    direct_bytes = B * (2 * n_words + n_twords + 2) * 4
+    pool_bytes = Sp * W_pool * 4 + B * 16
+    if pool_bytes > 0.7 * direct_bytes:
+        return None
+    seqs_local = [pv.seqs[int(s)] for s in u]
+    pool = np.zeros((Sp, W_pool), dtype=np.int32)
+    if os.environ.get("OTTER_TPU_NATIVE_PACK", "1") == "1":
+        try:
+            from ..native import pack_pool_2bit_native
+
+            pool[:S] = pack_pool_2bit_native(seqs_local, W_pool)
+        except Exception:
+            pool[:S] = pack_pool_2bit(seqs_local, W_pool)
+    else:
+        pool[:S] = pack_pool_2bit(seqs_local, W_pool)
+    P = len(members)
+    ip = np.zeros(B, dtype=np.int32)
+    it = np.zeros(B, dtype=np.int32)
+    nlen = np.zeros(B, dtype=np.int32)
+    minit = np.zeros(B, dtype=np.int32)
+    ip[:P] = inv[:P]
+    it[:P] = inv[P:]
+    nlen[:P] = nlens
+    minit[:P] = minits
+    return myers_pool_pallas(jnp.asarray(pool), jnp.asarray(ip),
+                             jnp.asarray(it), jnp.asarray(nlen),
+                             jnp.asarray(minit), n_words, text_len,
+                             interpret=interpret)
+
+
 def _to_planes(arr_b: np.ndarray, n_prog: int) -> np.ndarray:
     """(..., B) -> (n_prog * prod(...) * TB, 128) row-major per program."""
     lead = arr_b.shape[:-1]

@@ -211,16 +211,15 @@ def finish_region(params: OtterOpts, work: RegionWork,
     emit_region(params, work, clustmsg, alleles, out)
 
 
-def _region_pairs(work: RegionWork):
-    """(i, j, seqs) pair list for a region's valid reads (End2End cases)."""
-    coords = []
-    pairs = []
-    for i in range(len(work.valid_indeces)):
-        for j in range(i + 1, len(work.valid_indeces)):
-            coords.append((i, j))
-            pairs.append((work.reads[work.valid_indeces[i]].seq,
-                          work.reads[work.valid_indeces[j]].seq))
-    return coords, pairs
+def _region_pair_coords(n: int) -> np.ndarray:
+    """(P, 2) condensed-order (i, j) coordinates for n valid reads — the
+    exact row-major upper-triangle order of fill_dist_matrix
+    (analignments.cpp:117-124), so a region's kernel results ARE its
+    DistMatrix.values block."""
+    from ..ops.distmat import triu_pair_indices
+
+    iu, ju = triu_pair_indices(n)
+    return np.column_stack([iu, ju]).astype(np.int64)
 
 
 def process_region_batch(params: OtterOpts, batch: List[RegionWork],
@@ -246,24 +245,46 @@ def _dispatch_batch(params: OtterOpts, batch: List[RegionWork],
     ends-free jobs launch asynchronously here, instead of costing a
     separate post-clustering device round trip per batch
     (assemble.cpp:43's full-overlap model; VERDICT r2 #6)."""
+    from ..kernels.edit_pallas import IndexedPairs
     from ..ops.consensus import reassignment_jobs
 
-    all_pairs = []
+    # unique sequence pool (by object identity — a region's pair set
+    # shares each read.seq object ~n/2 times): per-pair host work becomes
+    # O(1) numpy index math, per-sequence work runs once
+    seq_ids: dict = {}
+    seq_pool: List[str] = []
+
+    def _sid(s: str) -> int:
+        h = id(s)
+        v = seq_ids.get(h)
+        if v is None:
+            v = seq_ids[h] = len(seq_pool)
+            seq_pool.append(s)
+        return v
+
+    xi_parts: List[np.ndarray] = []
+    yi_parts: List[np.ndarray] = []
+    total = 0
     spans = []  # (work, coords, start_index)
     for work in batch:
         if params.max_alleles == 1 or not work.ignore_haps:
             spans.append((work, None, 0))
             continue
-        coords, pairs = _region_pairs(work)
-        spans.append((work, coords, len(all_pairs)))
-        all_pairs.extend(pairs)
+        vid = work.valid_indeces
+        rs = np.fromiter((_sid(work.reads[v].seq) for v in vid),
+                         np.int64, len(vid))
+        coords = _region_pair_coords(len(vid))
+        spans.append((work, coords, total))
+        xi_parts.append(rs[coords[:, 0]])
+        yi_parts.append(rs[coords[:, 1]])
+        total += len(coords)
     # reassignment pools (pair set is label-independent; see docstring).
     # With the -t worker-process pool the finish path re-derives these on
     # host inside the workers (finish_region_worker) — skip the device
     # pre-dispatch entirely there instead of paying for unused work.
     reassign_infos: List = [None] * len(spans)
     pool_ef: list = []
-    e2e_base = len(all_pairs)
+    e2e_base = total
     use_pool = params.threads > 1 and pool is not None
     for si, (work, _c, _s) in enumerate(spans):
         if use_pool or not work.invalid_indeces:
@@ -274,15 +295,30 @@ def _dispatch_batch(params: OtterOpts, batch: List[RegionWork],
         pre, e2e_p, e2e_k, ef_j, ef_k, ef_n = reassignment_jobs(
             work.reads, pseudo)
         reassign_infos[si] = (pre, e2e_p, e2e_k, ef_j, ef_k, ef_n,
-                              len(all_pairs), len(pool_ef))
-        all_pairs.extend(e2e_p)
+                              total, len(pool_ef))
+        if e2e_p:
+            xi_parts.append(np.fromiter((_sid(x) for x, _y in e2e_p),
+                                        np.int64, len(e2e_p)))
+            yi_parts.append(np.fromiter((_sid(y) for _x, y in e2e_p),
+                                        np.int64, len(e2e_p)))
+            total += len(e2e_p)
         pool_ef.extend(ef_j)
+    xi = (np.concatenate(xi_parts) if xi_parts
+          else np.zeros(0, dtype=np.int64))
+    yi = (np.concatenate(yi_parts) if yi_parts
+          else np.zeros(0, dtype=np.int64))
+    all_pairs = IndexedPairs(seq_pool, xi, yi)
     with metrics.phase("device_dispatch"):
-        handle = (dist_backend.engine.distances_async(all_pairs)
-                  if all_pairs else None)
+        handle = None
+        if total:
+            eng = dist_backend.engine
+            if hasattr(eng, "distances_async_indexed"):
+                handle = eng.distances_async_indexed(seq_pool, xi, yi)
+            else:
+                handle = eng.distances_async(all_pairs)
         ef_handle = (dist_backend.engine.ends_free_async(pool_ef)
                      if pool_ef else None)
-    metrics.add("pair_alignments", len(all_pairs) + len(pool_ef))
+    metrics.add("pair_alignments", total + len(pool_ef))
     return spans, all_pairs, handle, reassign_infos, ef_handle, e2e_base
 
 
@@ -361,15 +397,19 @@ def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
             dists = (dist_backend.engine.distances_collect(handle)
                      if handle is not None else [])
 
+    pair_maxlen = all_pairs.maxlens().astype(np.float64)
+    dists_arr = np.asarray(dists, dtype=np.float64)
     for idx, (work, coords, start) in enumerate(spans):
         if coords is None:
             continue
+        # coords are exactly condensed order (_region_pair_coords), so the
+        # result block IS the DistMatrix.values vector — one vectorized
+        # divide replaces the 19900-iteration set_dist loop at cov 200
         distmatrix = DistMatrix(len(work.valid_indeces))
-        for (i, j), d, (x, y) in zip(
-                coords, dists[start : start + len(coords)],
-                all_pairs[start : start + len(coords)]):
-            largest = float(max(len(x), len(y)))
-            distmatrix.set_dist(i, j, d / largest)
+        nv = len(coords)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            distmatrix.values = (dists_arr[start : start + nv]
+                                 / pair_maxlen[start : start + nv])
         matrices[idx] = distmatrix
 
     if params.threads > 1 and pool is not None:
@@ -477,9 +517,9 @@ def _finish_batch(params: OtterOpts, staged, dist_backend, out: TextIO,
         pre = None
         if info is not None:
             pre, e2e_p, e2e_k, ef_j, ef_k, ef_n, eo, fo = info
-            for key, d, (x, y) in zip(e2e_k, dists[eo : eo + len(e2e_p)],
-                                      e2e_p):
-                pre[key] = d / float(max(len(x), len(y)))
+            for key, d, ml in zip(e2e_k, dists[eo : eo + len(e2e_p)],
+                                  pair_maxlen[eo : eo + len(e2e_p)]):
+                pre[key] = d / ml
             for key, d, nrm in zip(ef_k, ef_d[fo : fo + len(ef_j)], ef_n):
                 pre[key] = d / nrm
         with metrics.phase("cluster_consensus"), \

@@ -374,3 +374,32 @@ def test_myers_fused_kernel_interpret():
         jnp.asarray(fused), 4, 256, interpret=True)).reshape(-1)[:len(pairs)]
     want = [edit_distance(a, b) for a, b in pairs]
     assert got.tolist() == want
+
+
+def test_engine_indexed_dispatch_parity():
+    """distances_indexed (the assemble pipeline's vectorized-routing entry,
+    models/assemble.py::_dispatch_batch) matches the list API and the numpy
+    oracle, including the equal-object shortcut, non-ACGT fallback and
+    mixed-length bucketing."""
+    rng = random.Random(4242)
+
+    def acgt(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    base = acgt(200)
+    seqs = [base] + [mutate(rng, base, 0.05) for _ in range(6)]
+    seqs.append(acgt(90))
+    seqs.append("ACGTN" * 30)          # non-ACGT -> banded fallback
+    seqs.append(acgt(400))             # different nw bucket
+    xi, yi = [], []
+    for i in range(len(seqs)):
+        for j in range(i, len(seqs)):  # includes i == j (shortcut)
+            xi.append(i)
+            yi.append(j)
+    eng = EditDistanceEngine(mode="pallas", interpret=True)
+    got = eng.distances_indexed(seqs, np.asarray(xi), np.asarray(yi))
+    pairs = [(seqs[a], seqs[b]) for a, b in zip(xi, yi)]
+    want = np.array([edit_distance(x, y) for x, y in pairs])
+    assert np.array_equal(got, want)
+    got_list = eng.distances(pairs)
+    assert np.array_equal(got_list, want)

@@ -33,7 +33,7 @@ def measure(reps=9, n_pairs=256):
     from otter_tpu.native import edit_distance_batch
 
     rng = random.Random(20260817)
-    pairs = make_workload(rng, n_pairs=n_pairs, length=1024)
+    pairs = make_workload(rng, n_pairs=n_pairs, length=1024)[0]
     edit_distance_batch(pairs, 1)  # warm (page-in, branch predictors)
     rates = []
     for _ in range(reps):
