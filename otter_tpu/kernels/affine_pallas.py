@@ -868,10 +868,12 @@ _ROWS_CAP = {K_DEV: LP_MAX, K_WIDE: LP_MAX,
 # Sized to ~33.5 MiB of bits scratch (rows/2 * TBA * W bytes) under the
 # raised vmem_limit — full bits always beat the ckpt kernel when they fit
 # (no walk-time DP recompute), so k=63 now covers the 16 kb device row cap
-# outright and k=127 to 8192 rows (2026-08-21; caps were 4096/2048 under
-# the old 8 MiB budget, which sent every 10 kb refscale member through
-# the ckpt kernel's extra DP pass)
-_NIBBLE_CAP = {K_DEV: 16384, K_WIDE: 8192}
+# outright, k=127 to 8192 rows, and the ONT-regime bands k=255/511 to
+# 4096/2048 rows — 2.3 kb ONT-error members (the consensus wall of the
+# ONT leg) now take the nibble kernel instead of the ckpt recompute
+# (2026-08-21; caps were 4096/2048 @ k=63/127 only under the old 8 MiB
+# budget)
+_NIBBLE_CAP = {K_DEV: 16384, K_WIDE: 8192, K_ONT: 4096, K_XWIDE: 2048}
 
 
 def _t_words(max_rows: int, k: int) -> int:

@@ -698,6 +698,92 @@ class EditDistanceEngine:
     # approaches the full matrix and the striped kernel wins
     K_LONG = (63, 127, 255, 511, 1023, 2047)
     BANDED_FRAC = 0.25
+    # speculative-ladder budget: launch every admissible rung in one
+    # dispatch when the TOTAL banded cells stay under this (else the
+    # sequential ladder is cheaper than the extra compute)
+    SPEC_CELL_CAP = float(os.environ.get("OTTER_TPU_SPEC_CELLS", "2e9"))
+
+    def _pair_rungs(self, m: int, n: int) -> List[int]:
+        return [kk for kk in self.K_LONG
+                if n - m <= kk <= m * self.BANDED_FRAC and kk < n]
+
+    def _speculative_banded(self, pairs, remaining, out) -> List[int]:
+        """Launch every pair's admissible rungs concurrently and collect
+        once; returns the still-unresolved indices (empty list input or a
+        too-big batch returns ``remaining`` unchanged for the sequential
+        ladder)."""
+        from .myers_banded import myers_banded_pool_launch
+        from .myers_pallas import PAIRS_PER_PROG as _PPP
+
+        if not remaining:
+            return remaining
+        rungs = {}
+        total_cells = 0.0
+        for i in remaining:
+            x, y = pairs[i]
+            m = min(len(x), len(y))
+            n = max(len(x), len(y))
+            rl = self._pair_rungs(m, n)
+            rungs[i] = rl
+            for kk in rl:
+                total_cells += n * 2.0 * (kk + 1)
+        if total_cells > self.SPEC_CELL_CAP:
+            return remaining
+        buckets: dict = {}
+        for i in remaining:
+            x, y = pairs[i]
+            m = min(len(x), len(y))
+            n = max(len(x), len(y))
+            nw = 4
+            while nw * 32 < m:
+                nw *= 2
+            tl = 128
+            while tl < n:
+                tl *= 2
+            for kk in rungs[i]:
+                buckets.setdefault((kk, nw, tl), []).append(i)
+        launches = []
+        failed: List[int] = []
+        for (kk, nw, tl), members in sorted(buckets.items()):
+            for c0 in range(0, len(members), 8 * _PPP):
+                chunk = members[c0 : c0 + 8 * _PPP]
+                sub = [pairs[i] for i in chunk]
+                try:
+                    dev = myers_banded_pool_launch(
+                        sub, nw, tl, kk, interpret=self.interpret)
+                except Exception:
+                    failed.extend(chunk)
+                    continue
+                for a, b in sub:
+                    self.cells += max(len(a), len(b)) * min(
+                        min(len(a), len(b)), 2 * (kk + 1))
+                launches.append((kk, chunk, dev))
+        if not launches:
+            return remaining
+        try:
+            import jax.numpy as jnp
+
+            flat = np.asarray(jnp.concatenate(
+                [dev.reshape(-1)[: len(chunk)]
+                 for _kk, chunk, dev in launches]))
+        except Exception:
+            return remaining
+        best: dict = {}
+        offset = 0
+        for kk, chunk, _dev in launches:
+            d = flat[offset : offset + len(chunk)]
+            offset += len(chunk)
+            for bi, idx in enumerate(chunk):
+                if d[bi] <= kk and kk < best.get(idx, (1 << 30,))[0]:
+                    best[idx] = (kk, int(d[bi]))
+        leftovers: List[int] = []
+        for i in remaining:
+            got = best.get(i)
+            if got is not None:
+                out[i] = got[1]
+            else:
+                leftovers.append(i)
+        return leftovers
 
     def _long_pair_route(self, pairs, idxs, out, rest) -> None:
         """Long ACGT pairs (shorter side past the base kernel's 64 words):
@@ -728,6 +814,14 @@ class EditDistanceEngine:
                 remaining.append(i)
             else:
                 striped_direct.append(i)
+        # SPECULATIVE ladder for small batches: through a high-RTT tunnel
+        # each sequential rung pays a full device round trip (~40 ms),
+        # which dominates a 150-pair hint dispatch; launching every
+        # admissible rung at once and collecting ONCE trades ~2x banded
+        # cells (geometric rungs) for a single round trip. Big batches
+        # (cell-bound, e.g. the 19900-pair refscale matrices) keep the
+        # sequential ladder.
+        remaining = self._speculative_banded(pairs, remaining, out)
         for k in self.K_LONG:
             if not remaining:
                 break
@@ -1178,6 +1272,7 @@ class EditDistanceEngine:
         out = np.zeros(len(jobs), dtype=np.int64)
         host: List[int] = []
         buckets: dict = {}
+        banded_long: List[int] = []
         zero_idx: List[int] = []
         zero_pairs: List[Tuple[str, str]] = []
         for idx, job in enumerate(jobs):
@@ -1198,6 +1293,14 @@ class EditDistanceEngine:
             if (one_sided and min(len(p), len(t)) > 0
                     and max(len(p), len(t)) <= self.MYERS_TEXT_CAP
                     and _is_acgt(p) and _is_acgt(t)):
+                # long free-less side: banded ends-free ladder first — the
+                # striped kernel pays the FULL m x n matrix where a band of
+                # (tb + 2k) diagonals suffices for <= k edits (reference
+                # ends-free reassignment, analignments.cpp:88-96; VERDICT
+                # r4 #2: long-read reassignment was striped full-matrix)
+                if min(len(p), len(t)) > 2048:
+                    banded_long.append(idx)
+                    continue
                 # bucket by the padded length of the free side (the Myers
                 # text after orientation) to bound the compile-shape set
                 tlen = len(p) if (pb or pe) else len(t)
@@ -1208,6 +1311,16 @@ class EditDistanceEngine:
             else:
                 host.append(idx)
         launches = []
+        if banded_long:
+            for idx in self._ends_free_banded_route(jobs, banded_long, out):
+                p, t, pb, pe, tb, te = jobs[idx]
+                tlen = len(p) if (pb or pe) else len(t)
+                tl = 128
+                while tl < tlen:
+                    tl *= 2
+                buckets.setdefault(tl, []).append(idx)
+        # striped buckets launch AFTER the banded ladder so its leftovers
+        # ride the same dispatch
         for tl, members in sorted(buckets.items()):
             for c0 in range(0, len(members), PAIRS_PER_PROG):
                 chunk = members[c0 : c0 + PAIRS_PER_PROG]
@@ -1223,6 +1336,172 @@ class EditDistanceEngine:
                 launches.append((chunk, h))
         zh = self.distances_async(zero_pairs) if zero_idx else None
         return ("live", jobs, out, host, launches, zero_idx, zh)
+
+    def _speculative_banded_ef(self, orient, remaining, out) -> List[int]:
+        """Speculative rung launch for the ends-free banded ladder (same
+        rationale/budget as _speculative_banded)."""
+        from .myers_banded import myers_banded_ends_free_launch
+        from .myers_pallas import PAIRS_PER_PROG as _PPP
+
+        if not remaining:
+            return remaining
+        rungs = {}
+        total_cells = 0.0
+        for i in remaining:
+            mp, mt, tb, _te = orient[i]
+            klo_b = 1 << max(6, (max(tb, 1) - 1).bit_length())
+            rl = [kk for kk in self.K_LONG
+                  if klo_b + 2 * kk <= len(mp) * self.BANDED_FRAC
+                  and kk < len(mt)]
+            rungs[i] = (klo_b, rl)
+            for kk in rl:
+                total_cells += len(mt) * (klo_b + 2.0 * (kk + 1))
+        if total_cells > self.SPEC_CELL_CAP:
+            return remaining
+        buckets: dict = {}
+        for i in remaining:
+            mp, mt, _tb, _te = orient[i]
+            klo_b, rl = rungs[i]
+            nw = 4
+            while nw * 32 < len(mp):
+                nw *= 2
+            tl = 128
+            while tl < len(mt):
+                tl *= 2
+            for kk in rl:
+                buckets.setdefault((kk, nw, tl, klo_b), []).append(i)
+        launches = []
+        for (kk, nw, tl, klo_b), members in sorted(buckets.items()):
+            for c0 in range(0, len(members), 8 * _PPP):
+                chunk = members[c0 : c0 + 8 * _PPP]
+                sub = [orient[i] for i in chunk]
+                try:
+                    dev = myers_banded_ends_free_launch(
+                        sub, nw, tl, kk, klo_b, interpret=self.interpret)
+                except Exception:
+                    continue
+                for mp, mt, _tb, _te in sub:
+                    self.cells += len(mt) * min(len(mp),
+                                                klo_b + 2 * (kk + 1))
+                launches.append((kk, chunk, dev))
+        if not launches:
+            return remaining
+        try:
+            flat = np.asarray(jnp.concatenate(
+                [dev.reshape(-1)[: len(chunk)]
+                 for _kk, chunk, dev in launches]))
+        except Exception:
+            return remaining
+        best: dict = {}
+        offset = 0
+        for kk, chunk, _dev in launches:
+            d = flat[offset : offset + len(chunk)]
+            offset += len(chunk)
+            for bi, idx in enumerate(chunk):
+                if d[bi] <= kk and kk < best.get(idx, (1 << 30,))[0]:
+                    best[idx] = (kk, int(d[bi]))
+        leftovers: List[int] = []
+        for i in remaining:
+            got = best.get(i)
+            if got is not None:
+                out[i] = got[1]
+            else:
+                leftovers.append(i)
+        return leftovers
+
+    def _ends_free_banded_route(self, jobs, idxs, out) -> List[int]:
+        """Banded ends-free Ukkonen ladder for long one-sided ACGT jobs
+        (kernels/myers_banded.py ends-free section): band of klo + 2k
+        diagonals instead of the striped kernel's full m x n matrix.
+        Resolves what it can exactly (computed <= k); returns the indices
+        that must fall back to the striped kernel."""
+        from .myers_banded import myers_banded_ends_free_launch
+        from .myers_pallas import PAIRS_PER_PROG as _PPP
+
+        orient = {}
+        for i in idxs:
+            p, t, pb, pe, tb, te = jobs[i]
+            # Myers pattern := the free-less side; text carries the frees
+            orient[i] = (t, p, pb, pe) if (pb or pe) else (p, t, tb, te)
+        # pre-split: a job whose window (klo + 2k) can never stay well
+        # under the full matrix goes straight to striped
+        remaining = []
+        striped_direct: List[int] = []
+        k_min = self.K_LONG[0]
+        for i in idxs:
+            mp, mt, tb, _te = orient[i]
+            klo_b = 1 << max(6, (max(tb, 1) - 1).bit_length())
+            if klo_b + 2 * k_min <= len(mp) * self.BANDED_FRAC:
+                remaining.append(i)
+            else:
+                striped_direct.append(i)
+        remaining = self._speculative_banded_ef(orient, remaining, out)
+        for k in self.K_LONG:
+            if not remaining:
+                break
+            now: List[int] = []
+            later: List[int] = []
+            for i in remaining:
+                mp, mt, tb, _te = orient[i]
+                klo_b = 1 << max(6, (max(tb, 1) - 1).bit_length())
+                if klo_b + 2 * k > len(mp) * self.BANDED_FRAC \
+                        or k >= len(mt):
+                    later.append(i)
+                else:
+                    now.append(i)
+            if not now:
+                remaining = later
+                continue
+            bks: dict = {}
+            for i in now:
+                mp, mt, tb, _te = orient[i]
+                nw = 4
+                while nw * 32 < len(mp):
+                    nw *= 2
+                tl = 128
+                while tl < len(mt):
+                    tl *= 2
+                klo_b = 1 << max(6, (max(tb, 1) - 1).bit_length())
+                bks.setdefault((nw, tl, klo_b), []).append(i)
+            rung_launches = []
+            for (nw, tl, klo_b), members in sorted(bks.items()):
+                for c0 in range(0, len(members), 8 * _PPP):
+                    chunk = members[c0 : c0 + 8 * _PPP]
+                    sub = [orient[i] for i in chunk]
+                    try:
+                        dev = myers_banded_ends_free_launch(
+                            sub, nw, tl, k, klo_b,
+                            interpret=self.interpret)
+                    except Exception:
+                        later.extend(chunk)
+                        continue
+                    for mp, mt, tb, _te in sub:
+                        self.cells += len(mt) * min(len(mp),
+                                                    klo_b + 2 * (k + 1))
+                    rung_launches.append((chunk, dev))
+            flat = None
+            if rung_launches:
+                try:
+                    flat = np.asarray(jnp.concatenate(
+                        [dev.reshape(-1)[: len(chunk)]
+                         for chunk, dev in rung_launches]))
+                except Exception:
+                    flat = None
+            if flat is None:
+                for chunk, _dev in rung_launches:
+                    later.extend(chunk)
+            else:
+                offset = 0
+                for chunk, _dev in rung_launches:
+                    d = flat[offset : offset + len(chunk)]
+                    offset += len(chunk)
+                    for bi, idx in enumerate(chunk):
+                        if d[bi] <= k:
+                            out[idx] = int(d[bi])
+                        else:
+                            later.append(idx)
+            remaining = later
+        return remaining + striped_direct
 
     def ends_free_collect(self, handle) -> np.ndarray:
         from ..ops.align_batch import edit_ends_free_batch
