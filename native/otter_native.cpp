@@ -1535,9 +1535,9 @@ void otter_hclust_average_batch(const double* condensed_all,
   if (n_threads < 1) n_threads = 1;
   auto worker = [&](int32_t t) {
     for (int32_t b = t; b < n_mats; b += n_threads) {
-      hclust_nn::hclust_one(condensed_all + cond_off[b], ns[b],
-                            merge_all + merge_off[b],
-                            height_all + height_off[b]);
+      hclust_nn::hclust_dispatch(condensed_all + cond_off[b], ns[b],
+                                 merge_all + merge_off[b],
+                                 height_all + height_off[b]);
     }
   };
   if (n_threads == 1) {
@@ -1891,8 +1891,10 @@ void otter_medoid_sums(const double* vals, int64_t n, const int64_t* idx,
     }
   };
   // thread spawn costs ~100 us each — only worth it when the O(m^2)
-  // gather-sum dwarfs it (m >= 512 ~ 260k+ condensed reads)
+  // gather-sum dwarfs it (m >= 512 ~ 260k+ condensed reads). n_threads
+  // MUST drop to 1 before the single call: worker strides by it
   if (n_threads == 1 || m < 512) {
+    n_threads = 1;
     worker(0);
   } else {
     std::vector<std::thread> threads;

@@ -362,7 +362,14 @@ def _acgt_flags(seqs: List[str]) -> np.ndarray:
     S = len(seqs)
     if S == 0:
         return np.zeros(0, dtype=bool)
-    blob = "".join(seqs).encode("latin-1")
+    try:
+        blob = "".join(seqs).encode("latin-1")
+    except UnicodeEncodeError:
+        # a char > U+00FF anywhere: per-seq fallback (such sequences are
+        # simply non-ACGT; the rest keep their exact flags)
+        from .myers import is_acgt
+
+        return np.asarray([is_acgt(s) for s in seqs], dtype=bool)
     codes = np.frombuffer(blob, dtype=np.uint8)
     bad = np.ones(256, dtype=np.uint8)
     for ch in b"ACGT":
@@ -707,16 +714,17 @@ class EditDistanceEngine:
         return [kk for kk in self.K_LONG
                 if n - m <= kk <= m * self.BANDED_FRAC and kk < n]
 
-    def _speculative_banded(self, pairs, remaining, out) -> List[int]:
+    def _speculative_banded(self, pairs, remaining, out):
         """Launch every pair's admissible rungs concurrently and collect
-        once; returns the still-unresolved indices (empty list input or a
-        too-big batch returns ``remaining`` unchanged for the sequential
-        ladder)."""
+        once; returns (sequential_leftovers, rung_exhausted) — the second
+        list had every admissible rung disproven and goes straight to the
+        striped fallback. An empty input or a too-big batch returns
+        ``remaining`` unchanged for the sequential ladder."""
         from .myers_banded import myers_banded_pool_launch
         from .myers_pallas import PAIRS_PER_PROG as _PPP
 
         if not remaining:
-            return remaining
+            return remaining, []
         rungs = {}
         total_cells = 0.0
         for i in remaining:
@@ -728,7 +736,7 @@ class EditDistanceEngine:
             for kk in rl:
                 total_cells += n * 2.0 * (kk + 1)
         if total_cells > self.SPEC_CELL_CAP:
-            return remaining
+            return remaining, []
         buckets: dict = {}
         for i in remaining:
             x, y = pairs[i]
@@ -743,7 +751,6 @@ class EditDistanceEngine:
             for kk in rungs[i]:
                 buckets.setdefault((kk, nw, tl), []).append(i)
         launches = []
-        failed: List[int] = []
         for (kk, nw, tl), members in sorted(buckets.items()):
             for c0 in range(0, len(members), 8 * _PPP):
                 chunk = members[c0 : c0 + 8 * _PPP]
@@ -752,38 +759,42 @@ class EditDistanceEngine:
                     dev = myers_banded_pool_launch(
                         sub, nw, tl, kk, interpret=self.interpret)
                 except Exception:
-                    failed.extend(chunk)
-                    continue
+                    continue  # chunk retries on the sequential ladder
                 for a, b in sub:
                     self.cells += max(len(a), len(b)) * min(
                         min(len(a), len(b)), 2 * (kk + 1))
                 launches.append((kk, chunk, dev))
         if not launches:
-            return remaining
+            return remaining, []
         try:
-            import jax.numpy as jnp
-
             flat = np.asarray(jnp.concatenate(
                 [dev.reshape(-1)[: len(chunk)]
                  for _kk, chunk, dev in launches]))
         except Exception:
-            return remaining
+            return remaining, []
         best: dict = {}
+        ran: dict = {}
         offset = 0
         for kk, chunk, _dev in launches:
             d = flat[offset : offset + len(chunk)]
             offset += len(chunk)
             for bi, idx in enumerate(chunk):
+                ran[idx] = ran.get(idx, 0) + 1
                 if d[bi] <= kk and kk < best.get(idx, (1 << 30,))[0]:
                     best[idx] = (kk, int(d[bi]))
         leftovers: List[int] = []
+        exhausted: List[int] = []
         for i in remaining:
             got = best.get(i)
             if got is not None:
                 out[i] = got[1]
+            elif ran.get(i, 0) >= len(rungs[i]):
+                # every admissible rung ran and failed: the sequential
+                # ladder would only re-disprove them — straight to striped
+                exhausted.append(i)
             else:
                 leftovers.append(i)
-        return leftovers
+        return leftovers, exhausted
 
     def _long_pair_route(self, pairs, idxs, out, rest) -> None:
         """Long ACGT pairs (shorter side past the base kernel's 64 words):
@@ -821,7 +832,9 @@ class EditDistanceEngine:
         # cells (geometric rungs) for a single round trip. Big batches
         # (cell-bound, e.g. the 19900-pair refscale matrices) keep the
         # sequential ladder.
-        remaining = self._speculative_banded(pairs, remaining, out)
+        remaining, spec_exhausted = self._speculative_banded(pairs,
+                                                             remaining, out)
+        striped_direct.extend(spec_exhausted)
         for k in self.K_LONG:
             if not remaining:
                 break
@@ -1337,14 +1350,14 @@ class EditDistanceEngine:
         zh = self.distances_async(zero_pairs) if zero_idx else None
         return ("live", jobs, out, host, launches, zero_idx, zh)
 
-    def _speculative_banded_ef(self, orient, remaining, out) -> List[int]:
+    def _speculative_banded_ef(self, orient, remaining, out):
         """Speculative rung launch for the ends-free banded ladder (same
-        rationale/budget as _speculative_banded)."""
+        rationale/budget/returns as _speculative_banded)."""
         from .myers_banded import myers_banded_ends_free_launch
         from .myers_pallas import PAIRS_PER_PROG as _PPP
 
         if not remaining:
-            return remaining
+            return remaining, []
         rungs = {}
         total_cells = 0.0
         for i in remaining:
@@ -1357,7 +1370,7 @@ class EditDistanceEngine:
             for kk in rl:
                 total_cells += len(mt) * (klo_b + 2.0 * (kk + 1))
         if total_cells > self.SPEC_CELL_CAP:
-            return remaining
+            return remaining, []
         buckets: dict = {}
         for i in remaining:
             mp, mt, _tb, _te = orient[i]
@@ -1379,35 +1392,40 @@ class EditDistanceEngine:
                     dev = myers_banded_ends_free_launch(
                         sub, nw, tl, kk, klo_b, interpret=self.interpret)
                 except Exception:
-                    continue
+                    continue  # chunk retries on the sequential ladder
                 for mp, mt, _tb, _te in sub:
                     self.cells += len(mt) * min(len(mp),
                                                 klo_b + 2 * (kk + 1))
                 launches.append((kk, chunk, dev))
         if not launches:
-            return remaining
+            return remaining, []
         try:
             flat = np.asarray(jnp.concatenate(
                 [dev.reshape(-1)[: len(chunk)]
                  for _kk, chunk, dev in launches]))
         except Exception:
-            return remaining
+            return remaining, []
         best: dict = {}
+        ran: dict = {}
         offset = 0
         for kk, chunk, _dev in launches:
             d = flat[offset : offset + len(chunk)]
             offset += len(chunk)
             for bi, idx in enumerate(chunk):
+                ran[idx] = ran.get(idx, 0) + 1
                 if d[bi] <= kk and kk < best.get(idx, (1 << 30,))[0]:
                     best[idx] = (kk, int(d[bi]))
         leftovers: List[int] = []
+        exhausted: List[int] = []
         for i in remaining:
             got = best.get(i)
             if got is not None:
                 out[i] = got[1]
+            elif ran.get(i, 0) >= len(rungs[i][1]):
+                exhausted.append(i)
             else:
                 leftovers.append(i)
-        return leftovers
+        return leftovers, exhausted
 
     def _ends_free_banded_route(self, jobs, idxs, out) -> List[int]:
         """Banded ends-free Ukkonen ladder for long one-sided ACGT jobs
@@ -1435,7 +1453,9 @@ class EditDistanceEngine:
                 remaining.append(i)
             else:
                 striped_direct.append(i)
-        remaining = self._speculative_banded_ef(orient, remaining, out)
+        remaining, ef_exhausted = self._speculative_banded_ef(orient,
+                                                              remaining, out)
+        striped_direct.extend(ef_exhausted)
         for k in self.K_LONG:
             if not remaining:
                 break

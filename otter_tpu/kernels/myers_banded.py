@@ -427,32 +427,15 @@ def myers_banded_pool_pallas(pool_peq, pool_t, idx_p, idx_t, nlen, selw,
         n_words=n_words, text_len=text_len, k=k, interpret=interpret)
 
 
-def myers_banded_pool_launch(pairs: List[Tuple[str, str]], n_words: int,
-                             text_len: int, k: int,
-                             interpret: bool = False):
-    """Async pool-dedup banded dispatch (same contract as
-    myers_banded_launch; scores > k escalate)."""
-    PAIRS = TB * LANES
-    B = len(pairs)
-    Bp = PAIRS
-    while Bp < B:
-        Bp += PAIRS
+def _dedup_oriented(oriented) -> Tuple[List[str], list, list]:
+    """id()-keyed unique-sequence pool over (pattern, text) tuples ->
+    (seqs, idx_p list, idx_t list). Shared by the End2End and ends-free
+    pool launches (a fix to the dedup applies once)."""
     uniq: dict = {}
     uniq_get = uniq.get
     idx_p_l: list = []
     idx_t_l: list = []
-    mlen_l: list = []
-    nlen_l: list = []
-    for x, y in pairs:
-        lx, ly = len(x), len(y)
-        if lx <= ly:
-            p, t = x, y
-            mlen_l.append(lx)
-            nlen_l.append(ly)
-        else:
-            p, t = y, x
-            mlen_l.append(ly)
-            nlen_l.append(lx)
+    for p, t in oriented:
         h = id(p)
         row = uniq_get(h)
         if row is None:
@@ -463,10 +446,36 @@ def myers_banded_pool_launch(pairs: List[Tuple[str, str]], n_words: int,
         if row is None:
             row = uniq[h] = (len(uniq), t)
         idx_t_l.append(row[0])
-    S = len(uniq)
-    seqs: List[str] = [None] * S  # type: ignore
+    seqs: List[str] = [None] * len(uniq)  # type: ignore
     for _h, (row, s) in uniq.items():
         seqs[row] = s
+    return seqs, idx_p_l, idx_t_l
+
+
+def myers_banded_pool_launch(pairs: List[Tuple[str, str]], n_words: int,
+                             text_len: int, k: int,
+                             interpret: bool = False):
+    """Async pool-dedup banded dispatch (same contract as
+    myers_banded_launch; scores > k escalate)."""
+    PAIRS = TB * LANES
+    B = len(pairs)
+    Bp = PAIRS
+    while Bp < B:
+        Bp += PAIRS
+    oriented = []
+    mlen_l: list = []
+    nlen_l: list = []
+    for x, y in pairs:
+        lx, ly = len(x), len(y)
+        if lx <= ly:
+            oriented.append((x, y))
+            mlen_l.append(lx)
+            nlen_l.append(ly)
+        else:
+            oriented.append((y, x))
+            mlen_l.append(ly)
+            nlen_l.append(lx)
+    seqs, idx_p_l, idx_t_l = _dedup_oriented(oriented)
     n_twords = (text_len + 15) // 16
     pool_peq = pack_peq_pool(seqs, n_words)
     pool_t = pack_text_pool(seqs, n_twords)
@@ -779,25 +788,8 @@ def myers_banded_ends_free_launch(jobs, n_words: int, text_len: int,
     Bp = PAIRS
     while Bp < B:
         Bp += PAIRS
-    uniq: dict = {}
-    uniq_get = uniq.get
-    idx_p_l: list = []
-    idx_t_l: list = []
-    for p, t, _tb, _te in jobs:
-        h = id(p)
-        row = uniq_get(h)
-        if row is None:
-            row = uniq[h] = (len(uniq), p)
-        idx_p_l.append(row[0])
-        h = id(t)
-        row = uniq_get(h)
-        if row is None:
-            row = uniq[h] = (len(uniq), t)
-        idx_t_l.append(row[0])
-    S = len(uniq)
-    seqs: List[str] = [None] * S  # type: ignore
-    for _h, (row, s) in uniq.items():
-        seqs[row] = s
+    seqs, idx_p_l, idx_t_l = _dedup_oriented(
+        [(p, t) for p, t, _tb, _te in jobs])
     n_twords = (text_len + 15) // 16
     pool_peq = pack_peq_pool(seqs, n_words)
     pool_t = pack_text_pool(seqs, n_twords)

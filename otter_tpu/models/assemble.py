@@ -745,16 +745,32 @@ def trim_partial_output(path: str) -> set:
         complete = b""
     lines = complete.decode("utf-8", "replace").split("\n") if complete \
         else []
-    last_region = None
-    for line in reversed(lines):
+    # region id per line, with FASTA sequence lines (no id of their own)
+    # inheriting the preceding header's region — a record is header +
+    # sequence, and both must go if the record's region is trimmed
+    regions_per_line: List[Optional[str]] = []
+    cur: Optional[str] = None
+    for line in lines:
         if line.startswith("@"):
+            regions_per_line.append(None)  # SAM header: never trimmed
+            cur = None
+        elif line.startswith(">"):
+            cur = _record_region(line)
+            regions_per_line.append(cur)
+        elif line and not line[0].isspace() and "\t" in line:
+            cur = _record_region(line)  # SAM record line
+            regions_per_line.append(cur)
+        else:
+            regions_per_line.append(cur)  # FASTA sequence continuation
+    last_region = None
+    for rid in reversed(regions_per_line):
+        if rid is not None:
+            last_region = rid
             break
-        last_region = _record_region(line)
-        break
     keep = len(lines)
     if last_region is not None:
         while keep > 0 and not lines[keep - 1].startswith("@") \
-                and _record_region(lines[keep - 1]) == last_region:
+                and regions_per_line[keep - 1] == last_region:
             keep -= 1
     kept_lines = lines[:keep]
     with open(path, "w") as fh:

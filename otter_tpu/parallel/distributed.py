@@ -76,6 +76,11 @@ def _validated_topology() -> Optional[dict]:
     # distributed client LOG(FATAL)s the process on a deadline instead of
     # raising — so non-coordinator processes TCP-probe the address with
     # OUR timeout first and degrade with a warning if nothing listens.
+    # LIMITATION: with cluster auto-detection (no JAX_NUM_PROCESSES) the
+    # rank is unknown, and a rank-0 process probing its own yet-unbound
+    # address would always fail — so the probe only runs for explicit
+    # non-zero ranks; auto-detected topologies get jax's (bounded but
+    # fatal) initialization_timeout instead.
     timeout_s = os.environ.get("OTTER_TPU_COORD_TIMEOUT_S")
     if timeout_s:
         try:

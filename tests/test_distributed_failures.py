@@ -303,3 +303,36 @@ assert dt < 60, dt
     assert r.returncode == 0, r.stderr[-2000:]
     assert "RESULT" in r.stdout
     assert "[WARNING]" in r.stderr
+
+
+def test_trim_partial_output_fasta_multiline_records(tmp_path):
+    """A FASTA partial torn mid-region (one of two alleles flushed, or a
+    torn sequence line) must trim the WHOLE incomplete region — sequence
+    lines carry no region id of their own and belong to the preceding
+    header (regression: the torn region used to be kept and reported
+    done, silently losing its other alleles on resume)."""
+    from otter_tpu.models.assemble import trim_partial_output
+
+    r1 = [">a0#chr1:100-200#x", "ACGTACGT", ">a1#chr1:100-200#x", "GGGG"]
+    r2 = [">b0#chr1:300-400#x", "TTTT", ">b1#chr1:300-400#x", "CCCC"]
+    # case 1: second region has only its first allele flushed
+    p = tmp_path / "partial1.fa"
+    p.write_text("\n".join(r1 + r2[:2]) + "\n")
+    done = trim_partial_output(str(p))
+    assert done == {"chr1:100-200"}
+    assert p.read_text() == "\n".join(r1) + "\n"
+    # case 2: torn (no trailing newline) sequence line of the last record
+    p2 = tmp_path / "partial2.fa"
+    p2.write_text("\n".join(r1 + r2) + "\n" + ">c0#chr1:500-600#x\nACG")
+    done2 = trim_partial_output(str(p2))
+    assert done2 == {"chr1:100-200", "chr1:300-400"}
+    assert p2.read_text() == "\n".join(r1 + r2) + "\n"
+    # case 3: complete file stays untouched
+    p3 = tmp_path / "partial3.fa"
+    full = "\n".join(r1 + r2) + "\n"
+    p3.write_text(full)
+    done3 = trim_partial_output(str(p3))
+    # the last region is still dropped (completeness is unknowable), but
+    # nothing BEFORE it may be lost
+    assert "chr1:100-200" in done3
+    assert p3.read_text().startswith("\n".join(r1))

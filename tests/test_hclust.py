@@ -175,3 +175,32 @@ def test_native_hclust_exact_parity_with_ties():
         for cd in (0.003, 0.01, 0.3):
             assert np.array_equal(cutree_cdist(n, merge_p, height_p, cd),
                                   cutree_cdist(n, merge_n, height_n, cd))
+
+
+def test_native_medoid_matches_numpy_all_sizes():
+    """otter_medoid_sums must match the numpy cumsum medoid for every
+    cluster size — m < 512 runs the single-thread branch (regression:
+    worker(0) once strode by n_threads and left half the sums at 0.0,
+    silently picking a wrong representative allele)."""
+    import os
+
+    import numpy as np
+
+    from otter_tpu.ops.distmat import DistMatrix
+
+    rng = np.random.default_rng(17)
+    for n, m in ((100, 30), (700, 600), (80, 79), (600, 3)):
+        dm = DistMatrix(n)
+        dm.values = rng.random(n * (n - 1) // 2)
+        idx = sorted(rng.choice(n, size=m, replace=False).tolist())
+        os.environ["OTTER_TPU_NATIVE_MEDOID"] = "0"
+        try:
+            want = dm.get_medoid(idx)
+        finally:
+            os.environ.pop("OTTER_TPU_NATIVE_MEDOID", None)
+        got = dm.get_medoid(idx)  # native path (n >= 64)
+        assert got == want, (n, m, got, want)
+        from otter_tpu.native import medoid_sums_native
+
+        sums = medoid_sums_native(dm.values, n, np.asarray(idx))
+        assert np.all(sums > 0.0), (n, m)
