@@ -194,3 +194,31 @@ def test_cohort_500_samples_batched_identical(tmp_path):
     assert len(rows) == 3
     # 500 samples + header columns all populated
     assert all(len(r.split("\t")) == 9 + 500 for r in rows)
+
+
+def test_cosine_condensed_raw_fallback_parity(monkeypatch):
+    """The ("raw", S) cosine handoff must give byte-identical condensed
+    matrices through BOTH the native single-pass and the numpy fallback
+    (OTTER_TPU_NATIVE_COSINE=0)."""
+    import numpy as np
+
+    from otter_tpu.ops.cluster import (_ROUND_GUARD,
+                                       kusage_cosine_condensed,
+                                       kusage_cosine_condensed_batch)
+
+    rng = np.random.default_rng(5)
+    n = 300
+    V = rng.random((n, 65))
+    V[7] = 0.0  # zero-total allele -> NaN norm path
+    norms = np.sqrt((V * V).sum(axis=1))
+    norms[norms == 0] = np.nan
+    with np.errstate(invalid="ignore", divide="ignore"):
+        scaled = ((V @ V.T) / np.outer(norms, norms)) * 1000.0
+    want = kusage_cosine_condensed(scaled, V, norms, _ROUND_GUARD)
+    got_native = kusage_cosine_condensed_batch(
+        [("raw", V @ V.T)], [V], [norms], _ROUND_GUARD)[0]
+    assert np.array_equal(got_native, want, equal_nan=True)
+    monkeypatch.setenv("OTTER_TPU_NATIVE_COSINE", "0")
+    got_np = kusage_cosine_condensed_batch(
+        [("raw", V @ V.T)], [V], [norms], _ROUND_GUARD)[0]
+    assert np.array_equal(got_np, want, equal_nan=True)
