@@ -363,10 +363,11 @@ def child_main():
     _emit(hb)
     if "kernel" in legs:
         rng = random.Random(20260817)
-        # 32k pairs amortize the tunnel's fixed dispatch/D2H costs; the
-        # engine holds ~290 Gcells/s there (vs ~100 at 8k) on TPU v5e
+        # 64k pairs amortize the tunnel's fixed dispatch/D2H costs further
+        # (32k: ~211 G/s, 64k: ~251 G/s measured in the same tunnel state;
+        # chunk shapes are identical so no new compiles)
         n_pairs = int(os.environ.get(
-            "BENCH_PAIRS", "2048" if degraded else "32768"))
+            "BENCH_PAIRS", "2048" if degraded else "65536"))
         workload = make_workload(rng, n_pairs=n_pairs, length=1024)
         pairs = workload[0]
         tpu_rate, tpu_d, plat, pairs_rate, tpu_times = bench_tpu(workload)
@@ -444,7 +445,7 @@ def child_main():
         try:
             rng = random.Random(20260817)
             n_pairs = int(os.environ.get(
-                "BENCH_PAIRS", "2048" if degraded else "32768"))
+                "BENCH_PAIRS", "2048" if degraded else "65536"))
             workload = make_workload(rng, n_pairs=n_pairs, length=1024)
             rate2, _d2, _p2, pairs_rate2, times2 = bench_tpu(workload)
             result["kernel_retry_rep_times_s"] = [round(t, 4)

@@ -336,3 +336,75 @@ def test_trim_partial_output_fasta_multiline_records(tmp_path):
     # nothing BEFORE it may be lost
     assert "chr1:100-200" in done3
     assert p3.read_text().startswith("\n".join(r1))
+
+
+GT_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {repo_tests!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from otter_tpu.config import OtterOpts
+from otter_tpu.models.genotype import genotype
+
+bam, bed, fa, out_path = sys.argv[1:5]
+params = OtterOpts()
+params.device = "cpu"
+with open(out_path, "w") as fh:
+    genotype(params, bam, bed, fa, out=fh)
+"""
+
+
+def test_genotype_gather_to_writer(tmp_path):
+    """The genotype workload's writer-host gather: 2 processes, cohort
+    VCF collected to process 0 byte-identical to the single-process run
+    (genotype.cpp:71-163's stdout mutex analog)."""
+    import sys as _sys
+
+    _sys.path.insert(0, REPO)
+    from bench_e2e import build_cohort_fixture
+    from otter_tpu.config import OtterOpts
+    from otter_tpu.models.genotype import genotype
+
+    bam, bed, fa = build_cohort_fixture(str(tmp_path), 4, 6, seed=9)
+    params = OtterOpts()
+    params.device = "host"
+    single = io.StringIO()
+    genotype(params, bam, bed, fa, out=single)
+
+    worker = tmp_path / "gt_worker.py"
+    worker.write_text(GT_WORKER.format(
+        repo=REPO, repo_tests=os.path.join(REPO, "tests")))
+    port = _free_port()
+    procs, outs = [], []
+    for pid in range(2):
+        out_path = str(tmp_path / f"vcf_{pid}.vcf")
+        outs.append(out_path)
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+            "OTTER_TPU_GATHER": "1",
+        })
+        env.pop("XLA_FLAGS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker), bam, bed, fa, out_path],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    fails = []
+    for pid, p in enumerate(procs):
+        try:
+            _so, se = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            _so, se = p.communicate()
+            fails.append((pid, -1, "timeout\n" + se[-2000:]))
+            continue
+        if p.returncode != 0:
+            fails.append((pid, p.returncode, se[-2000:]))
+    assert not fails, fails
+    assert open(outs[0]).read() == single.getvalue()
+    assert open(outs[1]).read() == ""
