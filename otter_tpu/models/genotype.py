@@ -299,7 +299,8 @@ def genotype_process_batched(params: OtterOpts, bam_path: str,
             block = results[i][1][0]
             spans[i] = (len(all_seqs), len(block))
             all_seqs.extend(a.seq for a in block)
-        kus_all, vecs_all, vnorms_all = kusage_batch_arrays(3, all_seqs)
+        kus_all, vecs_all, vnorms_all = kusage_batch_arrays(3, all_seqs,
+                                                            lazy=True)
     # pooled cosine GEMM: device f32 einsum over the padded region batch,
     # host f64 BLAS otherwise; certification makes them byte-equivalent
     scaled_by_region = {}

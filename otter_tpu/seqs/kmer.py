@@ -171,14 +171,93 @@ def kcounts_device(k: int, seqs: List[str]) -> np.ndarray:
     return np.asarray(counts, dtype=np.float64)
 
 
-def kusage_batch_arrays(k: int, seqs: List[str]):
+def _batch_counts(k: int, seqs: List[str]) -> np.ndarray:
+    """Batch k-mer counts: device kernel (opt-in) -> native C++ ->
+    numpy oracle; all bit-identical integer counts in f64."""
+    import os
+
+    counts = None
+    if os.environ.get("OTTER_TPU_KMER_DEVICE", "") == "1":
+        try:
+            counts = kcounts_device(k, seqs)
+        except Exception:
+            counts = None
+    if counts is None:
+        # native C++ counting kernel (bit-identical integer counts in
+        # f64) under the same non-host-pipeline proxy as the native
+        # NN-chain; OTTER_TPU_NATIVE_KMER=0 disables
+        import sys as _sys
+
+        if ("jax" in _sys.modules
+                and os.environ.get("OTTER_TPU_NATIVE_KMER", "1") == "1"):
+            try:
+                from ..native import kcounts_native
+
+                counts = kcounts_native(k, seqs)
+            except Exception:
+                counts = None
+    if counts is None:
+        counts = seq2kcounts_np(k, seqs)
+    return counts
+
+
+class LazyKusages:
+    """Sequence view constructing Kusage objects ON DEMAND from the batch
+    arrays — the cohort genotype path reads hsdiv for representative
+    alleles only, so building 2N+1 objects per region up front was pure
+    overhead. Objects are bit-identical to kusage_batch's (same vec view,
+    same float vnorm, scalar-on-demand hsdiv)."""
+
+    __slots__ = ("vecs", "vnorms", "_cache")
+
+    def __init__(self, vecs: np.ndarray, vnorms: np.ndarray):
+        self.vecs = vecs
+        self.vnorms = vnorms
+        self._cache: dict = {}
+
+    def __len__(self) -> int:
+        return len(self.vnorms)
+
+    def __getitem__(self, j):
+        if isinstance(j, slice):
+            return LazyKusages(self.vecs[j], self.vnorms[j])
+        ku = self._cache.get(j)
+        if ku is None:
+            ku = Kusage.__new__(Kusage)
+            ku.vec = self.vecs[j]
+            ku.vnorm = float(self.vnorms[j])
+            ku._hsdiv = None
+            self._cache[j] = ku
+        return ku
+
+    def __iter__(self):
+        for j in range(len(self.vnorms)):
+            yield self[j]
+
+
+def kusage_batch_arrays(k: int, seqs: List[str], lazy: bool = False):
     """(kus, vecs (N, 4^k+1) f64, vnorms (N,) f64) — kusage_batch plus the
     underlying batch arrays, so cohort callers can slice views instead of
-    re-stacking 4^k-wide rows object by object."""
+    re-stacking 4^k-wide rows object by object. ``lazy=True`` returns a
+    LazyKusages view in place of the object list (objects materialize only
+    where read)."""
+    width = int(4 ** k) + 1
+    if not seqs:
+        empty_v = np.zeros((0, width))
+        empty_n = np.zeros(0)
+        return (LazyKusages(empty_v, empty_n) if lazy else []), \
+            empty_v, empty_n
+    if lazy:
+        counts = _batch_counts(k, seqs)
+        totals = counts.sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vecs = np.where(totals[:, None] != 0,
+                            counts / np.where(totals[:, None] == 0, 1.0,
+                                              totals[:, None]),
+                            np.nan)
+        vnorms = np.sqrt(np.sum(vecs * vecs, axis=1))
+        return LazyKusages(vecs, vnorms), vecs, vnorms
     kus = kusage_batch(k, seqs, eager_hsdiv=False)
-    if not kus:
-        width = int(4 ** k) + 1
-        return kus, np.zeros((0, width)), np.zeros(0)
     vecs = kus[0].vec.base if kus[0].vec.base is not None else None
     if vecs is None or vecs.shape[0] != len(kus):
         vecs = np.stack([ku.vec for ku in kus])
@@ -202,30 +281,7 @@ def kusage_batch(k: int, seqs: List[str],
     np.unique over every usage value); hsdiv() then computes scalar
     (bit-identical) on demand — the cohort genotype path only ever reads
     it for representative alleles."""
-    import os
-
-    counts = None
-    if os.environ.get("OTTER_TPU_KMER_DEVICE", "") == "1" and seqs:
-        try:
-            counts = kcounts_device(k, seqs)
-        except Exception:
-            counts = None
-    if counts is None and seqs:
-        # native C++ counting kernel (bit-identical integer counts in
-        # f64) under the same non-host-pipeline proxy as the native
-        # NN-chain; OTTER_TPU_NATIVE_KMER=0 disables
-        import sys as _sys
-
-        if ("jax" in _sys.modules
-                and os.environ.get("OTTER_TPU_NATIVE_KMER", "1") == "1"):
-            try:
-                from ..native import kcounts_native
-
-                counts = kcounts_native(k, seqs)
-            except Exception:
-                counts = None
-    if counts is None:
-        counts = seq2kcounts_np(k, seqs)
+    counts = _batch_counts(k, seqs) if seqs else seq2kcounts_np(k, seqs)
     # batched Kusage construction: vec = counts/total and
     # vnorm = sqrt(sum(vec*vec)) computed array-wise are elementwise /
     # row-reduction identical to the per-allele scalar __init__ (same
