@@ -714,6 +714,18 @@ class EditDistanceEngine:
         return [kk for kk in self.K_LONG
                 if n - m <= kk <= m * self.BANDED_FRAC and kk < n]
 
+    def _banded_pool_launch(self, pairs, chunk, nw: int, tl: int, k: int):
+        """One banded-rung launch: index-math dedup when ``pairs`` is an
+        IndexedPairs view (the assemble path), python id-dedup otherwise."""
+        from .myers_banded import (myers_banded_pool_launch,
+                                   myers_banded_pool_launch_indexed)
+
+        if isinstance(pairs, IndexedPairs):
+            return myers_banded_pool_launch_indexed(
+                pairs, chunk, nw, tl, k, interpret=self.interpret)
+        return myers_banded_pool_launch(
+            [pairs[i] for i in chunk], nw, tl, k, interpret=self.interpret)
+
     def _speculative_banded(self, pairs, remaining, out):
         """Launch every pair's admissible rungs concurrently and collect
         once; returns (sequential_leftovers, rung_exhausted) — the second
@@ -754,13 +766,13 @@ class EditDistanceEngine:
         for (kk, nw, tl), members in sorted(buckets.items()):
             for c0 in range(0, len(members), 8 * _PPP):
                 chunk = members[c0 : c0 + 8 * _PPP]
-                sub = [pairs[i] for i in chunk]
                 try:
-                    dev = myers_banded_pool_launch(
-                        sub, nw, tl, kk, interpret=self.interpret)
+                    dev = self._banded_pool_launch(pairs, chunk, nw, tl,
+                                                   kk)
                 except Exception:
                     continue  # chunk retries on the sequential ladder
-                for a, b in sub:
+                for i in chunk:
+                    a, b = pairs[i]
                     self.cells += max(len(a), len(b)) * min(
                         min(len(a), len(b)), 2 * (kk + 1))
                 launches.append((kk, chunk, dev))
@@ -870,14 +882,14 @@ class EditDistanceEngine:
             for (nw, tl), members in sorted(buckets.items()):
                 for c0 in range(0, len(members), 8 * _PPP):
                     chunk = members[c0 : c0 + 8 * _PPP]
-                    sub = [pairs[i] for i in chunk]
                     try:
-                        dev = myers_banded_pool_launch(
-                            sub, nw, tl, k, interpret=self.interpret)
+                        dev = self._banded_pool_launch(pairs, chunk, nw,
+                                                       tl, k)
                     except Exception:
                         later.extend(chunk)
                         continue
-                    for a, b in sub:
+                    for i in chunk:
+                        a, b = pairs[i]
                         self.cells += max(len(a), len(b)) * min(
                             min(len(a), len(b)), 2 * (k + 1))
                     launches.append((chunk, dev))
@@ -1347,7 +1359,29 @@ class EditDistanceEngine:
                 mlen_max = max(min(len(j[0]), len(j[1])) for j in sub)
                 self.cells += len(sub) * mlen_max * tl
                 launches.append((chunk, h))
-        zh = self.distances_async(zero_pairs) if zero_idx else None
+        zh = None
+        if zero_idx:
+            # indexed sub-dispatch: consensus-hint batches share their
+            # allele's rep pattern across every job, so the id-dedup pool
+            # is tiny and the downstream routing/ladders run index math
+            uniq: dict = {}
+            zseqs: List[str] = []
+            zxi = np.empty(len(zero_pairs), dtype=np.int64)
+            zyi = np.empty(len(zero_pairs), dtype=np.int64)
+            for w, (p, t) in enumerate(zero_pairs):
+                h = id(p)
+                v = uniq.get(h)
+                if v is None:
+                    v = uniq[h] = len(zseqs)
+                    zseqs.append(p)
+                zxi[w] = v
+                h = id(t)
+                v = uniq.get(h)
+                if v is None:
+                    v = uniq[h] = len(zseqs)
+                    zseqs.append(t)
+                zyi[w] = v
+            zh = self.distances_async_indexed(zseqs, zxi, zyi)
         return ("live", jobs, out, host, launches, zero_idx, zh)
 
     def _speculative_banded_ef(self, orient, remaining, out):

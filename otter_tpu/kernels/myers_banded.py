@@ -452,6 +452,55 @@ def _dedup_oriented(oriented) -> Tuple[List[str], list, list]:
     return seqs, idx_p_l, idx_t_l
 
 
+def myers_banded_pool_launch_indexed(pv, members, n_words: int,
+                                     text_len: int, k: int,
+                                     interpret: bool = False):
+    """myers_banded_pool_launch over an IndexedPairs view: orientation and
+    dedup are numpy index math (np.unique over the chunk's index arrays)
+    instead of a ~2.5 us/pair python loop — the banded ladder's host cost
+    at refscale (19900 pairs x several rungs per region)."""
+    PAIRS = TB * LANES
+    members = np.asarray(members, dtype=np.int64)
+    B = len(members)
+    Bp = PAIRS
+    while Bp < B:
+        Bp += PAIRS
+    xi = pv.xi[members]
+    yi = pv.yi[members]
+    lx = pv.lens[xi]
+    ly = pv.lens[yi]
+    swap = lx > ly
+    pi = np.where(swap, yi, xi)
+    ti = np.where(swap, xi, yi)
+    mlen_l = np.where(swap, ly, lx).astype(np.int32)
+    nlen_l = np.where(swap, lx, ly).astype(np.int32)
+    cat = np.concatenate([pi, ti])
+    u, inv = np.unique(cat, return_inverse=True)
+    seqs = [pv.seqs[int(s)] for s in u]
+    n_twords = (text_len + 15) // 16
+    pool_peq = pack_peq_pool(seqs, n_words)
+    pool_t = pack_text_pool(seqs, n_twords)
+    idx_p = np.zeros(Bp, dtype=np.int32)
+    idx_t = np.zeros(Bp, dtype=np.int32)
+    mlen = np.zeros(Bp, dtype=np.int32)
+    nlen = np.zeros(Bp, dtype=np.int32)
+    idx_p[:B] = inv[:B]
+    idx_t[:B] = inv[B:]
+    mlen[:B] = mlen_l
+    nlen[:B] = nlen_l
+    sel_word = np.maximum(mlen - 1, 0) // 32
+    sel_bit = np.int32(1) << (np.maximum(mlen - 1, 0) % 32).astype(np.int32)
+    prev_hi0 = min(n_words - 1, (C - 1 + k) // 32)
+    score0 = np.where(sel_word <= prev_hi0, mlen,
+                      np.int32(32 * (prev_hi0 + 1))).astype(np.int32)
+    return myers_banded_pool_pallas(
+        jnp.asarray(pool_peq), jnp.asarray(pool_t), jnp.asarray(idx_p),
+        jnp.asarray(idx_t), jnp.asarray(nlen),
+        jnp.asarray(sel_word.astype(np.int32)), jnp.asarray(mlen),
+        jnp.asarray(score0), jnp.asarray(sel_bit),
+        n_words=n_words, text_len=text_len, k=k, interpret=interpret)
+
+
 def myers_banded_pool_launch(pairs: List[Tuple[str, str]], n_words: int,
                              text_len: int, k: int,
                              interpret: bool = False):
