@@ -847,6 +847,14 @@ class EditDistanceEngine:
         remaining, spec_exhausted = self._speculative_banded(pairs,
                                                              remaining, out)
         striped_direct.extend(spec_exhausted)
+        # rung-jumping: a failed rung's banded score c is an OVER-estimate
+        # of the true distance (band boundaries only raise values), so the
+        # next rung that can possibly succeed is the first with k >= c —
+        # intermediate rungs are provably doomed and skipped (an ONT pair
+        # failing k=63 with c~160 jumps straight to 255). Jumps never
+        # undershoot (k >= c >= d resolves exactly); overshoot costs at
+        # most the geometric factor of one rung.
+        need: dict = {}
         for k in self.K_LONG:
             if not remaining:
                 break
@@ -856,7 +864,9 @@ class EditDistanceEngine:
                 x, y = pairs[i]
                 m = min(len(x), len(y))
                 n = max(len(x), len(y))
-                if k > m * self.BANDED_FRAC or k >= n:
+                if k < need.get(i, 0):
+                    later.append(i)  # proven > k by a failed rung's score
+                elif k > m * self.BANDED_FRAC or k >= n:
                     later.append(i)  # band ~ matrix: striped territory
                 elif n - m > k:
                     later.append(i)  # infeasible at this rung
@@ -918,6 +928,7 @@ class EditDistanceEngine:
                         if d[bi] <= k:
                             out[idx] = int(d[bi])
                         else:
+                            need[idx] = int(d[bi])
                             later.append(idx)
             remaining = later
         remaining.extend(striped_direct)
@@ -1490,6 +1501,7 @@ class EditDistanceEngine:
         remaining, ef_exhausted = self._speculative_banded_ef(orient,
                                                               remaining, out)
         striped_direct.extend(ef_exhausted)
+        need: dict = {}  # rung-jumping (see _long_pair_route)
         for k in self.K_LONG:
             if not remaining:
                 break
@@ -1498,7 +1510,9 @@ class EditDistanceEngine:
             for i in remaining:
                 mp, mt, tb, _te = orient[i]
                 klo_b = 1 << max(6, (max(tb, 1) - 1).bit_length())
-                if klo_b + 2 * k > len(mp) * self.BANDED_FRAC \
+                if k < need.get(i, 0):
+                    later.append(i)
+                elif klo_b + 2 * k > len(mp) * self.BANDED_FRAC \
                         or k >= len(mt):
                     later.append(i)
                 else:
@@ -1553,6 +1567,7 @@ class EditDistanceEngine:
                         if d[bi] <= k:
                             out[idx] = int(d[bi])
                         else:
+                            need[idx] = int(d[bi])
                             later.append(idx)
             remaining = later
         return remaining + striped_direct
