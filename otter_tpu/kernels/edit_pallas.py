@@ -732,7 +732,6 @@ class EditDistanceEngine:
         list had every admissible rung disproven and goes straight to the
         striped fallback. An empty input or a too-big batch returns
         ``remaining`` unchanged for the sequential ladder."""
-        from .myers_banded import myers_banded_pool_launch
         from .myers_pallas import PAIRS_PER_PROG as _PPP
 
         if not remaining:
@@ -818,7 +817,6 @@ class EditDistanceEngine:
         distance needs k > BANDED_FRAC * m go striped directly (the band
         would approach the full matrix anyway). Every launch is pool-
         deduplicated (all-vs-all sets ship each sequence once)."""
-        from .myers_banded import myers_banded_pool_launch
         from .myers_pallas import PAIRS_PER_PROG as _PPP
         from .myers_striped import myers_striped_distances
 
@@ -847,13 +845,15 @@ class EditDistanceEngine:
         remaining, spec_exhausted = self._speculative_banded(pairs,
                                                              remaining, out)
         striped_direct.extend(spec_exhausted)
-        # rung-jumping: a failed rung's banded score c is an OVER-estimate
-        # of the true distance (band boundaries only raise values), so the
-        # next rung that can possibly succeed is the first with k >= c —
-        # intermediate rungs are provably doomed and skipped (an ONT pair
-        # failing k=63 with c~160 jumps straight to 255). Jumps never
-        # undershoot (k >= c >= d resolves exactly); overshoot costs at
-        # most the geometric factor of one rung.
+        # rung-jumping: a failed rung k proves d > k (d <= k would have
+        # resolved exactly), and its banded score c bounds d from above.
+        # The next attempted rung is the first >= min(c, 8k): the min-c
+        # part skips provably-cheap intermediate rungs when c is tight
+        # (an ONT pair failing k=63 with c~160 jumps straight to 255),
+        # the 8k cap bounds the overshoot when the band escape inflates
+        # c far past d (rungs in [d, c) ARE viable). Jump targets never
+        # undershoot d's rung by more than the cap allows; outputs are
+        # unchanged either way (later rungs/striped stay exact).
         need: dict = {}
         for k in self.K_LONG:
             if not remaining:
@@ -928,7 +928,13 @@ class EditDistanceEngine:
                         if d[bi] <= k:
                             out[idx] = int(d[bi])
                         else:
-                            need[idx] = int(d[bi])
+                            # jump target min(c, 8k): c over-estimates d
+                            # (band boundaries only raise), so rungs in
+                            # [d, c) are viable — capping at ~3 doublings
+                            # keeps the common 1-rung skip while bounding
+                            # the overshoot when the band escape inflates
+                            # c far past d
+                            need[idx] = min(int(d[bi]), 8 * k)
                             later.append(idx)
             remaining = later
         remaining.extend(striped_direct)
@@ -1375,24 +1381,12 @@ class EditDistanceEngine:
             # indexed sub-dispatch: consensus-hint batches share their
             # allele's rep pattern across every job, so the id-dedup pool
             # is tiny and the downstream routing/ladders run index math
-            uniq: dict = {}
-            zseqs: List[str] = []
-            zxi = np.empty(len(zero_pairs), dtype=np.int64)
-            zyi = np.empty(len(zero_pairs), dtype=np.int64)
-            for w, (p, t) in enumerate(zero_pairs):
-                h = id(p)
-                v = uniq.get(h)
-                if v is None:
-                    v = uniq[h] = len(zseqs)
-                    zseqs.append(p)
-                zxi[w] = v
-                h = id(t)
-                v = uniq.get(h)
-                if v is None:
-                    v = uniq[h] = len(zseqs)
-                    zseqs.append(t)
-                zyi[w] = v
-            zh = self.distances_async_indexed(zseqs, zxi, zyi)
+            from .myers_banded import _dedup_oriented
+
+            zseqs, zxi_l, zyi_l = _dedup_oriented(zero_pairs)
+            zh = self.distances_async_indexed(
+                zseqs, np.asarray(zxi_l, dtype=np.int64),
+                np.asarray(zyi_l, dtype=np.int64))
         return ("live", jobs, out, host, launches, zero_idx, zh)
 
     def _speculative_banded_ef(self, orient, remaining, out):
@@ -1567,7 +1561,7 @@ class EditDistanceEngine:
                         if d[bi] <= k:
                             out[idx] = int(d[bi])
                         else:
-                            need[idx] = int(d[bi])
+                            need[idx] = min(int(d[bi]), 8 * k)
                             later.append(idx)
             remaining = later
         return remaining + striped_direct

@@ -171,6 +171,21 @@ def kcounts_device(k: int, seqs: List[str]) -> np.ndarray:
     return np.asarray(counts, dtype=np.float64)
 
 
+def _batch_vecs_vnorms(counts: np.ndarray):
+    """(vecs, vnorms) from batch counts — the ONE implementation of the
+    normalized-usage formula (same elementwise f64 ops / row reductions as
+    the per-allele scalar Kusage.__init__), shared by kusage_batch and the
+    lazy cohort view so byte-parity cannot drift between them."""
+    totals = counts.sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vecs = np.where(totals[:, None] != 0,
+                        counts / np.where(totals[:, None] == 0, 1.0,
+                                          totals[:, None]),
+                        np.nan)
+    vnorms = np.sqrt(np.sum(vecs * vecs, axis=1))
+    return vecs, vnorms
+
+
 def _batch_counts(k: int, seqs: List[str]) -> np.ndarray:
     """Batch k-mer counts: device kernel (opt-in) -> native C++ ->
     numpy oracle; all bit-identical integer counts in f64."""
@@ -248,14 +263,7 @@ def kusage_batch_arrays(k: int, seqs: List[str], lazy: bool = False):
         return (LazyKusages(empty_v, empty_n) if lazy else []), \
             empty_v, empty_n
     if lazy:
-        counts = _batch_counts(k, seqs)
-        totals = counts.sum(axis=1)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            vecs = np.where(totals[:, None] != 0,
-                            counts / np.where(totals[:, None] == 0, 1.0,
-                                              totals[:, None]),
-                            np.nan)
-        vnorms = np.sqrt(np.sum(vecs * vecs, axis=1))
+        vecs, vnorms = _batch_vecs_vnorms(_batch_counts(k, seqs))
         return LazyKusages(vecs, vnorms), vecs, vnorms
     kus = kusage_batch(k, seqs, eager_hsdiv=False)
     vecs = kus[0].vec.base if kus[0].vec.base is not None else None
@@ -291,13 +299,7 @@ def kusage_batch(k: int, seqs: List[str],
     n_all = len(seqs)
     kus: List[Kusage] = []
     if n_all:
-        totals = counts.sum(axis=1)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            vecs_all = np.where(totals[:, None] != 0,
-                                counts / np.where(totals[:, None] == 0, 1.0,
-                                                  totals[:, None]),
-                                np.nan)
-        vnorms = np.sqrt(np.sum(vecs_all * vecs_all, axis=1))
+        vecs_all, vnorms = _batch_vecs_vnorms(counts)
         for i in range(n_all):
             ku = Kusage.__new__(Kusage)
             ku.vec = vecs_all[i]
